@@ -1,0 +1,278 @@
+"""compact() — the compaction transform.
+
+Reproduces the semantics of the reference's reduce phase
+(aegisthus-hadoop/src/main/java/com/netflix/aegisthus/mapreduce/CassSSTableReducer.java):
+
+- A2 row-deletion fold:    deleted_at = max(row_deleted_at) per partition key
+  (CassSSTableReducer.java:85-87).
+- J2 range tombstones:     a cell is dropped when some range tombstone of the
+  same partition covers its name (min <= name <= max in comparator order)
+  with rt.ts >= cell.ts (CassSSTableReducer.java:142,148-153 via Cassandra's
+  RangeTombstone.Tracker).
+- A1 last-write-wins:      per (key, name) the strictly-greater timestamp
+  wins (CassSSTableReducer.java:154-163). On timestamp ties the reference's
+  winner is shuffle-order dependent; we use Cassandra's own deterministic
+  rule instead: tombstone beats live, then greater value bytes win.
+- P2' row-shadow filter:   surviving cells with ts <= deleted_at are removed
+  after LWW (CassSSTableReducer.java:183-191). Cell tombstones (kind 'd')
+  are NOT removed here — they survive compaction and are only dropped by
+  the downstream cleanse (the Pig loader layer, AegisthusLoader.java:75-90).
+- P7 empty-row keep:       a partition whose cells were all deleted still
+  emits (key, deleted_at, []) (CassSSTableReducer.java:101-103).
+- P3 max row size:         optional guard that truncates oversized rows in
+  merge order and flags them (CassSSTableReducer.java:89-96).
+- A3 row re-assembly:      surviving cells comparator-sorted into one array
+  (CassSSTableReducer.java:173-192).
+
+Scale design: ONE hash aggregation (single Exchange on partition_key), all
+merge logic in JVM-side higher-order functions (filter/aggregate/transform
+lambdas inside whole-stage codegen) — no Python in the hot path, no second
+shuffle for LWW, no join for range tombstones. Memory per group is bounded
+by the row size exactly as in the reference's reducer (which also holds one
+row's surviving cells); the maxRowSize guard covers pathological wide rows.
+The reference ships every cell through its shuffle identically (identity
+mapper); we match that but get Tungsten spill + AQE skew handling for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LONG_MIN = -(1 << 63)
+
+#: canonical cell-stream schema (FIXTURES.md §1); produced by the SSTable
+#: source and accepted by compact().
+CELLS_COLUMNS = [
+    "source_path",
+    "generation",
+    "partition_key",
+    "row_deleted_at",
+    "kind",
+    "cell_name",
+    "cell_name_max",
+    "value",
+    "ts",
+    "ttl",
+    "local_deletion_time",
+    "ts_of_last_delete",
+]
+
+
+def compact(
+    cells: DataFrame,
+    *,
+    name_sort_key=None,
+    max_row_size: int | None = None,
+    group_by_source: bool = False,
+) -> DataFrame:
+    """cells -> compacted rows (partition_key, deleted_at, columns, row_too_big).
+
+    ``name_sort_key``: optional Column of sortable bytes encoding the
+    configured comparator order of ``cell_name`` (types.Comparator.sort_key);
+    defaults to raw ``cell_name`` bytes, which is correct for BytesType /
+    UTF8Type / AsciiType comparators.
+
+    ``group_by_source``: trace mode — group by (key, source_path) instead of
+    key alone, mirroring the reference's grouping comparator when source
+    tracing is on (AegisthusKeyGroupingComparator.java:6-18).
+    """
+    sort_key = name_sort_key if name_sort_key is not None else F.col("cell_name")
+
+    is_cell = F.col("kind").isin("c", "d", "e", "x")
+    is_rt = F.col("kind") == "t"
+
+    # carry one struct per record; leading fields define the merge sort order:
+    # (name sort key, ts, tombstone-rank, value) ascending => last per name
+    # group is the LWW winner with Cassandra's tie rule.
+    cell_struct = F.struct(
+        sort_key.alias("sk"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+        F.col("value").alias("value"),
+        F.col("cell_name").alias("name"),
+        F.col("kind").alias("kind"),
+        F.col("ttl").cast("int").alias("ttl"),
+        F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
+        F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
+    )
+    rt_struct = F.struct(
+        sort_key.alias("min_sk"),
+        (F.col("cell_name_max")).alias("max_name"),
+        F.col("ts").alias("ts"),
+    )
+
+    keys = ["partition_key", "source_path"] if group_by_source else ["partition_key"]
+
+    grouped = cells.groupBy(*keys).agg(
+        F.max(F.coalesce(F.col("row_deleted_at"), F.lit(LONG_MIN))).alias("deleted_at"),
+        F.sort_array(F.collect_list(F.when(is_cell, cell_struct))).alias("cells"),
+        F.collect_list(F.when(is_rt, rt_struct)).alias("rts"),
+    )
+
+    # NOTE on rt max bound: for the coverage test we need the sort key of the
+    # max name. We pre-encode it below when building rt_struct from the
+    # caller's sort key of cell_name; cell_name_max needs its own encoding —
+    # callers with non-byte comparators pass name_sort_key AND pre-encode
+    # cell_name_max into the same order (see source layer). Here we compare
+    # against raw max bytes when no custom key was supplied.
+    max_sk_expr = "r.max_name"
+
+    # J2: drop cells covered by a range tombstone with rt.ts >= cell.ts
+    rt_filtered = (
+        "filter(cells, x -> NOT exists(rts, r -> "
+        f"r.min_sk <= x.sk AND x.sk <= {max_sk_expr} AND r.ts >= x.ts))"
+    )
+    # A1: cells sorted asc by (sk, ts, rank, value); keep the LAST of each
+    # sk-group == LWW winner (strictly-newer ts wins; ties -> tombstone,
+    # then greater value — deterministic superset of the reference).
+    lww = (
+        "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
+    )
+    # P2': drop cells shadowed by the row tombstone (ts <= deleted_at)
+    shadow = "filter(c2, x -> x.ts > deleted_at)"
+    # A3: strip merge bookkeeping fields
+    strip = (
+        "transform(c3, x -> struct(x.name as name, x.value as value, x.ts as ts, "
+        "x.kind as kind, x.ttl as ttl, x.local_deletion_time as local_deletion_time, "
+        "x.ts_of_last_delete as ts_of_last_delete))"
+    )
+
+    out = (
+        grouped.withColumn("cells", F.expr("filter(cells, x -> x is not null)"))
+        .withColumn("rts", F.expr("filter(rts, x -> x is not null)"))
+    )
+
+    if max_row_size is not None:
+        # P3: the reference stops collecting atoms once the accumulated
+        # serialized size would exceed maxRowSize and flags the row
+        # (CassSSTableReducer.java:89-96) — i.e. it keeps the longest prefix
+        # under the limit, in merge order. Size model per cell:
+        # len(name) + len(value) + 15 bytes framing (close to
+        # OnDiskAtom.serializedSizeForSSTable for regular cells).
+        csize = "(length(coalesce(x.name, x'')) + length(coalesce(x.value, x'')) + 15)"
+        out = out.withColumn(
+            "trunc",
+            F.expr(
+                "aggregate(cells, "
+                "  struct(cast(0 as long) as sz, cast(array() as array<struct<"
+                "    sk binary, ts bigint, rank int, value binary, name binary, kind string,"
+                "    ttl int, local_deletion_time int, ts_of_last_delete bigint>>) as keep,"
+                "    false as stop), "
+                f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
+                "    struct(acc.sz as sz, acc.keep as keep, true as stop), "
+                f"   struct(acc.sz + {csize} as sz, array_append(acc.keep, x) as keep, false as stop)))"
+            ),
+        ).withColumn("row_too_big", F.col("trunc.stop")).withColumn(
+            "cells", F.col("trunc.keep")
+        ).drop("trunc")
+    else:
+        out = out.withColumn("row_too_big", F.lit(False))
+
+    out = (
+        out.withColumn("c1", F.expr(rt_filtered))
+        .withColumn("c2", F.expr(lww))
+        .withColumn("c3", F.expr(shadow))
+        .withColumn("columns", F.expr(strip))
+        .drop("cells", "rts", "c1", "c2", "c3")
+    )
+    cols = keys + ["deleted_at", "columns", "row_too_big"]
+    return out.select(*cols)
+
+
+def cleanse(compacted: DataFrame, *, drop_empty_rows: bool = True) -> DataFrame:
+    """P2 — the Pig-layer cleanse (reference: AegisthusLoader.java:75-90,119-129).
+
+    Drops cell tombstones (kind 'd') and — defensively, as the reference does
+    — cells shadowed by the row tombstone; optionally drops rows left empty.
+    """
+    out = compacted.withColumn(
+        "columns",
+        F.expr("filter(columns, x -> x.kind != 'd' AND x.ts > deleted_at)"),
+    )
+    if drop_empty_rows:
+        out = out.filter(F.size("columns") > 0)
+    return out
+
+
+def compacted_to_cells(compacted: DataFrame) -> DataFrame:
+    """Explode compacted rows back to one-cell-per-row (test/oracle helper)."""
+    return compacted.select(
+        "partition_key",
+        "deleted_at",
+        F.explode_outer("columns").alias("col"),
+    ).select(
+        "partition_key",
+        "deleted_at",
+        F.col("col.name").alias("cell_name"),
+        F.col("col.value").alias("value"),
+        F.col("col.ts").alias("ts"),
+        F.col("col.kind").alias("kind"),
+    )
+
+
+def compact_multistep(cells: DataFrame) -> DataFrame:
+    """Alternative shuffle-heavy formulation kept for plan comparison in
+    tests/benchmarks (windowed LWW + join). compact() is the production path.
+    """
+    w = Window.partitionBy("partition_key")
+    deleted = cells.select(
+        "partition_key",
+        F.max(F.coalesce("row_deleted_at", F.lit(LONG_MIN))).over(w).alias("deleted_at"),
+        "kind", "cell_name", "cell_name_max", "value", "ts", "ttl",
+        "local_deletion_time", "ts_of_last_delete",
+    )
+    cols = deleted.filter(F.col("kind").isin("c", "d", "e", "x"))
+    rts = deleted.filter(F.col("kind") == "t").select(
+        F.col("partition_key").alias("rt_key"),
+        F.col("cell_name").alias("rt_min"),
+        F.col("cell_name_max").alias("rt_max"),
+        F.col("ts").alias("rt_ts"),
+    )
+    survivors = cols.join(
+        rts,
+        on=[
+            cols.partition_key == rts.rt_key,
+            cols.cell_name >= rts.rt_min,
+            cols.cell_name <= rts.rt_max,
+            cols.ts <= rts.rt_ts,
+        ],
+        how="left_anti",
+    )
+    lww_w = (
+        Window.partitionBy("partition_key", "cell_name")
+        .orderBy(
+            F.col("ts").desc(),
+            F.when(F.col("kind") == "d", 1).otherwise(0).desc(),
+            F.col("value").desc(),
+        )
+    )
+    winners = (
+        survivors.withColumn("rn", F.row_number().over(lww_w))
+        .filter("rn = 1")
+        .filter(F.col("ts") > F.col("deleted_at"))
+    )
+    all_keys = cells.groupBy("partition_key").agg(
+        F.max(F.coalesce("row_deleted_at", F.lit(LONG_MIN))).alias("deleted_at")
+    )
+    assembled = winners.groupBy("partition_key").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cell_name").alias("name"),
+                    F.col("value").alias("value"),
+                    F.col("ts").alias("ts"),
+                    F.col("kind").alias("kind"),
+                    F.col("ttl").alias("ttl"),
+                    F.col("local_deletion_time").alias("local_deletion_time"),
+                    F.col("ts_of_last_delete").alias("ts_of_last_delete"),
+                )
+            )
+        ).alias("columns")
+    )
+    return all_keys.join(assembled, "partition_key", "left").select(
+        "partition_key",
+        "deleted_at",
+        F.coalesce("columns", F.array()).alias("columns"),
+        F.lit(False).alias("row_too_big"),
+    )

@@ -1,0 +1,142 @@
+"""compact() semantics vs the reference reducer
+(CassSSTableReducer.java — see docstrings in aegisthus_spark/compact.py)."""
+
+from aegisthus_spark.compact import LONG_MIN, cleanse, compact, compact_multistep
+
+MIN = LONG_MIN
+
+
+def rows_of(df):
+    out = {}
+    for r in df.collect():
+        out[bytes(r.partition_key)] = (
+            r.deleted_at,
+            [(bytes(c.name), None if c.value is None else bytes(c.value), c.ts, c.kind) for c in r.columns],
+        )
+    return out
+
+
+def make(spark, cells_schema, rows):
+    return spark.createDataFrame(rows, cells_schema)
+
+
+def test_lww_keeps_max_ts(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"old", 100, None, None, None),
+        ("", 2, b"k", MIN, "c", b"a", None, b"new", 200, None, None, None),
+        ("", 3, b"k", MIN, "c", b"a", None, b"mid", 150, None, None, None),
+    ])
+    out = rows_of(compact(df))
+    assert out[b"k"] == (MIN, [(b"a", b"new", 200, "c")])
+
+
+def test_lww_tie_tombstone_then_value(spark, cells_schema):
+    # equal ts: tombstone beats live; among lives, greater value bytes win
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"x", 100, None, None, None),
+        ("", 2, b"k", MIN, "d", b"a", None, b"", 100, None, 99, None),
+        ("", 1, b"k", MIN, "c", b"b", None, b"small", 100, None, None, None),
+        ("", 2, b"k", MIN, "c", b"b", None, b"tiny", 100, None, None, None),
+    ])
+    out = rows_of(compact(df))
+    assert out[b"k"][1] == [(b"a", b"", 100, "d"), (b"b", b"tiny", 100, "c")]
+
+
+def test_cell_tombstone_survives_compact_dropped_by_cleanse(spark, cells_schema):
+    # reference keeps DeletedColumn in compacted output (finalizeReduce only
+    # removes RTs and row-shadowed cells); the Pig-layer cleanse drops it
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"v", 100, None, None, None),
+        ("", 1, b"k", MIN, "d", b"a", None, b"", 200, None, 99, None),
+    ])
+    compacted = compact(df)
+    out = rows_of(compacted)
+    assert out[b"k"][1] == [(b"a", b"", 200, "d")]
+    assert rows_of(cleanse(compacted, drop_empty_rows=False))[b"k"][1] == []
+    assert cleanse(compacted).count() == 0
+
+
+def test_row_tombstone_shadows_and_preserves_empty_row(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", 500, "c", b"a", None, b"v", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"b", None, b"v", 400, None, None, None),
+        ("", 2, b"k", MIN, "c", b"c", None, b"v", 600, None, None, None),
+    ])
+    out = rows_of(compact(df))
+    # deletedAt folds to 500; a@100 and b@400 shadowed; c@600 survives
+    assert out[b"k"] == (500, [(b"c", b"v", 600, "c")])
+
+
+def test_row_only_record_preserved(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", 500, "r", None, None, None, MIN, None, None, None),
+    ])
+    out = rows_of(compact(df))
+    assert out[b"k"] == (500, [])
+
+
+def test_range_tombstone_covers_by_name_and_ts(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"b", None, b"dead", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"b2", None, b"alive_newer", 200, None, None, None),
+        ("", 1, b"k", MIN, "c", b"a", None, b"outside", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"z", None, b"outside2", 100, None, None, None),
+        ("", 1, b"k", MIN, "t", b"b", b"c", None, 150, None, 99, None),
+    ])
+    out = rows_of(compact(df))
+    names = [c[0] for c in out[b"k"][1]]
+    assert names == [b"a", b"b2", b"z"]
+
+
+def test_rt_boundary_inclusive_and_ts_equal_deletes(spark, cells_schema):
+    # bounds are inclusive; rt.ts >= cell.ts deletes (Tracker semantics)
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"b", None, b"eq", 150, None, None, None),
+        ("", 1, b"k", MIN, "c", b"c", None, b"max_bound", 100, None, None, None),
+        ("", 1, b"k", MIN, "t", b"b", b"c", None, 150, None, 99, None),
+    ])
+    out = rows_of(compact(df))
+    assert out[b"k"] == (MIN, [])
+
+
+def test_replica_duplicates_collapse(spark, cells_schema):
+    # 3 replicas of identical cells -> one winner (LWW with equal everything)
+    dup = [("", 1, b"k", MIN, "c", b"a", None, b"v", 100, None, None, None)] * 3
+    out = rows_of(compact(make(spark, cells_schema, dup)))
+    assert out[b"k"] == (MIN, [(b"a", b"v", 100, "c")])
+
+
+def test_max_row_size_truncates_and_flags(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"0123456789", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"b", None, b"0123456789", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"c", None, b"0123456789", 100, None, None, None),
+    ])
+    out = compact(df, max_row_size=60).collect()[0]
+    # each cell costs 1 + 10 + 15 = 26 bytes; only two fit under 60
+    assert out.row_too_big is True
+    assert [bytes(c.name) for c in out.columns] == [b"a", b"b"]
+
+
+def test_expiring_and_counter_fields_carried(spark, cells_schema):
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "e", b"a", None, b"v", 100, 3600, 12345, None),
+        ("", 1, b"k", MIN, "x", b"b", None, b"v", 100, None, None, 77),
+    ])
+    cols = compact(df).collect()[0].columns
+    assert cols[0].kind == "e" and cols[0].ttl == 3600 and cols[0].local_deletion_time == 12345
+    assert cols[1].kind == "x" and cols[1].ts_of_last_delete == 77
+
+
+def test_multistep_equivalent(spark, cells_schema):
+    rows = [
+        ("", 1, b"k1", MIN, "c", b"a", None, b"v1", 100, None, None, None),
+        ("", 2, b"k1", MIN, "c", b"a", None, b"v2", 200, None, None, None),
+        ("", 1, b"k1", MIN, "c", b"b", None, b"vb", 100, None, None, None),
+        ("", 2, b"k1", MIN, "t", b"b", b"bzz", None, 150, None, 1000, None),
+        ("", 1, b"k2", 500, "c", b"a", None, b"v", 100, None, None, None),
+    ]
+    df = make(spark, cells_schema, rows)
+    a = rows_of(compact(df))
+    b = rows_of(compact_multistep(df))
+    assert a == b
