@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+All query implementations live in ``aegisthus_spark.queries`` (and the
+operator modules it pulls in); this file is just the contract surface.
 """
 
 from __future__ import annotations
@@ -14,25 +16,35 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine settings to a driver-provided session (idempotent)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-mutable conf on some deployments; queries still run
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full compaction semantics (LWW + cell/range/row
+    tombstones + empty-row preservation) over a cell stream at sf0.001."""
+    from aegisthus_spark.queries import REGISTRY
+
+    _configure(spark)
+    return REGISTRY["aeg_compact"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from aegisthus_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: (lambda s, d, _f=q.fn: _f(_configure(s), d)) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (omitted => rows-only check)."""
+    from aegisthus_spark.queries import REGISTRY
+
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

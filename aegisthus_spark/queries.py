@@ -1,0 +1,675 @@
+"""The relational query surface + the engine-semantics queries.
+
+The reference exposes its compacted snapshots to Pig
+(aegisthus-pig/src/main/java/com/netflix/aegisthus/pig/AegisthusLoader.java);
+every relational operation a Pig user would run downstream (FILTER / GROUP /
+JOIN / ORDER / LIMIT / DISTINCT / UNION) is native Spark SQL here. The
+`aeg_*` queries exercise the engine's own semantics (compact/cleanse/pivot,
+SURVEY.md §2.3-2.4) over a cell stream derived deterministically from the
+`events` table so a DuckDB oracle can check them.
+
+Every query has a DuckDB-runnable oracle SQL string unless stated. Numeric
+determinism rule: sums over float columns are computed in DECIMAL(18,2)
+(exact, order-independent) and only then cast to double, so Spark and DuckDB
+produce bit-identical doubles; all further arithmetic happens on those
+doubles identically in both engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .compact import LONG_MIN, cleanse, compact, compacted_to_cells
+
+
+@dataclass(frozen=True)
+class Q:
+    """A registered query: Spark implementation + DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to TimestampType (micros).
+
+    The parquet stores TIMESTAMP(NANOS); with nanosAsLong Spark reads a raw
+    long, which we floor-divide to micros — matching DuckDB's own
+    nanos->micros truncation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (Pig-equivalent queries over the star schema)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: scan+filter+groupBy aggregate",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax")))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style: 3-way join + agg + deterministic top-k",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style: EXISTS semi-join + agg",
+)
+def q4_order_priority(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")).orderBy(
+        "o_orderpriority"
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style: 6-way join with broadcast dims",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-style: pure scan+filter+global agg (pushdown showcase)",
+)
+def q6_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-style: returned-item report, join + top-k",
+)
+def q10_returned_items(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END) AS DOUBLE) * 100.0
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    doc="TPC-H Q14-style: conditional aggregation over a join",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))).cast("double")
+            * F.lit(100.0)
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18-style: groupBy + HAVING + top-k",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 150)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_supplier_revenue_rank",
+    """
+    WITH sr AS (
+      SELECT s_suppkey, s_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name)
+    SELECT s_suppkey, s_name, revenue,
+           RANK() OVER (ORDER BY revenue DESC, s_suppkey) AS rev_rank
+    FROM sr
+    ORDER BY rev_rank
+    """,
+    doc="window function over a join+agg (TPC-H Q15 analog)",
+)
+def q_supplier_revenue_rank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    sr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), "s_suppkey")
+    return sr.withColumn("rev_rank", F.rank().over(w)).orderBy("rev_rank")
+
+
+# ---------------------------------------------------------------------------
+# Events analytics (the streaming-shaped batch surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ev_daily_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="time-bucketed rollup (hypertable-rollup analog)",
+)
+def ev_daily_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "ev_latest_per_user",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+      FROM events)
+    SELECT user_id, event_type AS last_event_type, CAST(value AS DOUBLE) AS last_value,
+           last_ts, n_events
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="latest-record-per-key (the LWW primitive as a relational query)",
+)
+def ev_latest_per_user(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ord_key = F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", ord_key).alias("last_event_type"),
+            F.max_by(F.col("value").cast("double"), ord_key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_funnel_signup_purchase",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, MIN(ts) AS first_purchase_ts FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           (p.user_id IS NOT NULL AND p.first_purchase_ts > s.signup_ts) AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+    doc="funnel: first signup -> first purchase conversion per user",
+)
+def ev_funnel_signup_purchase(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+        .withColumnRenamed("user_id", "p_user_id")
+    )
+    return (
+        s.join(p, s.user_id == p.p_user_id, "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            (F.col("p_user_id").isNotNull() & (F.col("first_purchase_ts") > F.col("signup_ts"))).alias(
+                "converted"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ev_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+    doc="sessionization: 30-min-gap session assignment via window lag + running sum",
+)
+def ev_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine semantics: events-as-cells -> compact()/cleanse()/pivot
+# ---------------------------------------------------------------------------
+#
+# A deterministic cell stream derived from the events table so the DuckDB
+# oracle can re-derive it and apply the declarative LWW/tombstone semantics
+# (reference semantics: CassSSTableReducer.java — see compact.py docstrings):
+#   partition_key   = utf8(user_id)
+#   cell tombstone  = error events (kind 'd')
+#   range tombstone = click events with value > 195, covering name range
+#                     ['p','t'] (i.e. purchase:* and signup:*), ts-dominant
+#   row tombstone   = signup events with value > 180 mark the whole user
+#                     deleted as of that ts
+#   cell_name       = event_type:<event_id mod 5>, value = printf('%.2f')
+
+_CELLS_SQL_CTE = """
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS pk,
+         CASE WHEN event_type = 'signup' AND value > 180 THEN epoch_us(ts)
+              ELSE -9223372036854775808 END AS rda,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'click' AND value > 195 THEN 't'
+              ELSE 'c' END AS kind,
+         CASE WHEN event_type = 'click' AND value > 195 THEN 'p'
+              ELSE event_type || ':' || CAST(event_id % 5 AS VARCHAR) END AS name,
+         CASE WHEN event_type = 'click' AND value > 195 THEN 't' END AS name_max,
+         printf('%.2f', value) AS val,
+         epoch_us(ts) AS ts
+  FROM events),
+agg AS (SELECT pk, MAX(rda) AS deleted_at FROM cells GROUP BY pk),
+cols AS (SELECT * FROM cells WHERE kind IN ('c', 'd')),
+rts AS (SELECT pk, name AS min_name, name_max, ts FROM cells WHERE kind = 't'),
+surv AS (
+  SELECT c.* FROM cols c
+  WHERE NOT EXISTS (SELECT 1 FROM rts r
+                    WHERE r.pk = c.pk AND r.min_name <= c.name
+                      AND c.name <= r.name_max AND r.ts >= c.ts)),
+lww AS (
+  SELECT *, row_number() OVER (PARTITION BY pk, name
+             ORDER BY ts DESC, (kind = 'd') DESC, val DESC) AS rn
+  FROM surv)
+"""
+
+
+def _events_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    is_rt = (F.col("event_type") == "click") & (F.col("value") > 195)
+    is_row_del = (F.col("event_type") == "signup") & (F.col("value") > 180)
+    kind = (
+        F.when(F.col("event_type") == "error", "d").when(is_rt, "t").otherwise("c")
+    )
+    name = F.when(is_rt, F.lit("p")).otherwise(
+        F.concat(F.col("event_type"), F.lit(":"), (F.col("event_id") % 5).cast("string"))
+    )
+    return ev.select(
+        F.lit("").alias("source_path"),
+        F.lit(1).alias("generation"),
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("partition_key"),
+        F.when(is_row_del, F.unix_micros("ts")).otherwise(F.lit(LONG_MIN)).alias("row_deleted_at"),
+        kind.alias("kind"),
+        F.encode(name, "UTF-8").alias("cell_name"),
+        F.when(is_rt, F.encode(F.lit("t"), "UTF-8")).alias("cell_name_max"),
+        F.encode(F.format_string("%.2f", F.col("value")), "UTF-8").alias("value"),
+        F.unix_micros("ts").alias("ts"),
+        F.lit(None).cast("int").alias("ttl"),
+        F.lit(None).cast("int").alias("local_deletion_time"),
+        F.lit(None).cast("long").alias("ts_of_last_delete"),
+    )
+
+
+@register(
+    "aeg_compact",
+    _CELLS_SQL_CTE
+    + """
+    SELECT a.pk AS user_key, a.deleted_at,
+           w.name AS cell_name, w.val AS cell_value, w.ts AS cell_ts, w.kind AS cell_kind
+    FROM agg a LEFT JOIN (
+        SELECT l.* FROM lww l JOIN agg a2 ON a2.pk = l.pk
+        WHERE l.rn = 1 AND l.ts > a2.deleted_at) w
+      ON a.pk = w.pk
+    ORDER BY a.pk, w.name
+    """,
+    doc="full compaction semantics (LWW + cell/range/row tombstones + empty-row keep) on events-as-cells",
+)
+def aeg_compact(spark, sf_dir):
+    cells = _events_cells(spark, sf_dir)
+    rows = compact(cells)
+    return (
+        compacted_to_cells(rows)
+        .select(
+            F.decode("partition_key", "UTF-8").alias("user_key"),
+            "deleted_at",
+            F.decode("cell_name", "UTF-8").alias("cell_name"),
+            F.decode("value", "UTF-8").alias("cell_value"),
+            F.col("ts").alias("cell_ts"),
+            F.col("kind").alias("cell_kind"),
+        )
+        .orderBy("user_key", "cell_name")
+    )
+
+
+@register(
+    "aeg_cleanse",
+    _CELLS_SQL_CTE
+    + """
+    SELECT w.pk AS user_key, a.deleted_at,
+           w.name AS cell_name, w.val AS cell_value, w.ts AS cell_ts
+    FROM lww w JOIN agg a ON a.pk = w.pk
+    WHERE w.rn = 1 AND w.ts > a.deleted_at AND w.kind <> 'd'
+    ORDER BY w.pk, w.name
+    """,
+    doc="Pig-layer cleanse (drop cell tombstones + empty rows) after compaction",
+)
+def aeg_cleanse(spark, sf_dir):
+    cells = _events_cells(spark, sf_dir)
+    rows = cleanse(compact(cells))
+    return (
+        compacted_to_cells(rows)
+        .select(
+            F.decode("partition_key", "UTF-8").alias("user_key"),
+            "deleted_at",
+            F.decode("cell_name", "UTF-8").alias("cell_name"),
+            F.decode("value", "UTF-8").alias("cell_value"),
+            F.col("ts").alias("cell_ts"),
+        )
+        .orderBy("user_key", "cell_name")
+    )
+
+
+@register(
+    "aeg_cql_pivot",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN v END) AS click,
+           MAX(CASE WHEN event_type = 'error' THEN v END) AS error,
+           MAX(CASE WHEN event_type = 'purchase' THEN v END) AS purchase,
+           MAX(CASE WHEN event_type = 'signup' THEN v END) AS signup,
+           MAX(CASE WHEN event_type = 'view' THEN v END) AS view
+    FROM r WHERE rn = 1 GROUP BY user_id ORDER BY user_id
+    """,
+    doc="CQL-row pivot analog: latest cell value per column name into a wide row (CQLMapper semantics)",
+)
+def aeg_cql_pivot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    ord_key = F.struct(F.unix_micros("ts").alias("t"), F.col("event_id").alias("e"))
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.max_by(F.col("value").cast("double"), ord_key))
+        .orderBy("user_id")
+    )
+    return pivoted
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
