@@ -1,0 +1,152 @@
+"""aeg-JSON formatter / parser.
+
+Byte-exact rendering of the reference's JSON snapshot format
+(output/JsonOutputFormat.java:108-182, serializer parity tested against
+aegisthus-core/.../AegisthusSerializer.java):
+
+    <key>\\t{"<key>":{"deletedAt":N,"columns":[[name,value,ts],
+    [name,value,ts,"d"],[name,value,ts,"e",ttl,ldt],[name,value,ts,"c",tsLastDelete]]}}
+
+Names/values are rendered through comparator converters (hex for the default
+BytesType). Jackson writes compact JSON (no spaces); we reproduce with
+json.dumps(..., separators=(',', ':')) on pre-rendered strings.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import types as aegtypes
+
+
+def render_row_json(
+    key: bytes,
+    deleted_at: int,
+    columns,
+    *,
+    key_conv=None,
+    name_conv=None,
+    value_conv=None,
+    max_col_size: int | None = None,
+) -> str:
+    """One compacted row -> one aeg-JSON line (without trailing newline)."""
+    bytes_conv = aegtypes.get("BytesType")
+    key_conv = key_conv or bytes_conv
+    name_conv = name_conv or bytes_conv
+    value_conv = value_conv or bytes_conv
+
+    key_str = key_conv.render(key)
+    cols_out = []
+    if max_col_size is not None:
+        total = sum(len(c["name"] or b"") + len(c["value"] or b"") + 15 for c in columns)
+        if total > max_col_size:
+            cols_out = [["error", f"row too large: {total:,d} bytes - limit {max_col_size:,d} bytes", 0]]
+            columns = []
+    for c in columns:
+        entry = [name_conv.render(c["name"]), value_conv.render(c["value"]), c["ts"]]
+        kind = c.get("kind", "c")
+        if kind == "d":
+            entry.append("d")
+        elif kind == "e":
+            entry += ["e", c.get("ttl"), c.get("local_deletion_time")]
+        elif kind == "x":
+            entry += ["c", c.get("ts_of_last_delete")]
+        cols_out.append(entry)
+    body = json.dumps(
+        {key_str: {"deletedAt": deleted_at, "columns": cols_out}},
+        separators=(",", ":"),
+        ensure_ascii=True,
+    )
+    return f"{key_str}\t{body}"
+
+
+_RENDER_SCHEMA = "string"
+
+
+def to_aeg_json(
+    compacted: DataFrame,
+    *,
+    key_type: str = "BytesType",
+    name_type: str = "BytesType",
+    value_type: str = "BytesType",
+    max_col_size: int | None = None,
+) -> DataFrame:
+    """compacted rows -> single-column DataFrame of aeg-JSON lines.
+
+    For the default BytesType converters everything stays in JVM expressions
+    (hex + concat); non-default converters fall back to a Python UDF over
+    the collected row (rare path: typed renders).
+    """
+    if (key_type, name_type, value_type) == ("BytesType", "BytesType", "BytesType"):
+        key_str = F.lower(F.hex(F.col("partition_key")))
+        # per-column JSON array: ["name","value",ts(,flags...)]
+        col_entry = (
+            "transform(columns, c -> concat("
+            "'[\"', lower(hex(c.name)), '\",\"', lower(hex(coalesce(c.value, x''))), '\",', cast(c.ts as string), "
+            "CASE WHEN c.kind = 'd' THEN ',\"d\"' "
+            "     WHEN c.kind = 'e' THEN concat(',\"e\",', cast(c.ttl as string), ',', cast(c.local_deletion_time as string)) "
+            "     WHEN c.kind = 'x' THEN concat(',\"c\",', cast(c.ts_of_last_delete as string)) "
+            "     ELSE '' END, ']'))"
+        )
+        line = F.concat(
+            key_str,
+            F.lit('\t{"'),
+            key_str,
+            F.lit('":{"deletedAt":'),
+            F.col("deleted_at").cast("string"),
+            F.lit(',"columns":['),
+            F.array_join(F.expr(col_entry), ","),
+            F.lit("]}}"),
+        )
+        return compacted.select(line.alias("value"))
+
+    kc, nc, vc = (aegtypes.get(t) for t in (key_type, name_type, value_type))
+
+    @F.udf(_RENDER_SCHEMA)
+    def render(key, deleted_at, columns):
+        cols = [
+            {
+                "name": bytes(c["name"]) if c["name"] is not None else None,
+                "value": bytes(c["value"]) if c["value"] is not None else None,
+                "ts": c["ts"],
+                "kind": c["kind"],
+                "ttl": c["ttl"],
+                "local_deletion_time": c["local_deletion_time"],
+                "ts_of_last_delete": c["ts_of_last_delete"],
+            }
+            for c in columns
+        ]
+        return render_row_json(
+            bytes(key), deleted_at, cols, key_conv=kc, name_conv=nc, value_conv=vc,
+            max_col_size=max_col_size,
+        )
+
+    return compacted.select(render("partition_key", "deleted_at", "columns").alias("value"))
+
+
+def parse_aeg_json_line(line: str) -> dict:
+    """aeg-JSON line -> {key, deleted_at, columns:[{name,value,ts,kind,...}]}
+    (hex-string fields; parser parity with AegisthusSerializer.deserialize)."""
+    key_str, _, body = line.partition("\t")
+    obj = json.loads(body)
+    row = obj[key_str]
+    columns = []
+    for entry in row["columns"]:
+        c = {"name": entry[0], "value": entry[1], "ts": entry[2], "kind": "c",
+             "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}
+        if len(entry) > 3:
+            flag = entry[3]
+            if flag == "d":
+                c["kind"] = "d"
+            elif flag == "e":
+                c["kind"] = "e"
+                c["ttl"] = entry[4]
+                c["local_deletion_time"] = entry[5]
+            elif flag == "c":
+                c["kind"] = "x"
+                c["ts_of_last_delete"] = entry[4]
+        columns.append(c)
+    return {"key": key_str, "deleted_at": row["deletedAt"], "columns": columns}

@@ -1,0 +1,81 @@
+"""SSTable filename parsing.
+
+Two public layouts (reference: Cassandra Descriptor.fromFilename, used at
+SSTableRecordReader.java:99-104):
+
+- legacy (<= 2.1):  <keyspace>-<table>-<version>-<generation>-<component>
+  e.g. ``testdata-randomtable-jb-5-Data.db``
+- 2.2+ ("big" era): <version>-<generation>-big-<component>
+  e.g. ``la-5-big-Data.db`` (keyspace/table come from the directory path)
+
+Version capability flag (Cassandra Descriptor.Version):
+``has_row_size_and_column_count`` — row header carries an 8-byte row size and
+4-byte column count for versions < "ja" (i.e. 1.2.x "ic" era); 2.0+ uses an
+end-of-row marker instead (SSTableColumnScanner.java:83-87,116-119).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+CURRENT_VERSION = "jb"
+
+_LEGACY = re.compile(
+    r"^(?P<ks>[^-]+(?:-[^-]+)*)-(?P<table>[^-]+)-(?P<version>[a-z]{2})-(?P<gen>\d+)-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
+)
+_BIG = re.compile(
+    r"^(?P<version>[a-z]{2})-(?P<gen>\d+)-big-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
+)
+
+
+@dataclass(frozen=True)
+class Descriptor:
+    keyspace: str
+    table: str
+    version: str
+    generation: int
+    component: str
+
+    @property
+    def has_row_size_and_column_count(self) -> bool:
+        return self.version < "ja"
+
+    def sibling(self, component: str) -> str:
+        """Filename of another component of the same SSTable."""
+        if self.keyspace:
+            return f"{self.keyspace}-{self.table}-{self.version}-{self.generation}-{component}"
+        return f"{self.version}-{self.generation}-big-{component}"
+
+
+def parse_filename(path: str) -> Descriptor:
+    name = os.path.basename(path)
+    m = _BIG.match(name)
+    if m:
+        # table/keyspace from the directory: .../<ks>/<table>-<cfid>/la-5-big-Data.db
+        parent = os.path.basename(os.path.dirname(path))
+        table = parent.split("-")[0] if parent else ""
+        ks = os.path.basename(os.path.dirname(os.path.dirname(path)))
+        return Descriptor(
+            keyspace="", table=table or ks, version=m.group("version"),
+            generation=int(m.group("gen")), component=m.group("comp"),
+        )
+    m = _LEGACY.match(name)
+    if m:
+        # keyspace may itself contain dashes; table is the second-to-last field
+        ks_table = m.group("ks"), m.group("table")
+        return Descriptor(
+            keyspace=ks_table[0], table=ks_table[1], version=m.group("version"),
+            generation=int(m.group("gen")), component=m.group("comp"),
+        )
+    raise ValueError(f"unrecognized sstable filename: {name}")
+
+
+def version_of(path: str, default: str = CURRENT_VERSION) -> str:
+    """Version from filename; falls back to CURRENT like the reference
+    (SSTableRecordReader.java:99-104 swallows parse failures)."""
+    try:
+        return parse_filename(path).version
+    except ValueError:
+        return default
