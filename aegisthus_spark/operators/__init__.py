@@ -1,0 +1,7 @@
+"""Large-scale training-data pipeline operators (beyond the reference's own
+surface): deduplication, similarity search, text analysis, multimodal
+plumbing. All hot paths are JVM expressions (no Python UDFs); hashes are
+md5-derived so a DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from . import dedup, similarity, text  # noqa: F401

@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact dedup is a single hash-aggregate on a 128-bit digest (no shuffle of
+  the full text; Catalyst prunes to the digest column).
+- MinHash: one explode + one groupBy(doc) with K min-aggregates (map-side
+  partial min); LSH banding turns the O(n^2) pair space into an equi-join
+  on band keys — the only shuffle that matters is on band key, whose
+  cardinality grows with corpus size, keeping partitions balanced.
+- SimHash: explode tokens x 32 bit positions stays JVM-side; the bit
+  majority is a conditional sum aggregate.
+- n-gram Jaccard (brute verify) is reserved for candidate pairs, never the
+  full cross product.
+- embedding near-dup blocks by a coarse key (label / IVF cell) before the
+  pair join; the dot product is a zip_with/aggregate expression compiled
+  into codegen, not a UDF.
+
+All hash functions are md5-prefix based (deterministic, engine-agnostic):
+h32(s) = int(md5(s)[:8], 16). MinHash permutations h_i(x) = (a_i*x + b_i)
+mod P with P = 4294967291 (largest 32-bit prime) and fixed a_i/b_i.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16
+LSH_ROWS_PER_BAND = 4
+MINHASH_P = 4294967291
+
+# deterministic permutation constants (embedded literally in oracle SQL too)
+MINHASH_A = [((2654435761 * (i + 1)) % (1 << 29)) | 1 for i in range(MINHASH_K)]
+MINHASH_B = [(40503 * (i + 1) * 2654435761) % (1 << 29) for i in range(MINHASH_K)]
+
+#: Spark SQL expression: deterministic 32-bit token hash
+H32 = "cast(conv(substring(md5({col}), 1, 8), 16, 10) as bigint)"
+
+
+def exact_dedup_map(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, canonical_id, text_hash): canonical = min id per identical text."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    canon = hashed.groupBy("text_hash").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "text_hash")
+        .select(id_col, "canonical_id", "text_hash")
+        .orderBy(id_col)
+    )
+
+
+def word_shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document (whitespace tokens)."""
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # guard: Spark's sequence(0, k) runs DESCENDING for k < 0 (short docs),
+    # so emit no shingles when the doc has fewer than n tokens — matching
+    # DuckDB's empty range() and dropping sub-shingle docs in both engines
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"if(size(t) >= {n}, "
+                f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))), "
+                "array())"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(shingles: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh_0..mh_{K-1}): MinHash signature from distinct shingles."""
+    h = F.expr(H32.format(col="shingle"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Candidate (a, b) pairs sharing at least one LSH band key."""
+    n_bands = MINHASH_K // LSH_ROWS_PER_BAND
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh_{b * LSH_ROWS_PER_BAND + r}").cast("string")
+                          for r in range(LSH_ROWS_PER_BAND)],
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """True Jaccard similarity for given (a, b) pairs from the shingle sets."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
+    sb = shingles.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
+    common = (
+        pairs.join(sa, "a").join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a").join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with true Jaccard >= threshold."""
+    sh = word_shingles(docs, n=n)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    jac = jaccard_of_pairs(sh, cand)
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) -> DataFrame:
+    """Brute-force ground truth: all pairs sharing a shingle, Jaccard >= t."""
+    sh = word_shingles(docs, n=n)
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s"))
+    pairs = sa.join(sb, "s").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return jaccard_of_pairs(sh, pairs).filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
+def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): bit-majority fingerprint over token hashes."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.expr(H32.format(col="tok")))
+    bit = toks.select(
+        id_col, F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"), "h"
+    ).withColumn(
+        "contrib", F.expr("CASE WHEN (h >> cast(j as int)) & 1 = 1 THEN 1 ELSE -1 END")
+    )
+    votes = bit.groupBy(id_col, "j").agg(F.sum("contrib").alias("v"))
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), cast(j as int)) ELSE cast(0 as bigint) END")
+            ).alias("simhash")
+        )
+        .orderBy(id_col)
+    )
+
+
+def _dot_decimal(a: str, b: str) -> str:
+    """SQL expr: exact-deterministic dot product of two float arrays —
+    per-element double product rounded into DECIMAL(27,15) (identical in any
+    engine), decimal-summed (order-independent), returned as double."""
+    return (
+        f"cast(aggregate(zip_with({a}, {b}, (x, y) -> "
+        "cast(cast(x as double) * cast(y as double) as decimal(27,15))), "
+        "cast(0 as decimal(27,15)), (acc, v) -> cast(acc + v as decimal(27,15))) as double)"
+    )
+
+
+def embedding_nn_in_block(
+    emb: DataFrame, *, block_col: str = "label", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per vector: nearest neighbor within its block by cosine similarity.
+
+    The block join bounds the pair space (IVF-style); cosine is computed
+    with the exact decimal dot so results are engine-reproducible.
+    """
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "blk").filter(F.col("a") != F.col("b"))
+    cos = pairs.withColumn(
+        "cos",
+        F.round(
+            F.expr(_dot_decimal("va", "vb"))
+            / (
+                F.sqrt(F.expr(_dot_decimal("va", "va")))
+                * F.sqrt(F.expr(_dot_decimal("vb", "vb")))
+            ),
+            6,
+        ),
+    )
+    best = cos.groupBy("a").agg(
+        F.max_by(
+            F.struct(F.col("b").alias("nn_id"), F.col("cos").alias("nn_cos")),
+            F.struct(F.col("cos").alias("c"), (-F.col("b")).alias("tb")),
+        ).alias("nn")
+    )
+    return best.select(
+        F.col("a").alias("vec_id"), F.col("nn.nn_id").alias("nn_id"), F.col("nn.nn_cos").alias("nn_cos")
+    ).orderBy("vec_id")

@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery here is real and tested — schema, partition-aware
+batch processing via mapInPandas, Arrow batch shapes, metadata extraction.
+The actual codec step is STUBBED (`decode_backend='fake'` is deterministic;
+`'real'` raises NotImplementedError) because no image/audio libraries exist
+in this environment; swap `_decode_real` for PIL/av calls on a real
+cluster.
+
+Scale notes: payloads stay opaque binary through the plan (never collected,
+never stringified); per-batch decode amortizes Python overhead across Arrow
+batches; feature extraction returns fixed-width vectors so downstream
+similarity ops reuse the embedding operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),  # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURE_DIM = 16
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents corpus (test
+    stand-in for a real binary ingest): payload = utf8 text bytes, metadata
+    from the payload digest."""
+    h = F.md5("text")
+    mtype = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mtype.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 1920 + 1).alias("width"),
+            (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 1080 + 1).alias("height"),
+            (F.conv(F.substring(h, 9, 4), 16, 10).cast("int") * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_fake(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature vector from the payload digest."""
+    d = hashlib.md5(payload).digest()
+    return [d[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def _decode_real(payload: bytes, media_type: str) -> list[float]:
+    raise NotImplementedError(
+        "real media decode needs an image/audio backend (PIL/av); "
+        "not available in this environment — use decode_backend='fake'"
+    )
+
+
+def extract_features(media: DataFrame, *, decode_backend: str = "fake") -> DataFrame:
+    """media -> (media_id, media_type, feature: array<float>).
+
+    Runs the codec in Arrow-batched Python (the one place Python is
+    unavoidable), preserving input partitioning — no shuffle.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "fake":
+                feats = [_decode_fake(bytes(p)) for p in pdf["payload"]]
+            else:
+                feats = [_decode_real(bytes(p), t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
+    pure relational expansion (explode of a sequence), decode deferred to
+    extract_features on the sliced payloads."""
+    vids = media.filter(F.col("media_type") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata rollup — proves metadata stays queryable while the
+    payload remains opaque."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+            F.max("meta.duration_ms").alias("max_duration_ms"),
+        )
+        .orderBy("media_type")
+    )

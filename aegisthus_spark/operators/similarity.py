@@ -1,0 +1,107 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force scan — the exact baseline. One pass, no
+  shuffle (global top-k via takeOrdered-style sort+limit; at scale Spark
+  runs partial top-k per partition before the single-reducer merge).
+- ``cosine_topk_ivf``: IVF-style two-stage search — route the query to the
+  nearest coarse cells (here: per-label centroids; on a real corpus,
+  k-means cells), scan only those cells. The centroid table is tiny and
+  broadcast; the cell filter prunes the scan by the cell/partition column,
+  which at 100 TB maps onto partition pruning of a cell-partitioned table.
+
+Dot products use the exact-decimal formulation from dedup._dot_decimal so a
+DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _dot_decimal
+
+
+def _query_lit(query_vec: list[float]) -> str:
+    vals = ",".join(f"cast({float(v)!r} as float)" for v in query_vec)
+    return f"array({vals})"
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity (rounded to 6 for determinism)."""
+    q = _query_lit(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        F.round(
+            F.expr(_dot_decimal(vec_col, q))
+            / (F.sqrt(F.expr(_dot_decimal(vec_col, vec_col))) * F.sqrt(F.expr(_dot_decimal(q, q)))),
+            6,
+        ).alias("cos"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("cos"), id_col).limit(k)
+
+
+def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid: element-wise mean as exact decimal sums / count.
+
+    Kept order-independent (decimal sums per dimension) so any engine — and
+    any partitioning — produces identical centroids.
+    """
+    dim = emb.select(F.posexplode(vec_col).alias("i", "x"), F.col(label_col))
+    return (
+        dim.groupBy(label_col, "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select(label_col, F.expr("transform(ic, s -> s.c)").alias("centroid"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    probes: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Two-stage ANN: pick `probes` nearest label centroids, then exact
+    search within those labels only."""
+    q = _query_lit(query_vec)
+    cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    routed = (
+        cents.select(
+            label_col,
+            F.round(
+                F.expr(_dot_decimal("centroid", q))
+                / (
+                    F.sqrt(F.expr(_dot_decimal("centroid", "centroid")))
+                    * F.sqrt(F.expr(_dot_decimal(q, q)))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), label_col)
+        .limit(probes)
+    )
+    pruned = emb.join(F.broadcast(routed.select(label_col)), label_col)
+    return cosine_topk(
+        pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
+    )

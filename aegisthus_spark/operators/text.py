@@ -1,0 +1,94 @@
+"""Text analysis operators: token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything is integer-derived or exact-decimal arithmetic so results are
+engine-reproducible; tokenization is single-space split (matching the
+corpus) — swap the splitter expression for a BPE-ish regex on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import H32
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+FP_B = 1000003
+FP_P = 2147483647
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus statistics from whitespace tokens."""
+    t = docs.select("lang", F.split("text", " ").alias("toks"), "n_chars")
+    per_doc = t.select(
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        "n_chars",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Per-document quality score: length + lexical-diversity mix."""
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_uniq",
+        (F.col("n_uniq").cast("double") / F.col("n_tokens")).alias("uniq_ratio"),
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + (F.col("n_uniq").cast("double") / F.col("n_tokens")) * 0.5
+        ).alias("quality"),
+    )
+    return scored.withColumn("is_low_quality", F.col("quality") < 0.5).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language heuristic vs. the labeled lang column."""
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    scored = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.expr(f"size(filter(toks, x -> array_contains({stop_arr}, x)))").alias("n_stop"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+    )
+    return scored.withColumn(
+        "pred_lang", F.when(F.col("stop_ratio") >= 0.08, "en").otherwise("other")
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over token hashes: order-sensitive document
+    fingerprint (fp = fold (acc*B + h32(tok) mod P))."""
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    h = H32.format(col="x")
+    return t.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(toks, cast(0 as bigint), (acc, x) -> (acc * {FP_B} + ({h} % {FP_P})) % {FP_P})"
+        ).alias("fp"),
+    ).orderBy("doc_id")

@@ -673,3 +673,261 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / fingerprint)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as _dd  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import text as _tx  # noqa: E402
+
+_H32_SQL = "CAST(CONCAT('0x', SUBSTR(md5({col}), 1, 8)) AS BIGINT)"
+_A_LIT = "[" + ",".join(str(a) for a in _dd.MINHASH_A) + "]"
+_B_LIT = "[" + ",".join(str(b) for b in _dd.MINHASH_B) + "]"
+
+_SHINGLES_CTE = """
+sh AS (SELECT DISTINCT doc_id,
+              unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+_JACCARD_TAIL = """
+n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b)
+SELECT common.a, common.b,
+       CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+FROM common JOIN n na ON na.doc_id = common.a
+            JOIN n nb ON nb.doc_id = common.b
+WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.1
+ORDER BY common.a, common.b
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+         c AS (SELECT text_hash, MIN(doc_id) AS canonical_id FROM h GROUP BY text_hash)
+    SELECT h.doc_id, c.canonical_id, h.text_hash
+    FROM h JOIN c USING (text_hash) ORDER BY h.doc_id
+    """,
+    doc="exact dedup: md5 groups -> canonical id map",
+)
+def dedup_exact(spark, sf_dir):
+    return _dd.exact_dedup_map(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    hh AS (SELECT doc_id, {_H32_SQL.format(col='shingle')} AS h FROM sh),
+    mh AS (SELECT doc_id, i,
+                  MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
+           FROM hh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
+           GROUP BY doc_id, i),
+    bands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
+                     string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+              FROM mh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    {_JACCARD_TAIL}
+    """,
+    doc="MinHash(16)+LSH(4x4) candidate pairs verified by true Jaccard >= 0.1",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return _dd.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+    {_JACCARD_TAIL}
+    """,
+    doc="brute-force 3-gram Jaccard ground truth (pairs >= 0.1)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return _dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hh AS (SELECT doc_id, {_H32_SQL.format(col='tok')} AS h FROM tk),
+    bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM hh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="32-bit SimHash bit-majority fingerprint per document",
+)
+def dedup_simhash(spark, sf_dir):
+    return _dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+_DOT_SQL = (
+    "(SELECT CAST(SUM(CAST(x * y AS DECIMAL(27,15))) AS DOUBLE) "
+    " FROM (SELECT CAST(unnest({a}) AS DOUBLE) AS x, CAST(unnest({b}) AS DOUBLE) AS y))"
+)
+
+
+@register(
+    "dedup_embedding_nn",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn FROM pairs)
+    SELECT a AS vec_id, b AS nn_id, cos AS nn_cos FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="embedding near-dup: nearest neighbor within label block by cosine",
+)
+def dedup_embedding_nn(spark, sf_dir):
+    return _dd.embedding_nn_in_block(_t(spark, sf_dir, "embeddings"))
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-10 for the vec_id=0 query vector",
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(emb, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+@register(
+    "sim_cosine_ivf",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+             FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS c
+             FROM dims GROUP BY label, i),
+    centv AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+    routed AS (
+      SELECT label,
+             round({_DOT_SQL.format(a='centv.centroid', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='centv.centroid', b='centv.centroid')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS ccos
+      FROM centv, q ORDER BY ccos DESC, label LIMIT 3)
+    SELECT e.vec_id,
+           round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM embeddings e JOIN routed USING (label), q
+    WHERE e.vec_id <> 0
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="IVF-style ANN: route to 3 nearest label centroids, search within",
+)
+def sim_cosine_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk_ivf(emb, _query_vec(spark, sf_dir), k=10, probes=3, exclude_id=0)
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           SUM(n_chars) AS total_chars,
+           MAX(len(string_split(text, ' '))) AS max_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="per-language token statistics",
+)
+def text_token_stats(spark, sf_dir):
+    return _tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_uniq FROM t)
+    SELECT doc_id, lang, n_tokens, n_uniq,
+           CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5 AS quality,
+           (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5) < 0.5 AS is_low_quality
+    FROM s ORDER BY doc_id
+    """,
+    doc="per-document quality score (length + lexical diversity)",
+)
+def text_quality(spark, sf_dir):
+    return _tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, x -> list_contains(
+                    ['the','a','of','and','to','in','is','it','on','for'], x))) AS DOUBLE)
+                   / len(toks) AS stop_ratio
+          FROM t)
+    SELECT doc_id, lang, stop_ratio,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+    FROM s ORDER BY doc_id
+    """,
+    doc="stopword-ratio language-ID heuristic",
+)
+def text_langid(spark, sf_dir):
+    return _tx.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 x -> {_H32_SQL.format(col='x')} % {_tx.FP_P})),
+             (a, b) -> (a * {_tx.FP_B} + b) % {_tx.FP_P}) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="rolling polynomial hash document fingerprint",
+)
+def doc_fingerprint(spark, sf_dir):
+    return _tx.fingerprint(_t(spark, sf_dir, "documents"))

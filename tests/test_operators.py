@@ -1,0 +1,120 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+
+Cross-engine value equality is covered by tools/check_oracle.py (driver
+gate); these tests pin semantic properties and the multimodal plumbing
+(which has no SQL oracle).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_identity_without_dups(docs):
+    from aegisthus_spark.operators.dedup import exact_dedup_map
+
+    out = exact_dedup_map(docs)
+    # corpus has no exact dups -> map is the identity
+    assert out.filter(F.col("doc_id") != F.col("canonical_id")).count() == 0
+    assert out.count() == docs.count()
+
+    # synthesize a dup and check it collapses to the smaller id
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    out2 = exact_dedup_map(docs.unionByName(dup))
+    collapsed = out2.filter(F.col("doc_id") != F.col("canonical_id")).collect()
+    assert len(collapsed) == 1 and collapsed[0].doc_id >= 100000
+
+
+def test_minhash_lsh_is_subset_of_truth(docs):
+    from aegisthus_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+
+    lsh = {(r.a, r.b) for r in minhash_lsh_dedup(docs, threshold=0.1).collect()}
+    truth = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert lsh <= truth
+    # recall on this corpus should be high for >=0.5 similarity pairs
+    strong = {(r.a, r.b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert strong <= lsh or not strong
+
+
+def test_simhash_close_for_near_dups(docs):
+    from aegisthus_spark.operators.dedup import minhash_lsh_dedup, simhash
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    strong = [(r.a, r.b) for r in minhash_lsh_dedup(docs, threshold=0.8).collect()]
+    for a, b in strong:
+        hamming = bin(sh[a] ^ sh[b]).count("1")
+        assert hamming <= 10, f"near-dup pair ({a},{b}) has hamming {hamming}"
+
+
+def test_cosine_topk_self_is_top1(emb):
+    from aegisthus_spark.operators.similarity import cosine_topk
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = cosine_topk(emb, q, k=1).collect()
+    assert top[0].vec_id == 0 and top[0].cos == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ivf_matches_brute_force_when_probing_all(emb):
+    from aegisthus_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    brute = [(r.vec_id, r.cos) for r in cosine_topk(emb, q, k=5, exclude_id=0).collect()]
+    ivf_all = [
+        (r.vec_id, r.cos)
+        for r in cosine_topk_ivf(emb, q, k=5, probes=100, exclude_id=0).collect()
+    ]
+    assert brute == ivf_all
+
+
+def test_multimodal_pipeline(spark, docs):
+    from aegisthus_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_fake_media,
+        extract_features,
+        frame_sample_plan,
+        media_stats,
+    )
+
+    media = attach_fake_media(docs)
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+
+    feats = extract_features(media, decode_backend="fake")
+    row = feats.first()
+    assert len(row.feature) == FEATURE_DIM
+    assert feats.count() == docs.count()
+    # deterministic: same payload -> same features
+    again = extract_features(media, decode_backend="fake")
+    assert feats.orderBy("media_id").collect() == again.orderBy("media_id").collect()
+
+    # real backend is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode_backend="real").first()
+
+    plan = frame_sample_plan(media, every_ms=10000)
+    one = plan.groupBy("media_id").count().first()
+    assert one["count"] >= 1
+
+    stats = media_stats(media).collect()
+    assert {r.media_type for r in stats} == {"image", "audio", "video"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    from aegisthus_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fps[1] == fps[3] != fps[2]
