@@ -11,3 +11,4 @@ from .descriptor import Descriptor, parse_filename  # noqa: F401
 from .decoder import scan_data_file, scan_file  # noqa: F401
 from .index import scan_index_offsets  # noqa: F401
 from .compression import CompressionInfo, open_compressed  # noqa: F401
+from .writer import serialize_row, sstable_filename, write_sstable  # noqa: F401
