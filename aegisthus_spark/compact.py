@@ -77,7 +77,13 @@ def compact(
     key alone, mirroring the reference's grouping comparator when source
     tracing is on (AegisthusKeyGroupingComparator.java:6-18).
     """
-    sort_key = name_sort_key if name_sort_key is not None else F.col("cell_name")
+    if name_sort_key is not None:
+        # materialize as a projection first: custom sort keys may be Python
+        # UDFs, which cannot be evaluated inside aggregate expressions
+        cells = cells.withColumn("_name_sk", name_sort_key)
+        sort_key = F.col("_name_sk")
+    else:
+        sort_key = F.col("cell_name")
 
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"

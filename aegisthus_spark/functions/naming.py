@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Java ``[\s\p{Cntrl}]`` — whitespace or control characters
-_CNTRL_OR_SPACE = "[\\s\\x00-\\x1f\\x7f-\\x9f]"
+#: Java ``[\s\p{Cntrl}]`` — whitespace or ASCII control characters
+_CNTRL_OR_SPACE = "[\\s\\x00-\\x1f\\x7f]"
 
 
 def legacy_column_name_format(col: str | Column) -> Column:

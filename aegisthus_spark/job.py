@@ -29,10 +29,21 @@ def compact_snapshot(
     key_type: str = "BytesType",
     column_type: str = "BytesType",
     column_value_type: str = "BytesType",
+    sort_columns_by_name: bool = False,
+    legacy_column_name_formatting: bool = False,
+    trace_source: bool = False,
+    blocksize: int | None = None,
 ) -> DataFrame:
     """inputs -> compacted rows DataFrame (sorted within partitions by key,
-    mirroring the reference's per-reducer output order, SURVEY O5)."""
-    cells = read_sstable_cells(spark, inputs, skip_corrupt=skip_corrupt)
+    mirroring the reference's per-reducer output order, SURVEY O5).
+
+    ``trace_source`` groups by (key, source file) instead of key — rows from
+    different files are NOT combined, for debugging (CONF_TRACE_DATA_FROM_SOURCE).
+    ``sort_columns_by_name`` re-sorts output columns by stringified name (O4).
+    ``blocksize`` overrides the target split size (CONF_BLOCKSIZE).
+    """
+    src_kw = {"target_bytes": blocksize} if blocksize else {}
+    cells = read_sstable_cells(spark, inputs, skip_corrupt=skip_corrupt, **src_kw)
     name_sort_key = None
     if column_type not in ("BytesType", "UTF8Type", "AsciiType"):
         from . import types as aegtypes
@@ -44,7 +55,18 @@ def compact_snapshot(
             return comp.sort_key(bytes(b)) if b is not None else None
 
         name_sort_key = sort_key(F.col("cell_name"))
-    rows = compact(cells, max_row_size=max_row_size, name_sort_key=name_sort_key)
+    rows = compact(
+        cells,
+        max_row_size=max_row_size,
+        name_sort_key=name_sort_key,
+        group_by_source=trace_source,
+    )
+    if sort_columns_by_name:
+        from .output import sort_columns_by_display_name
+
+        rows = sort_columns_by_display_name(
+            rows, name_type=column_type, legacy_formatting=legacy_column_name_formatting
+        )
     # compact() leaves data hash-partitioned by partition_key; an in-partition
     # sort adds no shuffle and reproduces the reference's output ordering
     return rows.sortWithinPartitions("partition_key")
@@ -58,6 +80,8 @@ def write_snapshot_json(
     column_type: str = "BytesType",
     column_value_type: str = "BytesType",
     max_col_size: int | None = None,
+    trace_source: bool = False,
+    legacy_column_name_formatting: bool = False,
 ) -> int:
     """Write aeg-JSON text files; returns rows written (reference counter
     ``rows_written``, via the Observation API instead of Hadoop counters)."""
@@ -68,21 +92,40 @@ def write_snapshot_json(
         name_type=column_type,
         value_type=column_value_type,
         max_col_size=max_col_size,
+        trace_source=trace_source,
+        legacy_formatting=legacy_column_name_formatting,
     )
     lines.write.mode("overwrite").text(output)
     return int(obs.get["n"])
 
 
 def main(argv: list[str] | None = None):
+    """CLI with the reference's full option surface (Aegisthus.Feature):
+    -input/-inputDir/-output/-produceSSTable/-sstable_output_version plus the
+    aegisthus.* configs as flags. ``--combine-splits`` is accepted for
+    compatibility; small-file packing is always on in the Spark source."""
     ap = argparse.ArgumentParser(description="Aegisthus compaction snapshot on Spark")
     ap.add_argument("--input", action="append", default=[], help="SSTable file (repeatable)")
     ap.add_argument("--input-dir", action="append", default=[], help="directory to walk (repeatable)")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--produce-sstable", action="store_true",
+                    help="write SSTable Data.db output instead of aeg-JSON")
+    ap.add_argument("--sstable-output-version", default="jb")
+    ap.add_argument("--dataset", default="keyspace-dataset",
+                    help="output sstable filename prefix (aegisthus.dataset)")
+    ap.add_argument("--combine-splits", action="store_true",
+                    help="accepted for parity; Spark source always bin-packs small files")
+    ap.add_argument("--blocksize", type=int, default=None,
+                    help="target split size in bytes (aegisthus.blocksize)")
     ap.add_argument("--max-corrupt-files-to-skip", type=int, default=0)
     ap.add_argument("--maxcolsize", type=int, default=None)
     ap.add_argument("--key-type", default="BytesType")
     ap.add_argument("--column-type", default="BytesType")
     ap.add_argument("--column-value-type", default="BytesType")
+    ap.add_argument("--sort-columns-by-name", action="store_true")
+    ap.add_argument("--legacy-column-name-formatting", action="store_true")
+    ap.add_argument("--trace-source", action="store_true",
+                    help="keep rows per source file and output the filename (aegisthus.trace_source)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -96,7 +139,19 @@ def main(argv: list[str] | None = None):
         key_type=args.key_type,
         column_type=args.column_type,
         column_value_type=args.column_value_type,
+        sort_columns_by_name=args.sort_columns_by_name,
+        legacy_column_name_formatting=args.legacy_column_name_formatting,
+        trace_source=args.trace_source,
+        blocksize=args.blocksize,
     )
+    if args.produce_sstable:
+        from .sstable import write_sstable
+
+        written = write_sstable(
+            rows, args.output, version=args.sstable_output_version, dataset=args.dataset
+        )
+        print(f"sstables_written={len(written)}")
+        return
     n = write_snapshot_json(
         rows,
         args.output,
@@ -104,6 +159,8 @@ def main(argv: list[str] | None = None):
         column_type=args.column_type,
         column_value_type=args.column_value_type,
         max_col_size=args.maxcolsize,
+        trace_source=args.trace_source,
+        legacy_column_name_formatting=args.legacy_column_name_formatting,
     )
     print(f"rows_written={n}")
 

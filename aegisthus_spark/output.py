@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 from . import types as aegtypes
 
 
+def legacy_column_name_format(name: str) -> str:
+    """Python twin of functions.naming.legacy_column_name_format
+    (AegisthusKeySortingComparator.java:30-32)."""
+    import re
+
+    return (
+        re.sub(r"[\s\x00-\x1f\x7f]", " ", name).replace("\\", "\\\\").replace('"', '\\"')
+    )
+
+
 def render_row_json(
     key: bytes,
     deleted_at: int,
@@ -31,6 +41,7 @@ def render_row_json(
     name_conv=None,
     value_conv=None,
     max_col_size: int | None = None,
+    legacy_formatting: bool = False,
 ) -> str:
     """One compacted row -> one aeg-JSON line (without trailing newline)."""
     bytes_conv = aegtypes.get("BytesType")
@@ -46,7 +57,10 @@ def render_row_json(
             cols_out = [["error", f"row too large: {total:,d} bytes - limit {max_col_size:,d} bytes", 0]]
             columns = []
     for c in columns:
-        entry = [name_conv.render(c["name"]), value_conv.render(c["value"]), c["ts"]]
+        name_str = name_conv.render(c["name"])
+        if legacy_formatting:
+            name_str = legacy_column_name_format(name_str)
+        entry = [name_str, value_conv.render(c["value"]), c["ts"]]
         kind = c.get("kind", "c")
         if kind == "d":
             entry.append("d")
@@ -66,6 +80,49 @@ def render_row_json(
 _RENDER_SCHEMA = "string"
 
 
+def sort_columns_by_display_name(
+    rows: DataFrame, *, name_type: str = "BytesType", legacy_formatting: bool = False
+) -> DataFrame:
+    """O4 ``sort_columns_by_name``: re-sort each row's columns by the
+    *stringified* column name (optionally legacy-escaped before compare),
+    reproducing AegisthusKeySortingComparator.java:36-55. Applied after
+    compact() so range-tombstone coverage still uses comparator order
+    (the reference's reducer/output split does the same)."""
+    from .functions.naming import _CNTRL_OR_SPACE  # same escape, SQL-side
+
+    if name_type in ("UTF8Type", "AsciiType"):
+        key = "cast(x.name as string)"
+    elif name_type == "BytesType":
+        key = "lower(hex(x.name))"
+    else:
+        # typed comparators stringify through their converter (UDF path —
+        # one call per row over the whole array, not per cell)
+        comp = aegtypes.get(name_type)
+        col_type = (
+            "array<struct<name binary, value binary, ts bigint, kind string, "
+            "ttl int, local_deletion_time int, ts_of_last_delete bigint>>"
+        )
+
+        @F.udf(col_type)
+        def _sorted_cols(columns):
+            def render(c):
+                s = comp.render(bytes(c["name"])) if c["name"] is not None else ""
+                return legacy_column_name_format(s) if legacy_formatting else s
+
+            return sorted(columns, key=render)
+
+        return rows.withColumn("columns", _sorted_cols("columns"))
+    if legacy_formatting:
+        key = (
+            f"replace(replace(regexp_replace({key}, '{_CNTRL_OR_SPACE}', ' '), "
+            "'\\\\', '\\\\\\\\'), '\"', '\\\\\"')"
+        )
+    resort = (
+        f"transform(sort_array(transform(columns, x -> struct({key} as k, x as c))), y -> y.c)"
+    )
+    return rows.withColumn("columns", F.expr(resort))
+
+
 def to_aeg_json(
     compacted: DataFrame,
     *,
@@ -73,13 +130,24 @@ def to_aeg_json(
     name_type: str = "BytesType",
     value_type: str = "BytesType",
     max_col_size: int | None = None,
+    trace_source: bool = False,
+    legacy_formatting: bool = False,
 ) -> DataFrame:
     """compacted rows -> single-column DataFrame of aeg-JSON lines.
 
     For the default BytesType converters everything stays in JVM expressions
     (hex + concat); non-default converters fall back to a Python UDF over
     the collected row (rare path: typed renders).
+
+    ``trace_source``: prepend the source path as a second tab field
+    (JsonOutputFormat.java:116-120; requires rows compacted with
+    ``group_by_source=True``). ``legacy_formatting`` applies the legacy
+    column-name escaping to rendered names (:152-155) — a no-op for hex
+    (BytesType) renders.
     """
+    trace = (
+        [F.col("source_path"), F.lit("\t")] if trace_source else []
+    )
     if (key_type, name_type, value_type) == ("BytesType", "BytesType", "BytesType"):
         key_str = F.lower(F.hex(F.col("partition_key")))
         # per-column JSON array: ["name","value",ts(,flags...)]
@@ -93,7 +161,9 @@ def to_aeg_json(
         )
         line = F.concat(
             key_str,
-            F.lit('\t{"'),
+            F.lit("\t"),
+            *trace,
+            F.lit('{"'),
             key_str,
             F.lit('":{"deletedAt":'),
             F.col("deleted_at").cast("string"),
@@ -104,6 +174,7 @@ def to_aeg_json(
         return compacted.select(line.alias("value"))
 
     kc, nc, vc = (aegtypes.get(t) for t in (key_type, name_type, value_type))
+    legacy = legacy_formatting
 
     @F.udf(_RENDER_SCHEMA)
     def render(key, deleted_at, columns):
@@ -121,10 +192,20 @@ def to_aeg_json(
         ]
         return render_row_json(
             bytes(key), deleted_at, cols, key_conv=kc, name_conv=nc, value_conv=vc,
-            max_col_size=max_col_size,
+            max_col_size=max_col_size, legacy_formatting=legacy,
         )
 
-    return compacted.select(render("partition_key", "deleted_at", "columns").alias("value"))
+    rendered = render("partition_key", "deleted_at", "columns")
+    if trace_source:
+        # key\t<source>\t{json...}: splice the source path into the line
+        rendered = F.concat(
+            F.substring_index(rendered, "\t", 1),
+            F.lit("\t"),
+            F.col("source_path"),
+            F.lit("\t"),
+            F.substring_index(rendered, "\t", -1),
+        )
+    return compacted.select(rendered.alias("value"))
 
 
 def parse_aeg_json_line(line: str) -> dict:

@@ -1,0 +1,11 @@
+"""Physical-plan introspection and scale guards."""
+
+from .introspect import (  # noqa: F401
+    count_exchanges,
+    join_strategies,
+    physical_plan,
+    pushed_filters,
+    read_schema,
+    scan_report,
+    wholestage_codegen_ids,
+)

@@ -1,0 +1,97 @@
+"""Scale guards: assert the physical-plan properties that must survive a
+100x-1000x scale-up. A regression here (lost pushdown, broadcast turning
+into a fact-table shuffle, extra Exchange) fails CI instead of melting a
+cluster at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    # cached tables (from other test modules) would serve scans from memory
+    # with the full schema, hiding the pruning these tests assert
+    spark.catalog.clearCache()
+    yield
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark, queries):
+    from aegisthus_spark.plans import join_strategies, pushed_filters, read_schema
+
+    df = queries["q3_shipping_priority"](spark, SF_DIR)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") == 2, joins  # no fact-table shuffle join
+    pushed = pushed_filters(df)
+    li = next(v for k, v in pushed.items() if "lineitem" in k)
+    assert "l_shipdate" in li  # predicate reaches the parquet scan
+    cu = next(v for k, v in pushed.items() if "customer" in k)
+    assert "EqualTo(c_mktsegment,BUILDING)" in cu
+    schemas = read_schema(df)
+    li_cols = next(v for k, v in schemas.items() if "lineitem" in k)
+    # lineitem is the 100 TB table: only the 4 needed columns may be read
+    assert li_cols.count(":") <= 4, li_cols
+
+
+def test_q1_single_shuffle_partial_agg(spark, queries):
+    from aegisthus_spark.plans import count_exchanges, physical_plan
+
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    # partial (map-side) agg + one hash exchange + final agg
+    assert count_exchanges(df) <= 2  # agg exchange + orderBy range exchange
+    assert "partial" in physical_plan(df, "simple").lower()
+
+
+def test_q6_reads_only_needed_columns(spark, queries):
+    from aegisthus_spark.plans import pushed_filters, read_schema
+
+    df = queries["q6_revenue_forecast"](spark, SF_DIR)
+    pushed = next(v for k, v in pushed_filters(df).items() if "lineitem" in k)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    cols = next(v for k, v in read_schema(df).items() if "lineitem" in k)
+    assert cols.count(":") <= 4, cols
+
+
+def test_compact_is_single_shuffle(spark):
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.plans import count_exchanges
+    from tests.conftest import CELLS_SCHEMA
+
+    cells = spark.createDataFrame([], CELLS_SCHEMA)
+    assert count_exchanges(compact(cells)) == 1
+
+
+def test_q5_no_cartesian_or_nested_loop(spark, queries):
+    from aegisthus_spark.plans import join_strategies
+
+    joins = join_strategies(queries["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "CartesianProduct" not in joins
+    assert "BroadcastNestedLoopJoin" not in joins
+    assert "BroadcastHashJoin" in joins  # small dims broadcast
+
+
+def test_dedup_exact_prunes_to_two_columns(spark, queries):
+    from aegisthus_spark.plans import read_schema
+
+    df = queries["dedup_exact"](spark, SF_DIR)
+    cols = next(v for k, v in read_schema(df).items() if "documents" in k)
+    assert cols.count(":") <= 2, cols  # doc_id + text only
+
+
+def test_queries_stay_jvm_side(spark, queries):
+    """No Python UDF evaluation in any registered relational query plan
+    (multimodal stubs excepted by design — they are Pandas-UDF plumbing)."""
+    from aegisthus_spark.plans import physical_plan
+
+    for name, fn in queries.items():
+        plan = physical_plan(fn(spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a scalar pandas UDF"
