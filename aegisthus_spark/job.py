@@ -99,6 +99,36 @@ def write_snapshot_json(
     return int(obs.get["n"])
 
 
+def export_cql(
+    spark: SparkSession,
+    inputs: list[str],
+    ddl: str,
+    output: str,
+    *,
+    fmt: str = "auto",
+    skip_corrupt: bool = False,
+) -> str:
+    """SSTableExport analog (org/coursera/SSTableExport.java:142-190): CQL
+    rows from SSTables to Avro — run on *merged* cells, so multi-generation
+    inputs are fine (the reference's map-only job requires one compacted
+    generation). Falls back to parquet when the avro package isn't deployed;
+    returns the format used."""
+    from .compact import cleanse
+    from .cql import cql_rows
+
+    rows = cleanse(compact_snapshot(spark, inputs, skip_corrupt=skip_corrupt))
+    wide = cql_rows(rows, ddl)
+    if fmt in ("auto", "avro"):
+        try:
+            wide.write.mode("overwrite").format("avro").save(output)
+            return "avro"
+        except Exception:
+            if fmt == "avro":
+                raise
+    wide.write.mode("overwrite").parquet(output)
+    return "parquet"
+
+
 def main(argv: list[str] | None = None):
     """CLI with the reference's full option surface (Aegisthus.Feature):
     -input/-inputDir/-output/-produceSSTable/-sstable_output_version plus the
@@ -126,11 +156,23 @@ def main(argv: list[str] | None = None):
     ap.add_argument("--legacy-column-name-formatting", action="store_true")
     ap.add_argument("--trace-source", action="store_true",
                     help="keep rows per source file and output the filename (aegisthus.trace_source)")
+    ap.add_argument("--cql-schema", default=None,
+                    help="CREATE TABLE DDL: export typed CQL rows (aegisthus.cql_schema)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
 
     spark = get_spark("aegisthus-snapshot")
+    if args.cql_schema:
+        fmt = export_cql(
+            spark,
+            args.input + args.input_dir,
+            args.cql_schema,
+            args.output,
+            skip_corrupt=args.max_corrupt_files_to_skip > 0,
+        )
+        print(f"cql_rows_written format={fmt}")
+        return
     rows = compact_snapshot(
         spark,
         args.input + args.input_dir,
