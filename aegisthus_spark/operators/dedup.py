@@ -143,12 +143,35 @@ def minhash_lsh_dedup(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) ->
 
 
 def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) -> DataFrame:
-    """Brute-force ground truth: all pairs sharing a shingle, Jaccard >= t."""
+    """Brute-force ground truth: all pairs sharing a shingle, Jaccard >= t.
+
+    One shuffle on the shingle, one on the pair: common counts come straight
+    out of the self-join's groupBy (no candidate-set materialization and no
+    second shingle join). Still O(pairs) by nature — the LSH path is the
+    100 TB route; this is the verification baseline.
+    """
     sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s"))
-    pairs = sa.join(sb, "s").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-    return jaccard_of_pairs(sh, pairs).filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+    common = (
+        sa.join(sb, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a").join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("a", "b")
+    )
 
 
 def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
