@@ -80,10 +80,13 @@ def extract_features(media: DataFrame, *, decode_backend: str = "fake") -> DataF
     Runs the codec in Arrow-batched Python (the one place Python is
     unavoidable), preserving input partitioning — no shuffle.
     """
+    # doubles end-to-end: the fake codec's d/255 values survive exactly,
+    # keeping results bit-reproducible across engines (a float32 feature
+    # column would round-trip through ~6e-8 error and flip 6-dp rounding)
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

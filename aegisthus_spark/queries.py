@@ -931,3 +931,75 @@ def text_langid(spark, sf_dir):
 )
 def doc_fingerprint(spark, sf_dir):
     return _tx.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (opaque binary payloads + typed metadata; the fake
+# codec is md5-derived, so even the Arrow-batched mapInPandas feature
+# extraction is oracle-checkable)
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as _mm  # noqa: E402
+
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         text,
+         CAST(CONCAT('0x', SUBSTR(md5(text), 1, 4)) AS INT) % 1920 + 1 AS width,
+         CAST(CONCAT('0x', SUBSTR(md5(text), 5, 4)) AS INT) % 1080 + 1 AS height,
+         CAST(CONCAT('0x', SUBSTR(md5(text), 9, 4)) AS INT) * 10 AS duration_ms
+  FROM documents)
+"""
+
+
+@register(
+    "mm_media_stats",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_type, COUNT(*) AS n, SUM(strlen(text)) AS total_bytes,
+           MAX(width) AS max_width, MAX(duration_ms) AS max_duration_ms
+    FROM media GROUP BY media_type ORDER BY media_type
+    """,
+    doc="typed-metadata rollup over opaque binary media columns",
+)
+def mm_media_stats(spark, sf_dir):
+    return _mm.media_stats(_mm.attach_fake_media(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_features",
+    f"""
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           array_to_string([CAST(round(CAST(CONCAT('0x', SUBSTR(md5(text), 2*i - 1, 2)) AS INT) / 255.0, 6) AS VARCHAR)
+            FOR i IN range(1, {_mm.FEATURE_DIM} + 1)], ',') AS feature
+    FROM documents ORDER BY media_id
+    """,
+    doc="Arrow-batched media feature extraction (mapInPandas codec plumbing)",
+)
+def mm_features(spark, sf_dir):
+    media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
+    feats = _mm.extract_features(media, decode_backend="fake")
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.expr(
+            "array_join(transform(feature, x -> cast(round(cast(x as double), 6) as string)), ',')"
+        ).alias("feature"),
+    ).orderBy("media_id")
+
+
+@register(
+    "mm_frame_plan",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, unnest(range(0, duration_ms + 1, 1000)) AS frame_ts_ms
+    FROM media WHERE media_type = 'video'
+    ORDER BY media_id, frame_ts_ms
+    """,
+    doc="video frame-sampling plan: relational expansion, decode deferred",
+)
+def mm_frame_plan(spark, sf_dir):
+    media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return _mm.frame_sample_plan(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
