@@ -147,11 +147,19 @@ def plan_partitions(
 
 
 def _decode_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode assigned splits into Arrow-sized batches."""
+    """mapInPandas worker: decode assigned splits into Arrow-sized batches.
+
+    Uncompressed splits take the mmap + tuple-yielding tight loop
+    (scan_data_buffer_rows); compressed files stream chunk-at-a-time through
+    the buffered decoder (whole-file splits, like the reference)."""
+    import mmap
+    import os
+
     from ..sstable.compression import open_compressed
-    from ..sstable.decoder import scan_data_file
+    from ..sstable.decoder import ROW_FIELDS, scan_data_buffer_rows, scan_data_file
 
     cols = [f.name for f in CELLS_SCHEMA.fields]
+    assert tuple(cols) == ROW_FIELDS
     buf: list[tuple] = []
     BATCH = 16384
 
@@ -163,24 +171,37 @@ def _decode_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 if task.compression_path:
                     f = open_compressed(task.path, task.compression_path)
-                else:
-                    f = open(task.path, "rb")
-                try:
-                    gen = scan_data_file(
-                        f,
-                        version=task.version,
-                        start=int(task.start),
-                        end=int(task.end),
-                        source_path=task.path,
-                        generation=int(task.generation),
-                    )
-                    for c in gen:
-                        buf.append(tuple(c[k] for k in cols))
-                        if len(buf) >= BATCH:
-                            yield flush()
-                            buf = []
-                finally:
-                    f.close()
+                    try:
+                        for c in scan_data_file(
+                            f,
+                            version=task.version,
+                            start=int(task.start),
+                            end=int(task.end),
+                            source_path=task.path,
+                            generation=int(task.generation),
+                        ):
+                            buf.append(tuple(c[k] for k in cols))
+                            if len(buf) >= BATCH:
+                                yield flush()
+                                buf = []
+                    finally:
+                        f.close()
+                elif os.path.getsize(task.path) > 0:
+                    with open(task.path, "rb") as fh, mmap.mmap(
+                        fh.fileno(), 0, access=mmap.ACCESS_READ
+                    ) as mm:
+                        for row in scan_data_buffer_rows(
+                            mm,
+                            version=task.version,
+                            start=int(task.start),
+                            end=int(task.end),
+                            source_path=task.path,
+                            generation=int(task.generation),
+                        ):
+                            buf.append(row)
+                            if len(buf) >= BATCH:
+                                yield flush()
+                                buf = []
             except Exception:
                 if not task.skip_corrupt:
                     raise

@@ -193,6 +193,241 @@ def scan_data_file(
                 r.skip(row_end - r.pos)
 
 
+def scan_data_buffer(
+    data,
+    *,
+    version: str = "jb",
+    start: int = 0,
+    end: int | None = None,
+    source_path: str = "",
+    generation: int = 0,
+) -> Iterator[dict]:
+    """Tight-loop decode of an in-memory Data.db byte range (same contract
+    as :func:`scan_data_file`).
+
+    This is the executor hot path for uncompressed inputs: the split's bytes
+    (bounded by the partition planner's target size) are read at once and
+    parsed with ``unpack_from`` on a memoryview — no per-field stream reads,
+    ~3x the streaming decoder's throughput. Compressed inputs use the
+    streaming path.
+    """
+    has_rs_cc = version < "ja"
+    buf = memoryview(data) if not isinstance(data, memoryview) else data
+    u16 = _U16.unpack_from
+    i32 = _I32.unpack_from
+    i64 = _I64.unpack_from
+    o = start
+    stop = end if end is not None else len(buf)
+    total = len(buf)
+
+    while o < stop:
+        if o + 2 > total:
+            return
+        (keysize,) = u16(buf, o)
+        o += 2
+        key = bytes(buf[o : o + keysize])
+        o += keysize
+
+        if has_rs_cc:
+            (row_size,) = i64(buf, o)
+            o += 8
+            row_end = o + row_size
+        (marked_for_delete_at,) = i64(buf, o + 4)  # skip i32 localDeletionTime
+        o += 12
+        if has_rs_cc:
+            (column_count,) = i32(buf, o)
+            o += 4
+            n = column_count
+        else:
+            n = 1 << 62
+
+        emitted = 0
+        for _ in range(n):
+            (name_len,) = u16(buf, o)
+            o += 2
+            if name_len == 0:
+                break
+            name = bytes(buf[o : o + name_len])
+            o += name_len
+            flags = buf[o]
+            o += 1
+            cell = {
+                "source_path": source_path,
+                "generation": generation,
+                "partition_key": key,
+                "row_deleted_at": marked_for_delete_at,
+                "kind": "c",
+                "cell_name": name,
+                "cell_name_max": None,
+                "value": None,
+                "ts": None,
+                "ttl": None,
+                "local_deletion_time": None,
+                "ts_of_last_delete": None,
+            }
+            if flags & RANGE_TOMBSTONE_MASK:
+                (max_len,) = u16(buf, o)
+                o += 2
+                cell["cell_name_max"] = bytes(buf[o : o + max_len])
+                o += max_len
+                cell["local_deletion_time"] = i32(buf, o)[0]
+                cell["ts"] = i64(buf, o + 4)[0]
+                o += 12
+                cell["kind"] = "t"
+            elif flags & COUNTER_MASK:
+                cell["ts_of_last_delete"] = i64(buf, o)[0]
+                cell["ts"] = i64(buf, o + 8)[0]
+                (vlen,) = i32(buf, o + 16)
+                o += 20
+                cell["value"] = bytes(buf[o : o + vlen])
+                o += vlen
+                cell["kind"] = "x"
+            elif flags & EXPIRATION_MASK:
+                cell["ttl"] = i32(buf, o)[0]
+                cell["local_deletion_time"] = i32(buf, o + 4)[0]
+                cell["ts"] = i64(buf, o + 8)[0]
+                (vlen,) = i32(buf, o + 16)
+                o += 20
+                cell["value"] = bytes(buf[o : o + vlen])
+                o += vlen
+                cell["kind"] = "e"
+            else:
+                cell["ts"] = i64(buf, o)[0]
+                (vlen,) = i32(buf, o + 8)
+                o += 12
+                value = bytes(buf[o : o + vlen])
+                o += vlen
+                cell["value"] = value
+                if flags & DELETION_MASK:
+                    cell["kind"] = "d"
+                    if vlen == 4:
+                        cell["local_deletion_time"] = _I32.unpack(value)[0]
+            emitted += 1
+            yield cell
+
+        if emitted == 0:
+            cell = _base_cell(source_path, generation, key, marked_for_delete_at)
+            cell["kind"] = "r"
+            cell["ts"] = LONG_MIN
+            yield cell
+
+        if has_rs_cc and o < row_end:
+            o = row_end
+
+
+#: field order of the tuples yielded by scan_data_buffer_rows — must match
+#: the canonical cells schema (compact.CELLS_COLUMNS / sources CELLS_SCHEMA)
+ROW_FIELDS = (
+    "source_path", "generation", "partition_key", "row_deleted_at", "kind",
+    "cell_name", "cell_name_max", "value", "ts", "ttl",
+    "local_deletion_time", "ts_of_last_delete",
+)
+
+
+def scan_data_buffer_rows(
+    data,
+    *,
+    version: str = "jb",
+    start: int = 0,
+    end: int | None = None,
+    source_path: str = "",
+    generation: int = 0,
+) -> Iterator[tuple]:
+    """Like :func:`scan_data_buffer` but yields ROW_FIELDS-ordered tuples —
+    the Spark source's hot path (skips per-cell dict construction, which is
+    ~40% of decode time; the source feeds tuples straight into Arrow
+    batches)."""
+    has_rs_cc = version < "ja"
+    buf = memoryview(data) if not isinstance(data, memoryview) else data
+    u16 = _U16.unpack_from
+    i32 = _I32.unpack_from
+    i64 = _I64.unpack_from
+    o = start
+    stop = end if end is not None else len(buf)
+    total = len(buf)
+
+    while o < stop:
+        if o + 2 > total:
+            return
+        (keysize,) = u16(buf, o)
+        o += 2
+        key = bytes(buf[o : o + keysize])
+        o += keysize
+        if has_rs_cc:
+            (row_size,) = i64(buf, o)
+            o += 8
+            row_end = o + row_size
+        (deleted_at,) = i64(buf, o + 4)
+        o += 12
+        if has_rs_cc:
+            (n,) = i32(buf, o)
+            o += 4
+        else:
+            n = 1 << 62
+
+        emitted = 0
+        for _ in range(n):
+            (name_len,) = u16(buf, o)
+            o += 2
+            if name_len == 0:
+                break
+            name = bytes(buf[o : o + name_len])
+            o += name_len
+            flags = buf[o]
+            o += 1
+            if flags & RANGE_TOMBSTONE_MASK:
+                (max_len,) = u16(buf, o)
+                o += 2
+                name_max = bytes(buf[o : o + max_len])
+                o += max_len
+                (ldt,) = i32(buf, o)
+                (ts,) = i64(buf, o + 4)
+                o += 12
+                row = (source_path, generation, key, deleted_at, "t",
+                       name, name_max, None, ts, None, ldt, None)
+            elif flags & COUNTER_MASK:
+                (tsd,) = i64(buf, o)
+                (ts,) = i64(buf, o + 8)
+                (vlen,) = i32(buf, o + 16)
+                o += 20
+                value = bytes(buf[o : o + vlen])
+                o += vlen
+                row = (source_path, generation, key, deleted_at, "x",
+                       name, None, value, ts, None, None, tsd)
+            elif flags & EXPIRATION_MASK:
+                (ttl,) = i32(buf, o)
+                (ldt,) = i32(buf, o + 4)
+                (ts,) = i64(buf, o + 8)
+                (vlen,) = i32(buf, o + 16)
+                o += 20
+                value = bytes(buf[o : o + vlen])
+                o += vlen
+                row = (source_path, generation, key, deleted_at, "e",
+                       name, None, value, ts, ttl, ldt, None)
+            else:
+                (ts,) = i64(buf, o)
+                (vlen,) = i32(buf, o + 8)
+                o += 12
+                value = bytes(buf[o : o + vlen])
+                o += vlen
+                if flags & DELETION_MASK:
+                    ldt = _I32.unpack(value)[0] if vlen == 4 else None
+                    row = (source_path, generation, key, deleted_at, "d",
+                           name, None, value, ts, None, ldt, None)
+                else:
+                    row = (source_path, generation, key, deleted_at, "c",
+                           name, None, value, ts, None, None, None)
+            emitted += 1
+            yield row
+
+        if emitted == 0:
+            yield (source_path, generation, key, deleted_at, "r",
+                   None, None, None, LONG_MIN, None, None, None)
+
+        if has_rs_cc and o < row_end:
+            o = row_end
+
+
 def scan_file(path: str, errors: str = "raise", on_corrupt=None, **kw) -> Iterator[dict]:
     """Decode a Data.db file on local disk (auto version + compression).
 
@@ -214,21 +449,41 @@ def scan_file(path: str, errors: str = "raise", on_corrupt=None, **kw) -> Iterat
         generation = 0
     comp_path = find_compression_sidecar(path)
     if comp_path is not None:
+        # compressed: stream chunk-at-a-time (whole-file split, like the
+        # reference — AegisthusInputFormat.java:131-135)
         f = open_compressed(path, comp_path)
-    else:
-        f = open(path, "rb")
-    try:
-        if errors == "skip":
+
+        def gen():
             try:
                 yield from scan_data_file(
                     f, version=version, source_path=path, generation=generation, **kw
                 )
-            except Exception as exc:  # corrupt input: contain, count, continue
-                if on_corrupt is not None:
-                    on_corrupt(path, exc)
-        else:
-            yield from scan_data_file(
-                f, version=version, source_path=path, generation=generation, **kw
-            )
-    finally:
-        f.close()
+            finally:
+                f.close()
+
+    else:
+        # uncompressed: mmap + tight-loop buffer parser. The map is zero-copy
+        # and page-cached; a row that starts before the split's `end` may
+        # extend past it (reference split semantics) and is read naturally.
+        import mmap
+        import os as _os
+
+        if _os.path.getsize(path) == 0:
+            return  # zero-length files are skipped (P5)
+
+        def gen():
+            with open(path, "rb") as fh:
+                with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                    yield from scan_data_buffer(
+                        mm, version=version, source_path=path,
+                        generation=generation, **kw
+                    )
+
+    if errors == "skip":
+        try:
+            yield from gen()
+        except Exception as exc:  # corrupt input: contain, count, continue
+            if on_corrupt is not None:
+                on_corrupt(path, exc)
+    else:
+        yield from gen()
