@@ -95,13 +95,23 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
         gen = 0
     comp = find_compression_sidecar(path)
     if comp is not None:
-        # compressed: whole-file partition (chunk map would allow intra-file
-        # splits later — an improvement the reference names as future work).
-        # The split end is the UNCOMPRESSED length — the decoder's position
-        # runs in decompressed bytes (reference: AegSplit end handling).
+        # compressed: split on UNCOMPRESSED offsets — the chunk map gives
+        # random access at chunk granularity (seek_uncompressed), and the
+        # Index.db offsets are already uncompressed positions, so splits cut
+        # at row boundaries exactly like plain files. The reference cannot
+        # do this (whole-file scheduling, AegisthusInputFormat.java:131-135,
+        # limitation noted in its README.md:40-41).
         from ..sstable.compression import CompressionInfo
 
         info = CompressionInfo.read_path(comp)
+        if info.data_length > int(target_bytes * 1.2):
+            idx = path.replace("-Data.db", "-Index.db")
+            if os.path.exists(idx):
+                offsets = row_offsets(idx, version)
+                return [
+                    (path, s, e, version, gen, comp)
+                    for s, e in plan_splits(info.data_length, offsets, target_bytes)
+                ]
         return [(path, 0, info.data_length, version, gen, comp)]
     if size > int(target_bytes * 1.2):
         idx = path.replace("-Data.db", "-Index.db")

@@ -205,6 +205,23 @@ class ChunkedDecompressingStream(io.RawIOBase):
         self.chunk_idx += 1
         return True
 
+    def seek_uncompressed(self, offset: int) -> None:
+        """Position the stream at an uncompressed offset in O(1) chunks.
+
+        This is what makes compressed SSTables *splittable* — the chunk map
+        gives random access at chunk granularity, so a split starting at an
+        index-derived row boundary decompresses only from its own chunk
+        (the reference schedules compressed files whole,
+        AegisthusInputFormat.java:131-135 / README.md:40-41).
+        """
+        idx = offset // self.info.chunk_length
+        self.chunk_idx = idx
+        if not self._fill():
+            self.buf = b""
+            self.buf_pos = 0
+            return
+        self.buf_pos = offset % self.info.chunk_length
+
     def read(self, n: int = -1) -> bytes:
         if n is None or n < 0:
             chunks = [self.buf[self.buf_pos:]]

@@ -116,7 +116,12 @@ def scan_data_file(
     has_rs_cc = version < "ja"
     r = _Reader(f)
     if start > 0:
-        r.skip(start)
+        if hasattr(f, "seek_uncompressed"):
+            # chunk-mapped compressed stream: O(1) random access to the
+            # split's first chunk instead of decompressing everything before
+            f.seek_uncompressed(start)
+        else:
+            r.skip(start)
         r.pos = start
     stop = end if end is not None else float("inf")
 

@@ -1,0 +1,125 @@
+"""Splittable compressed reads — the capability the reference names as a
+limitation (whole-file scheduling for compressed SSTables). A synthetic
+Deflate-compressed Data.db with an Index.db is planned into multiple
+intra-file splits; the union of split decodes must equal the whole-file
+decode, and distributed reads must match the uncompressed golden path."""
+
+import os
+import struct
+import zlib
+
+import pytest
+
+from aegisthus_spark.sstable.writer import serialize_row
+
+CHUNK = 4096
+N_ROWS = 2000
+
+
+def _make_compressed_sstable(d):
+    """Write ks-t-jb-1-Data.db (deflate chunks) + -Index.db + sidecar."""
+    raw = bytearray()
+    index = bytearray()
+    for i in range(N_ROWS):
+        key = struct.pack(">q", i)
+        index += struct.pack(">H", len(key)) + key + struct.pack(">q", len(raw))
+        index += struct.pack(">i", 0)  # empty promoted index
+        cols = [
+            {"name": f"c{j}".encode(), "value": os.urandom(40).hex().encode(),
+             "ts": 100 + j, "kind": "c", "ttl": None,
+             "local_deletion_time": None, "ts_of_last_delete": None}
+            for j in range(3)
+        ]
+        raw += serialize_row(key, -(1 << 63), cols, version="jb")
+
+    data_path = os.path.join(d, "ks-t-jb-1-Data.db")
+    info_path = os.path.join(d, "ks-t-jb-1-CompressionInfo.db")
+    idx_path = os.path.join(d, "ks-t-jb-1-Index.db")
+
+    offsets = []
+    with open(data_path, "wb") as f:
+        for pos in range(0, len(raw), CHUNK):
+            offsets.append(f.tell())
+            f.write(zlib.compress(bytes(raw[pos : pos + CHUNK])))
+            f.write(b"\x00\x00\x00\x00")  # checksum (skipped by readers)
+
+    with open(info_path, "wb") as f:
+        name = b"DeflateCompressor"
+        f.write(struct.pack(">H", len(name)) + name)
+        f.write(struct.pack(">i", 0))  # no options
+        f.write(struct.pack(">i", CHUNK))
+        f.write(struct.pack(">q", len(raw)))
+        f.write(struct.pack(">i", len(offsets)))
+        for off in offsets:
+            f.write(struct.pack(">q", off))
+
+    with open(idx_path, "wb") as f:
+        f.write(bytes(index))
+    return data_path, len(raw)
+
+
+def test_seek_uncompressed(tmp_path):
+    from aegisthus_spark.sstable.compression import find_compression_sidecar, open_compressed
+
+    data_path, raw_len = _make_compressed_sstable(str(tmp_path))
+    comp = find_compression_sidecar(data_path)
+    # full read == seek(0) read; mid-stream seek lands at the right bytes
+    s1 = open_compressed(data_path, comp)
+    full = s1.read(-1)
+    s1.close()
+    assert len(full) == raw_len
+    s2 = open_compressed(data_path, comp)
+    s2.seek_uncompressed(10_000)
+    tail = s2.read(-1)
+    s2.close()
+    assert tail == full[10_000:]
+
+
+def test_compressed_file_is_split(tmp_path):
+    from aegisthus_spark.sources.sstable_source import _plan_one
+
+    data_path, raw_len = _make_compressed_sstable(str(tmp_path))
+    splits = _plan_one(data_path, target_bytes=50_000)
+    assert len(splits) > 1, "compressed file was not split"
+    assert splits[0][1] == 0 and splits[-1][2] == raw_len
+    # contiguous, non-overlapping coverage
+    for (a, b) in zip(splits, splits[1:]):
+        assert a[2] == b[1]
+
+
+def test_split_decode_equals_whole(tmp_path):
+    from aegisthus_spark.sources.sstable_source import _plan_one
+    from aegisthus_spark.sstable.compression import find_compression_sidecar, open_compressed
+    from aegisthus_spark.sstable.decoder import scan_data_file
+
+    data_path, raw_len = _make_compressed_sstable(str(tmp_path))
+    comp = find_compression_sidecar(data_path)
+
+    def decode(start, end):
+        f = open_compressed(data_path, comp)
+        try:
+            return [
+                (bytes(c["partition_key"]), bytes(c["cell_name"]), bytes(c["value"]))
+                for c in scan_data_file(f, version="jb", start=start, end=end)
+            ]
+        finally:
+            f.close()
+
+    whole = decode(0, None)
+    assert len(whole) == N_ROWS * 3
+    split_cells = []
+    for (_, s, e, *_rest) in _plan_one(data_path, target_bytes=50_000):
+        split_cells.extend(decode(s, e))
+    assert split_cells == whole
+
+
+def test_distributed_read_compressed_splits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.sources import read_sstable_cells
+
+    data_path, _ = _make_compressed_sstable(str(tmp_path))
+    cells = read_sstable_cells(spark, [str(tmp_path)], target_bytes=50_000, combine=False)
+    n = cells.count()
+    assert n == N_ROWS * 3
+    assert cells.select(F.countDistinct("partition_key")).collect()[0][0] == N_ROWS
