@@ -77,6 +77,9 @@ def compact(
     key alone, mirroring the reference's grouping comparator when source
     tracing is on (AegisthusKeyGroupingComparator.java:6-18).
     """
+    # corrupt-file sentinels ('!', null key) must never form a merge group
+    cells = cells.filter(F.col("partition_key").isNotNull())
+
     if name_sort_key is not None:
         # materialize as a projection first: custom sort keys may be Python
         # UDFs, which cannot be evaluated inside aggregate expressions

@@ -33,6 +33,7 @@ def compact_snapshot(
     legacy_column_name_formatting: bool = False,
     trace_source: bool = False,
     blocksize: int | None = None,
+    corrupt_check: list | None = None,
 ) -> DataFrame:
     """inputs -> compacted rows DataFrame (sorted within partitions by key,
     mirroring the reference's per-reducer output order, SURVEY O5).
@@ -44,6 +45,18 @@ def compact_snapshot(
     """
     src_kw = {"target_bytes": blocksize} if blocksize else {}
     cells = read_sstable_cells(spark, inputs, skip_corrupt=skip_corrupt, **src_kw)
+    if skip_corrupt and corrupt_check is not None:
+        # P6 threshold: count corrupt-file sentinels ('!') during the same
+        # pass; the caller verifies the count after its write action
+        # (Aegisthus.java:246-257 does the same check post-job)
+        # plain count of sentinels: the reference's error_skipped_input
+        # counter is also per failed split, not per distinct file
+        corrupt_obs = Observation()
+        cells = cells.observe(
+            corrupt_obs,
+            F.count(F.when(F.col("kind") == "!", F.lit(1))).alias("n"),
+        ).filter(F.col("kind") != "!")
+        corrupt_check.append(corrupt_obs)
     name_sort_key = None
     if column_type not in ("BytesType", "UTF8Type", "AsciiType"):
         from . import types as aegtypes
@@ -163,6 +176,19 @@ def main(argv: list[str] | None = None):
     from .session import get_spark
 
     spark = get_spark("aegisthus-snapshot")
+    corrupt_check: list = []
+
+    def check_corrupt_threshold():
+        if corrupt_check:
+            n = int(corrupt_check[0].get["n"])
+            if n > args.max_corrupt_files_to_skip:
+                raise RuntimeError(
+                    f"{n} corrupt input files exceed "
+                    f"max_corrupt_files_to_skip={args.max_corrupt_files_to_skip}"
+                )
+            if n:
+                print(f"corrupt_files_skipped={n}")
+
     if args.cql_schema:
         fmt = export_cql(
             spark,
@@ -185,6 +211,7 @@ def main(argv: list[str] | None = None):
         legacy_column_name_formatting=args.legacy_column_name_formatting,
         trace_source=args.trace_source,
         blocksize=args.blocksize,
+        corrupt_check=corrupt_check,
     )
     if args.produce_sstable:
         from .sstable import write_sstable
@@ -192,6 +219,7 @@ def main(argv: list[str] | None = None):
         written = write_sstable(
             rows, args.output, version=args.sstable_output_version, dataset=args.dataset
         )
+        check_corrupt_threshold()
         print(f"sstables_written={len(written)}")
         return
     n = write_snapshot_json(
@@ -204,6 +232,7 @@ def main(argv: list[str] | None = None):
         trace_source=args.trace_source,
         legacy_column_name_formatting=args.legacy_column_name_formatting,
     )
+    check_corrupt_threshold()
     print(f"rows_written={n}")
 
 

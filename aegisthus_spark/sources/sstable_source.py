@@ -215,7 +215,12 @@ def _decode_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception:
                 if not task.skip_corrupt:
                     raise
-                # corrupt containment: keep cells decoded so far, drop the rest
+                # corrupt containment: keep cells decoded so far, drop the
+                # rest, and emit one sentinel row (kind '!') so the driver
+                # can count corrupt inputs exactly and enforce the
+                # max_corrupt_files_to_skip threshold (Aegisthus.java:246-257)
+                buf.append((task.path, int(task.generation), None, None, "!",
+                            None, None, None, None, None, None, None))
     if buf:
         yield flush()
 
