@@ -1,0 +1,110 @@
+"""Property-based verification of compact(): random cell streams vs an
+independent Python model of the reference reducer's semantics
+(CassSSTableReducer: A2 deletion fold, J2 range tombstones, A1 LWW with
+the deterministic tie rule, P2' row-shadow filter, P7 empty-row keep).
+
+The reference has no property tests (SURVEY §5); this closes that gap."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+LONG_MIN = -(1 << 63)
+
+KEYS = [b"k1", b"k2"]
+NAMES = [b"a", b"b", b"c", b"d"]
+
+cell_st = st.fixed_dictionaries({
+    "key": st.sampled_from(KEYS),
+    "kind": st.sampled_from(["c", "c", "c", "d", "e", "t"]),  # bias live
+    "name": st.sampled_from(NAMES),
+    "name_max": st.sampled_from(NAMES),
+    "ts": st.integers(min_value=0, max_value=6),
+    "value": st.binary(min_size=0, max_size=2),
+    "row_del": st.one_of(st.just(None), st.integers(min_value=0, max_value=6)),
+})
+
+
+def model_compact(cells):
+    """Reference semantics, implemented independently of Spark."""
+    by_key = {}
+    for c in cells:
+        by_key.setdefault(c["key"], []).append(c)
+    out = {}
+    for key, group in by_key.items():
+        deleted_at = max(
+            (c["row_del"] for c in group if c["row_del"] is not None),
+            default=LONG_MIN,
+        )
+        rts = [c for c in group if c["kind"] == "t" and c["name"] <= c["name_max"]]
+        plain = [c for c in group if c["kind"] in ("c", "d", "e")]
+        survivors = [
+            c
+            for c in plain
+            if not any(
+                r["name"] <= c["name"] <= r["name_max"] and r["ts"] >= c["ts"]
+                for r in rts
+            )
+        ]
+        winners = {}
+        for c in survivors:
+            rank = (c["ts"], 1 if c["kind"] == "d" else 0, c["value"])
+            prev = winners.get(c["name"])
+            if prev is None or rank > prev[0]:
+                winners[c["name"]] = (rank, c)
+        cols = [
+            (n, w[1]["kind"], w[1]["ts"], w[1]["value"])
+            for n, w in sorted(winners.items())
+            if w[1]["ts"] > deleted_at
+        ]
+        out[key] = (deleted_at, cols)
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(cell_st, min_size=0, max_size=60))
+def test_compact_matches_model(spark, cells_in):
+    from aegisthus_spark.compact import compact
+    from tests.conftest import CELLS_SCHEMA
+
+    rows = []
+    for c in cells_in:
+        is_t = c["kind"] == "t"
+        if is_t and c["name"] > c["name_max"]:
+            continue  # malformed RT interval: generator artifact, skip
+        rows.append((
+            "f", 1, c["key"],
+            c["row_del"] if c["row_del"] is not None else LONG_MIN,
+            c["kind"], c["name"],
+            c["name_max"] if is_t else None,
+            None if is_t else c["value"],
+            c["ts"], None, None, None,
+        ))
+    if not rows:
+        return
+    cells = spark.createDataFrame(rows, CELLS_SCHEMA)
+    got = {
+        bytes(r["partition_key"]): (
+            r["deleted_at"],
+            [
+                (bytes(col["name"]), col["kind"], col["ts"],
+                 bytes(col["value"]) if col["value"] is not None else None)
+                for col in r["columns"]
+            ],
+        )
+        for r in compact(cells).collect()
+    }
+    want = model_compact([
+        {**c, "value": (None if c["kind"] == "t" else c["value"])}
+        for c in cells_in
+        if not (c["kind"] == "t" and c["name"] > c["name_max"])
+    ])
+    expected = {
+        k: (da, [(n, kind, ts, v) for (n, kind, ts, v) in cols])
+        for k, (da, cols) in want.items()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], f"deleted_at mismatch for {k}"
+        assert got[k][1] == expected[k][1], (
+            f"columns mismatch for {k}:\n  got {got[k][1]}\n  want {expected[k][1]}"
+        )
