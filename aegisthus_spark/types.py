@@ -222,7 +222,12 @@ _SIMPLE = {
     "TimestampType": Comparator("TimestampType", T.TimestampType(), _render_timestamp, _sk_signed_fixed,
                                 _compose_timestamp),
     "DateType": Comparator("DateType", T.TimestampType(), _render_timestamp, _sk_signed_fixed, _compose_timestamp),
-    "DecimalType": Comparator("DecimalType", T.StringType(), _render_decimal, None, None),
+    "DecimalType": Comparator(
+        "DecimalType", T.StringType(), _render_decimal, None,
+        lambda b: Decimal(int.from_bytes(b[4:], "big", signed=True)).scaleb(
+            -int.from_bytes(b[:4], "big", signed=True)
+        ),
+    ),
     "LexicalUUIDType": Comparator("LexicalUUIDType", T.StringType(), _render_uuid, None,
                                   lambda b: str(_uuid.UUID(bytes=bytes(b)))),
 }

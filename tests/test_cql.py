@@ -83,6 +83,17 @@ def test_compose_values(spark):
     assert row.ts.year == 2023
 
 
+def test_compose_decimal(spark):
+    from decimal import Decimal
+
+    from aegisthus_spark.cql import compose_value
+
+    b = struct.pack(">i", 2) + (12345).to_bytes(2, "big")  # scale 2, 12345
+    df = spark.createDataFrame([(b,)], "d binary")
+    got = df.select(compose_value(F.col("d"), "decimal").alias("v")).collect()[0].v
+    assert got == Decimal("123.45")
+
+
 def test_cql_rows_randomtable(spark):
     from aegisthus_spark.cql import cql_rows
 
