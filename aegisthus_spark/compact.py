@@ -159,21 +159,21 @@ def compact(
         # under the limit, in merge order. Size model per cell:
         # len(name) + len(value) + 15 bytes framing (close to
         # OnDiskAtom.serializedSizeForSSTable for regular cells).
+        # The fold carries only (size, count, stopped) scalars and the kept
+        # prefix comes from one slice() — an array_append fold would copy
+        # the growing array per cell, O(n^2) on pathological wide rows.
         csize = "(length(coalesce(x.name, x'')) + length(coalesce(x.value, x'')) + 15)"
         out = out.withColumn(
             "trunc",
             F.expr(
                 "aggregate(cells, "
-                "  struct(cast(0 as long) as sz, cast(array() as array<struct<"
-                "    sk binary, ts bigint, rank int, value binary, name binary, kind string,"
-                "    ttl int, local_deletion_time int, ts_of_last_delete bigint>>) as keep,"
-                "    false as stop), "
+                "  struct(cast(0 as long) as sz, cast(0 as int) as k, false as stop), "
                 f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
-                "    struct(acc.sz as sz, acc.keep as keep, true as stop), "
-                f"   struct(acc.sz + {csize} as sz, array_append(acc.keep, x) as keep, false as stop)))"
+                "    struct(acc.sz as sz, acc.k as k, true as stop), "
+                f"   struct(acc.sz + {csize} as sz, acc.k + 1 as k, false as stop)))"
             ),
         ).withColumn("row_too_big", F.col("trunc.stop")).withColumn(
-            "cells", F.col("trunc.keep")
+            "cells", F.expr("slice(cells, 1, trunc.k)")
         ).drop("trunc")
     else:
         out = out.withColumn("row_too_big", F.lit(False))

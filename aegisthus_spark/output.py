@@ -159,6 +159,21 @@ def to_aeg_json(
             "     WHEN c.kind = 'x' THEN concat(',\"c\",', cast(c.ts_of_last_delete as string)) "
             "     ELSE '' END, ']'))"
         )
+        cols_json = F.array_join(F.expr(col_entry), ",")
+        if max_col_size is not None:
+            # P4 output-side guard (JsonOutputFormat.java:127-146): replace
+            # an oversized row's columns with the error marker entry; size
+            # model matches render_row_json (name+value+15 framing bytes)
+            total = F.expr(
+                "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
+                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15)"
+            )
+            marker = F.concat(
+                F.lit('["error","row too large: '),
+                F.format_number(total, 0),
+                F.lit(f' bytes - limit {max_col_size:,d} bytes",0]'),
+            )
+            cols_json = F.when(total > max_col_size, marker).otherwise(cols_json)
         line = F.concat(
             key_str,
             F.lit("\t"),
@@ -168,7 +183,7 @@ def to_aeg_json(
             F.lit('":{"deletedAt":'),
             F.col("deleted_at").cast("string"),
             F.lit(',"columns":['),
-            F.array_join(F.expr(col_entry), ","),
+            cols_json,
             F.lit("]}}"),
         )
         return compacted.select(line.alias("value"))

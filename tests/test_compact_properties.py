@@ -60,6 +60,35 @@ def model_compact(cells):
     return out
 
 
+def test_wide_row_guard_is_linear(spark):
+    """P3 on a pathological wide row: the truncation fold must stay O(n)
+    (an array-building fold is quadratic and effectively hangs at 1M+ cells
+    in one partition)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact
+
+    wide = spark.range(300_000).select(
+        F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
+        F.lit(b"hot").alias("partition_key"),
+        F.lit(-(1 << 63)).alias("row_deleted_at"), F.lit("c").alias("kind"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("cell_name"),
+        F.lit(None).cast("binary").alias("cell_name_max"),
+        F.lit(b"x" * 32).alias("value"), F.col("id").alias("ts"),
+        F.lit(None).cast("int").alias("ttl"),
+        F.lit(None).cast("int").alias("local_deletion_time"),
+        F.lit(None).cast("long").alias("ts_of_last_delete"),
+    )
+    t = time.time()
+    r = compact(wide, max_row_size=100_000).collect()
+    assert time.time() - t < 120, "wide-row guard is not linear"
+    assert len(r) == 1 and r[0].row_too_big
+    # longest prefix in merge order under the limit: ~100k / (name+32+15)
+    assert 0 < len(r[0].columns) < 3000
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(cell_st, min_size=0, max_size=60))
 def test_compact_matches_model(spark, cells_in):

@@ -89,6 +89,27 @@ def test_trace_source_keeps_rows_separate(spark):
     assert lines[0].count("\t") == 2
 
 
+def test_output_side_max_col_size_marker(spark):
+    """P4: the JVM fast path emits the byte-identical error marker row
+    (JsonOutputFormat.java:127-146) when a row exceeds maxColSize."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import render_row_json, to_aeg_json
+    from tests.conftest import CELLS_SCHEMA
+
+    rows_in = [("f", 1, b"k", -(1 << 63), "c", b"n" * 10, None, b"v" * 600,
+                1, None, None, None)]
+    cells = spark.createDataFrame(rows_in, CELLS_SCHEMA)
+    line = to_aeg_json(compact(cells), max_col_size=500).collect()[0].value
+    assert '["error","row too large: 625 bytes - limit 500 bytes",0]' in line
+    py = render_row_json(
+        b"k", -(1 << 63),
+        [{"name": b"n" * 10, "value": b"v" * 600, "ts": 1, "kind": "c",
+          "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}],
+        max_col_size=500,
+    )
+    assert line == py  # JVM fast path == Python twin, byte-for-byte
+
+
 def test_cli_produce_sstable(spark, tmp_path, monkeypatch):
     from aegisthus_spark import job as jobmod
 
