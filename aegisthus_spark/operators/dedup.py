@@ -183,6 +183,55 @@ def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) 
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) — connected components over near-dup pairs, so each
+    duplicate cluster gets one canonical id (min member id).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; stops at fixpoint (checked
+    with a count aggregate). Rounds are O(diameter) ~ a few for dedup
+    clusters; ``localCheckpoint`` cuts lineage so plans don't grow with the
+    iteration count — the standard Spark shape for iterative algorithms
+    (no GraphX dependency).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_label") < F.col("old_label")).count()
+        labels = updated.select("v", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component")).orderBy(
+        id_col
+    )
+
+
 def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): bit-majority fingerprint over token hashes."""
     toks = docs.select(

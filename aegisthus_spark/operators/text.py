@@ -81,6 +81,39 @@ def lang_id(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (ln(N/df) idf, raw tf).
+
+    Two shuffles total: one to build the document-frequency table (an
+    aggregate over distinct doc-term pairs), one for the per-document
+    top-k (partitioned window). The df table is a pure aggregate —
+    map-side partial counts keep the shuffle small at corpus scale.
+    Ties are broken by term text so output is deterministic.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0].n
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over token hashes: order-sensitive document
     fingerprint (fp = fold (acc*B + h32(tok) mod P))."""

@@ -1003,3 +1003,70 @@ def mm_features(spark, sf_dir):
 def mm_frame_plan(spark, sf_dir):
     media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
     return _mm.frame_sample_plan(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering (iterative) + TF-IDF
+# ---------------------------------------------------------------------------
+
+_PAIRS_CTE = f"""
+hh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.a, c.b FROM (
+    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS common
+    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+    GROUP BY sa.doc_id, sb.doc_id) c
+  JOIN hh na ON na.doc_id = c.a JOIN hh nb ON nb.doc_id = c.b
+  WHERE CAST(c.common AS DOUBLE) / (na.n + nb.n - c.common) >= 0.1)
+"""
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    {_PAIRS_CTE},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(v, w) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w)
+    SELECT v AS doc_id, MIN(w) AS component
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+    doc="near-dup clusters: connected components over Jaccard>=0.1 pairs "
+        "(iterative min-label propagation; oracle = recursive closure)",
+)
+def dedup_components(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.1)
+    return _dd.connected_components(pairs, docs)
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), nd),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rn
+      FROM scored)
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+    doc="per-document top-3 terms by TF-IDF (ln idf, deterministic ties)",
+)
+def text_tfidf_topk(spark, sf_dir):
+    return _tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)

@@ -118,3 +118,28 @@ def test_fingerprint_order_sensitive(spark):
     )
     fps = {r.doc_id: r.fp for r in fingerprint(df).collect()}
     assert fps[1] == fps[3] != fps[2]
+
+
+def test_connected_components_chain_and_isolated(spark):
+    from aegisthus_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_tfidf_topk_deterministic(spark):
+    from aegisthus_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.term)
+    assert by_doc[1][0] == "banana"  # tf=2 and unique to doc 1
+    assert by_doc[2][0] == "cherry"
+    assert by_doc[3] == ["durian"]
