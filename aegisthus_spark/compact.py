@@ -189,6 +189,57 @@ def compact(
     return out.select(*cols)
 
 
+def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two compacted-row DataFrames (same key space) into one.
+
+    Pairwise row merge via a full outer join on ``partition_key``: columns
+    arrays are concatenated, re-sorted, LWW'd per name with the same tie
+    rule as :func:`compact`, and re-shadowed under the folded row deletion.
+    Compacted output carries no range tombstones, so no RT pass is needed.
+
+    This is the incremental-snapshot fast path: when ``a`` is a snapshot
+    stored bucketed by ``partition_key`` (with matching bucket count), only
+    ``b`` — the new batch — shuffles; the snapshot side reads in place.
+    """
+    LONG_MIN_ = LONG_MIN
+    an = a.select(
+        F.col("partition_key"),
+        F.col("deleted_at").alias("da_a"),
+        F.col("columns").alias("cols_a"),
+    )
+    bn = b.select(
+        F.col("partition_key"),
+        F.col("deleted_at").alias("da_b"),
+        F.col("columns").alias("cols_b"),
+    )
+    j = an.join(bn, "partition_key", "full_outer").select(
+        "partition_key",
+        F.greatest(
+            F.coalesce("da_a", F.lit(LONG_MIN_)), F.coalesce("da_b", F.lit(LONG_MIN_))
+        ).alias("deleted_at"),
+        F.expr(
+            "concat(coalesce(cols_a, array()), coalesce(cols_b, array()))"
+        ).alias("all_cols"),
+    )
+    # decorate with the merge sort key, sort, LWW (keep last per name), shadow
+    decorated = (
+        "array_sort(transform(all_cols, x -> struct("
+        "x.name as sk, x.ts as ts, if(x.kind = 'd', 1, 0) as rank, "
+        "x.value as value, x as c)))"
+    )
+    lww = "filter(d1, (x, i) -> i = size(d1) - 1 OR x.sk != d1[i + 1].sk)"
+    shadow = "filter(d2, x -> x.ts > deleted_at)"
+    return (
+        j.withColumn("d1", F.expr(decorated))
+        .withColumn("d2", F.expr(lww))
+        .withColumn("d3", F.expr(shadow))
+        .withColumn("columns", F.expr("transform(d3, x -> x.c)"))
+        .select(
+            "partition_key", "deleted_at", "columns", F.lit(False).alias("row_too_big")
+        )
+    )
+
+
 def cleanse(compacted: DataFrame, *, drop_empty_rows: bool = True) -> DataFrame:
     """P2 — the Pig-layer cleanse (reference: AegisthusLoader.java:75-90,119-129).
 

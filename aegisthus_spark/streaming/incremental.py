@@ -104,6 +104,43 @@ def merge_batch(
     return new_version
 
 
+def write_snapshot_bucketed(
+    rows: DataFrame, table: str, *, buckets: int = 32
+) -> None:
+    """Persist compacted rows as a parquet table bucketed by partition_key.
+
+    Bucketing is what makes steady-state incremental merges cheap: the
+    snapshot side of :func:`merge_bucketed` reads pre-hashed buckets and
+    never shuffles; only the (small) incoming batch does.
+    """
+    (
+        rows.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "partition_key")
+        .sortBy("partition_key")
+        .saveAsTable(table)
+    )
+
+
+def merge_bucketed(
+    spark: SparkSession, batch_cells: DataFrame, table: str, new_table: str, *, buckets: int = 32
+) -> None:
+    """One incremental merge against a bucketed snapshot table.
+
+    The batch is compacted (one shuffle of batch-sized data), then merged
+    into the snapshot with a full outer join in which the bucketed snapshot
+    side has NO Exchange — asserted by tests/test_bucketed_merge.py. The
+    result is written as ``new_table`` (versioned tables, reader flips on
+    publish, same idea as the directory marker).
+    """
+    from ..compact import compact, merge_compacted
+
+    snap = spark.table(table)
+    batch_rows = compact(batch_cells).repartition(buckets, "partition_key")
+    merged = merge_compacted(snap, batch_rows)
+    write_snapshot_bucketed(merged, new_table, buckets=buckets)
+
+
 def start_incremental_snapshot(
     spark: SparkSession,
     cells_dir: str,
