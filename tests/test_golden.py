@@ -59,6 +59,35 @@ def compact_to_lines(spark, files: list[str]) -> list[str]:
     return sorted(lines, key=lambda ln: bytes.fromhex(ln.split("\t", 1)[0]))
 
 
+def test_golden_forced_splits(spark):
+    """The reference's forced-splitting variant (aegisthus.blocksize=1024,
+    AegisthusIntegrationTest.groovy:133-135): with 1 KB target splits every
+    file fragments into many index-aligned pieces, and the distributed read
+    must still reproduce the golden byte-for-byte."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import to_aeg_json
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sources.sstable_source import plan_partitions
+
+    case = "2.0.10/randomtable"
+    files = data_files(case)
+    parts = plan_partitions(files, target_bytes=1024, combine_target=0)
+    n_splits = sum(len(p) for p in parts)
+    assert n_splits > len(files), "1 KB blocksize should force multi-splitting"
+
+    cells = read_sstable_cells(
+        spark, [f"{TESTDATA}/{case}/input"], target_bytes=1024, combine=False
+    )
+    actual = sorted(
+        (r.value for r in to_aeg_json(compact(cells)).collect()),
+        key=lambda ln: bytes.fromhex(ln.split("\t", 1)[0]),
+    )
+    expected = sorted(
+        golden_lines(case), key=lambda ln: bytes.fromhex(ln.split("\t", 1)[0])
+    )
+    assert actual == expected
+
+
 @pytest.mark.parametrize("case,_", CASES, ids=[c for c, _ in CASES])
 def test_golden(spark, case, _):
     files = data_files(case)
