@@ -13,7 +13,7 @@ Scale design (the reference's input pipeline re-thought for Spark):
   AegisthusCombinedInputFormat:56-102). Planning is threaded, mirroring the
   reference's 20-thread split pool (:206).
 - **Decode** in executors: each planned partition is a row of a small
-  "tasks" DataFrame; ``mapInPandas`` streams Arrow batches out of the pure-
+  "tasks" DataFrame; ``mapInArrow`` streams Arrow batches out of the pure-
   Python decoder — no row-at-a-time pickling, pipelined with downstream JVM
   operators. At 100 TB this is embarrassingly parallel: ~1 partition per
   split, no shuffle until compact()'s single Exchange.
@@ -25,7 +25,6 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -141,6 +140,12 @@ def plan_partitions(
     small: list[tuple] = []
     small_bytes = 0
     for splits in per_file:
+        if len(splits) > 1:
+            # fragments of a deliberately-split big file each get their own
+            # partition — re-packing them would serialize the intra-file
+            # parallelism the split exists to create
+            partitions.extend([sp] for sp in splits)
+            continue
         for sp in splits:
             sz = sp[2] - sp[1]
             if sz >= combine_target:
@@ -156,72 +161,106 @@ def plan_partitions(
     return partitions
 
 
-def _decode_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode assigned splits into Arrow-sized batches.
+#: Arrow schema matching CELLS_SCHEMA — the decode workers emit
+#: RecordBatches directly (mapInArrow), skipping the pandas layer whose
+#: object-dtype -> Arrow conversion dominates per-batch cost
+def _arrow_cells_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("source_path", pa.string()), ("generation", pa.int32()),
+        ("partition_key", pa.binary()), ("row_deleted_at", pa.int64()),
+        ("kind", pa.string()), ("cell_name", pa.binary()),
+        ("cell_name_max", pa.binary()), ("value", pa.binary()),
+        ("ts", pa.int64()), ("ttl", pa.int32()),
+        ("local_deletion_time", pa.int32()), ("ts_of_last_delete", pa.int64()),
+    ])
+
+
+def _decode_tasks(batches) -> "Iterator":
+    """mapInArrow worker: decode assigned splits into Arrow RecordBatches.
 
     Uncompressed splits take the mmap + tuple-yielding tight loop
     (scan_data_buffer_rows); compressed files stream chunk-at-a-time through
-    the buffered decoder (whole-file splits, like the reference)."""
+    the buffered decoder (whole-file splits, like the reference). Cells
+    accumulate straight into per-column lists -> ``pa.array`` (C-level),
+    never touching pandas."""
     import mmap
     import os
+
+    import pyarrow as pa
 
     from ..sstable.compression import open_compressed
     from ..sstable.decoder import ROW_FIELDS, scan_data_buffer_rows, scan_data_file
 
-    cols = [f.name for f in CELLS_SCHEMA.fields]
-    assert tuple(cols) == ROW_FIELDS
-    buf: list[tuple] = []
+    schema = _arrow_cells_schema()
+    assert tuple(f.name for f in schema) == ROW_FIELDS
+    ncols = len(ROW_FIELDS)
+    cols: list[list] = [[] for _ in range(ncols)]
     BATCH = 16384
 
     def flush():
-        return pd.DataFrame(buf, columns=cols)
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(cols[i], type=schema.field(i).type) for i in range(ncols)],
+            schema=schema,
+        )
+        for c in cols:
+            c.clear()
+        return batch
 
-    for pdf in batches:
-        for task in pdf.itertuples(index=False):
+    def consume(row_iter):
+        rng = range(ncols)
+        for row in row_iter:
+            for i in rng:
+                cols[i].append(row[i])
+            if len(cols[0]) >= BATCH:
+                yield flush()
+
+    for arrow_batch in batches:
+        for task in arrow_batch.to_pylist():
             try:
-                if task.compression_path:
-                    f = open_compressed(task.path, task.compression_path)
+                if task["compression_path"]:
+                    f = open_compressed(task["path"], task["compression_path"])
                     try:
-                        for c in scan_data_file(
+                        gen = scan_data_file(
                             f,
-                            version=task.version,
-                            start=int(task.start),
-                            end=int(task.end),
-                            source_path=task.path,
-                            generation=int(task.generation),
-                        ):
-                            buf.append(tuple(c[k] for k in cols))
-                            if len(buf) >= BATCH:
-                                yield flush()
-                                buf = []
+                            version=task["version"],
+                            start=int(task["start"]),
+                            end=int(task["end"]),
+                            source_path=task["path"],
+                            generation=int(task["generation"]),
+                        )
+                        yield from consume(
+                            tuple(c[k] for k in ROW_FIELDS) for c in gen
+                        )
                     finally:
                         f.close()
-                elif os.path.getsize(task.path) > 0:
-                    with open(task.path, "rb") as fh, mmap.mmap(
+                elif os.path.getsize(task["path"]) > 0:
+                    with open(task["path"], "rb") as fh, mmap.mmap(
                         fh.fileno(), 0, access=mmap.ACCESS_READ
                     ) as mm:
-                        for row in scan_data_buffer_rows(
-                            mm,
-                            version=task.version,
-                            start=int(task.start),
-                            end=int(task.end),
-                            source_path=task.path,
-                            generation=int(task.generation),
-                        ):
-                            buf.append(row)
-                            if len(buf) >= BATCH:
-                                yield flush()
-                                buf = []
+                        yield from consume(
+                            scan_data_buffer_rows(
+                                mm,
+                                version=task["version"],
+                                start=int(task["start"]),
+                                end=int(task["end"]),
+                                source_path=task["path"],
+                                generation=int(task["generation"]),
+                            )
+                        )
             except Exception:
-                if not task.skip_corrupt:
+                if not task["skip_corrupt"]:
                     raise
                 # corrupt containment: keep cells decoded so far, drop the
                 # rest, and emit one sentinel row (kind '!') so the driver
                 # can count corrupt inputs exactly and enforce the
                 # max_corrupt_files_to_skip threshold (Aegisthus.java:246-257)
-                buf.append((task.path, int(task.generation), None, None, "!",
-                            None, None, None, None, None, None, None))
-    if buf:
+                sentinel = (task["path"], int(task["generation"]), None, None,
+                            "!", None, None, None, None, None, None, None)
+                for i in range(ncols):
+                    cols[i].append(sentinel[i])
+    if cols[0]:
         yield flush()
 
 
@@ -242,14 +281,15 @@ def read_sstable_cells(
         target_bytes=target_bytes,
         combine_target=COMBINE_TARGET if combine else 0,
     )
-    # one Spark partition per planned partition: repartition the task table
-    # by partition id so mapInPandas sees each group in one worker
-    task_rows = []
-    for pid, part in enumerate(partitions):
-        for (path, start, end, version, gen, comp) in part:
-            task_rows.append((pid, path, start, end, version, gen, comp, skip_corrupt))
-    tasks_df = spark.createDataFrame(
-        task_rows,
-        "pid int, " + _TASKS_SCHEMA,
-    ).repartition(len(partitions), "pid").drop("pid")
-    return tasks_df.mapInPandas(_decode_tasks, CELLS_SCHEMA)
+    # exactly one Spark partition per planned partition, via parallelize
+    # slices — NOT a repartition('pid') shuffle, which AQE would coalesce
+    # into a single partition (the task table is bytes-small even when each
+    # task decodes 100+ MB) and thereby serialize all decode work
+    groups = [
+        [(path, start, end, version, gen, comp, skip_corrupt)
+         for (path, start, end, version, gen, comp) in part]
+        for part in partitions
+    ]
+    rdd = spark.sparkContext.parallelize(groups, len(groups)).flatMap(lambda g: g)
+    tasks_df = spark.createDataFrame(rdd, _TASKS_SCHEMA)
+    return tasks_df.mapInArrow(_decode_tasks, CELLS_SCHEMA)

@@ -113,6 +113,24 @@ def test_split_decode_equals_whole(tmp_path):
     assert split_cells == whole
 
 
+def test_split_fragments_keep_their_own_partitions(spark, tmp_path):
+    """Fragments of a deliberately-split file must map 1:1 to Spark
+    partitions: the bin-packer must not re-pack them (which would serialize
+    intra-file decode), and AQE must not coalesce the task table (tasks are
+    bytes-small even when each decodes 100+ MB)."""
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sources.sstable_source import _plan_one, plan_partitions
+
+    data_path, _ = _make_compressed_sstable(str(tmp_path))
+    n_splits = len(_plan_one(data_path, target_bytes=50_000))
+    assert n_splits > 1
+    parts = plan_partitions([data_path], target_bytes=50_000)
+    assert len(parts) == n_splits, "bin-packer re-packed split fragments"
+
+    cells = read_sstable_cells(spark, [str(tmp_path)], target_bytes=50_000)
+    assert cells.rdd.getNumPartitions() == n_splits
+
+
 def test_distributed_read_compressed_splits(spark, tmp_path):
     from pyspark.sql import functions as F
 
