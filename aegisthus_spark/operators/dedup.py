@@ -133,18 +133,23 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "do
     )
 
 
-def minhash_lsh_dedup(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) -> DataFrame:
+def minhash_lsh_dedup(
+    docs: DataFrame, *, threshold: float = 0.1, n: int = 3, persist_shingles: bool = False
+) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with true Jaccard >= threshold.
 
     The distinct-shingle table feeds three consumers (signatures, and both
-    sides of the common-shingle join); without persistence Spark re-scans
-    and re-shuffles the corpus for each (6 scans, 0 reused exchanges).
-    MEMORY_AND_DISK persistence makes it one pass — at cluster scale this
-    is the checkpoint you'd place before any multi-use intermediate.
+    sides of the common-shingle join), so Spark re-derives it for each.
+    ``persist_shingles=True`` materializes it once (MEMORY_AND_DISK) — the
+    right call when the corpus scan dominates (cluster scale / remote
+    storage); at small scale the persist barrier costs more than the three
+    cheap re-scans, so it defaults off and callers choose.
     """
-    from pyspark import StorageLevel
+    sh = word_shingles(docs, n=n)
+    if persist_shingles:
+        from pyspark import StorageLevel
 
-    sh = word_shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
     jac = jaccard_of_pairs(sh, cand)
