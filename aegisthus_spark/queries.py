@@ -1070,3 +1070,77 @@ def dedup_components(spark, sf_dir):
 )
 def text_tfidf_topk(spark, sf_dir):
     return _tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth: exact quantiles + hierarchical rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="exact interpolated percentiles per event type",
+)
+def ev_value_quantiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_rollup_revenue",
+    """
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           round(SUM(rev), 2) AS revenue
+    FROM (
+      SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    GROUP BY ROLLUP (n_name, yr)
+    ORDER BY nation, yr
+    """,
+    doc="hierarchical revenue rollup (nation, year) with grand totals",
+)
+def q_rollup_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            "revenue",
+        )
+        .orderBy("nation", "yr")
+    )
