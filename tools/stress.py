@@ -1,0 +1,120 @@
+"""Repeatable scale stress benchmarks (not part of the driver bench gate).
+
+    python tools/stress.py [--rows 400000] [--cpus 8]
+
+Reports:
+- single-core decode throughput (mmap tight loop, tuples)
+- distributed read throughput (mapInArrow source, index-aligned splits)
+- compact() throughput on cells derived from lineitem sf0.1
+- wide-row guard wall time (2M cells in one partition, truncation must be
+  linear — the regression that once made this hang)
+"""
+
+from __future__ import annotations
+
+import argparse
+import mmap
+import os
+import struct
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_sstable(d: str, rows: int) -> str:
+    from aegisthus_spark.sstable.writer import serialize_row
+
+    path = os.path.join(d, "ks-t-jb-1-Data.db")
+    index = bytearray()
+    with open(path, "wb") as f:
+        for i in range(rows):
+            key = struct.pack(">q", i)
+            index += struct.pack(">H", len(key)) + key + struct.pack(">q", f.tell())
+            index += struct.pack(">i", 0)
+            cols = [
+                {"name": f"col{j}".encode(), "value": b"x" * 80, "ts": 1000 + j,
+                 "kind": "c", "ttl": None, "local_deletion_time": None,
+                 "ts_of_last_delete": None}
+                for j in range(5)
+            ]
+            f.write(serialize_row(key, -(1 << 63), cols, version="jb"))
+    with open(path.replace("-Data.db", "-Index.db"), "wb") as f:
+        f.write(bytes(index))
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from aegisthus_spark.session import get_spark
+    from aegisthus_spark.sstable.decoder import scan_data_buffer_rows
+
+    d = tempfile.mkdtemp()
+    path = make_sstable(d, args.rows)
+    sz = os.path.getsize(path)
+    print(f"synthetic sstable: {sz / 1e6:.0f} MB, {args.rows} rows x 5 cells")
+
+    with open(path, "rb") as fh, mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+        t = time.time()
+        n = sum(1 for _ in scan_data_buffer_rows(mm, version="jb"))
+        dt = time.time() - t
+    print(f"decode single-core: {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+
+    spark = get_spark("stress", cpus=args.cpus)
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.sources import read_sstable_cells
+
+    target = max(sz // args.cpus, 1 << 20)
+    read_sstable_cells(spark, [d], target_bytes=target).count()  # warm
+    t = time.time()
+    n = read_sstable_cells(spark, [d], target_bytes=target).count()
+    dt = time.time() - t
+    print(f"distributed read ({args.cpus} cores): {n / dt / 1e6:.2f}M cells/s, "
+          f"{sz / dt / 1e6:.0f} MB/s")
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    cells = li.select(
+        F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
+        F.encode(F.col("l_orderkey").cast("string"), "UTF-8").alias("partition_key"),
+        F.lit(-(1 << 63)).alias("row_deleted_at"), F.lit("c").alias("kind"),
+        F.encode(F.concat_ws(":", "l_linenumber", "l_partkey"), "UTF-8").alias("cell_name"),
+        F.lit(None).cast("binary").alias("cell_name_max"),
+        F.encode(F.format_string("%.2f", F.col("l_extendedprice")), "UTF-8").alias("value"),
+        F.col("l_partkey").cast("long").alias("ts"),
+        F.lit(None).cast("int").alias("ttl"),
+        F.lit(None).cast("int").alias("local_deletion_time"),
+        F.lit(None).cast("long").alias("ts_of_last_delete"),
+    )
+    nc = cells.count()
+    t = time.time()
+    nr = compact(cells).count()
+    dt = time.time() - t
+    print(f"compact: {nc} cells -> {nr} rows, {nc / dt / 1e6:.2f}M cells/s")
+
+    wide = spark.range(2_000_000).select(
+        F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
+        F.lit(b"hot").alias("partition_key"),
+        F.lit(-(1 << 63)).alias("row_deleted_at"), F.lit("c").alias("kind"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("cell_name"),
+        F.lit(None).cast("binary").alias("cell_name_max"),
+        F.lit(b"x" * 32).alias("value"), F.col("id").alias("ts"),
+        F.lit(None).cast("int").alias("ttl"),
+        F.lit(None).cast("int").alias("local_deletion_time"),
+        F.lit(None).cast("long").alias("ts_of_last_delete"),
+    )
+    t = time.time()
+    r = compact(wide, max_row_size=1_000_000).collect()
+    dt = time.time() - t
+    print(f"wide-row guard (2M cells, 1 key): {dt:.1f}s, "
+          f"truncated={r[0].row_too_big}, kept={len(r[0].columns)} cells")
+
+
+if __name__ == "__main__":
+    main()
