@@ -768,7 +768,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
              FROM hh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id ORDER BY doc_id
     """,
     doc="32-bit SimHash bit-majority fingerprint per document",
@@ -865,9 +865,9 @@ def sim_cosine_ivf(spark, sf_dir):
     "text_token_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(len(string_split(text, ' '))) AS max_tokens
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -957,7 +957,7 @@ media AS (
     "mm_media_stats",
     f"""
     WITH {_MEDIA_CTE}
-    SELECT media_type, COUNT(*) AS n, SUM(strlen(text)) AS total_bytes,
+    SELECT media_type, COUNT(*) AS n, CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
            MAX(width) AS max_width, MAX(duration_ms) AS max_duration_ms
     FROM media GROUP BY media_type ORDER BY media_type
     """,
