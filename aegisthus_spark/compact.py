@@ -36,7 +36,7 @@ mapper); we match that but get Tungsten spill + AQE skew handling for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LONG_MIN = -(1 << 63)
@@ -63,15 +63,20 @@ def compact(
     cells: DataFrame,
     *,
     name_sort_key=None,
+    name_max_sort_key=None,
     max_row_size: int | None = None,
     group_by_source: bool = False,
 ) -> DataFrame:
     """cells -> compacted rows (partition_key, deleted_at, columns, row_too_big).
 
-    ``name_sort_key``: optional Column of sortable bytes encoding the
-    configured comparator order of ``cell_name`` (types.Comparator.sort_key);
-    defaults to raw ``cell_name`` bytes, which is correct for BytesType /
-    UTF8Type / AsciiType comparators.
+    ``name_sort_key``: optional encoding of the configured comparator order
+    (types.Comparator.sort_key); defaults to raw ``cell_name`` bytes, which
+    is correct for BytesType / UTF8Type / AsciiType comparators. Accepts
+    either a callable ``Column -> Column`` — applied to BOTH ``cell_name``
+    and ``cell_name_max`` so range-tombstone bounds compare in the same
+    encoding — or a pre-built Column over ``cell_name``, in which case
+    ``name_max_sort_key`` (the same encoding of ``cell_name_max``) is
+    required whenever range tombstones may be present.
 
     ``group_by_source``: trace mode — group by (key, source_path) instead of
     key alone, mirroring the reference's grouping comparator when source
@@ -80,13 +85,26 @@ def compact(
     # corrupt-file sentinels ('!', null key) must never form a merge group
     cells = cells.filter(F.col("partition_key").isNotNull())
 
+    if name_sort_key is not None and not isinstance(name_sort_key, Column):
+        # callable form: derive both bound encodings from one definition
+        name_max_sort_key = name_sort_key(F.col("cell_name_max"))
+        name_sort_key = name_sort_key(F.col("cell_name"))
+
     if name_sort_key is not None:
         # materialize as a projection first: custom sort keys may be Python
         # UDFs, which cannot be evaluated inside aggregate expressions
         cells = cells.withColumn("_name_sk", name_sort_key)
         sort_key = F.col("_name_sk")
+        if name_max_sort_key is not None:
+            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
+            max_sort_key = F.col("_name_max_sk")
+        else:
+            # raw max bytes don't compare against an encoded min/cell key;
+            # only safe when the input carries no range tombstones
+            max_sort_key = F.col("cell_name_max")
     else:
         sort_key = F.col("cell_name")
+        max_sort_key = F.col("cell_name_max")
 
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"
@@ -107,7 +125,7 @@ def compact(
     )
     rt_struct = F.struct(
         sort_key.alias("min_sk"),
-        (F.col("cell_name_max")).alias("max_name"),
+        max_sort_key.alias("max_sk"),
         F.col("ts").alias("ts"),
     )
 
@@ -119,18 +137,13 @@ def compact(
         F.collect_list(F.when(is_rt, rt_struct)).alias("rts"),
     )
 
-    # NOTE on rt max bound: for the coverage test we need the sort key of the
-    # max name. We pre-encode it below when building rt_struct from the
-    # caller's sort key of cell_name; cell_name_max needs its own encoding —
-    # callers with non-byte comparators pass name_sort_key AND pre-encode
-    # cell_name_max into the same order (see source layer). Here we compare
-    # against raw max bytes when no custom key was supplied.
-    max_sk_expr = "r.max_name"
-
-    # J2: drop cells covered by a range tombstone with rt.ts >= cell.ts
+    # J2: drop cells covered by a range tombstone with rt.ts >= cell.ts.
+    # Both bounds and the cell key are in the SAME encoding: raw bytes for
+    # byte-ordered comparators, else the caller's sort key applied to
+    # cell_name AND cell_name_max above.
     rt_filtered = (
         "filter(cells, x -> NOT exists(rts, r -> "
-        f"r.min_sk <= x.sk AND x.sk <= {max_sk_expr} AND r.ts >= x.ts))"
+        "r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
     )
     # A1: cells sorted asc by (sk, ts, rank, value); keep the LAST of each
     # sk-group == LWW winner (strictly-newer ts wins; ties -> tombstone,
@@ -162,7 +175,11 @@ def compact(
         # The fold carries only (size, count, stopped) scalars and the kept
         # prefix comes from one slice() — an array_append fold would copy
         # the growing array per cell, O(n^2) on pathological wide rows.
-        csize = "(length(coalesce(x.name, x'')) + length(coalesce(x.value, x'')) + 15)"
+        # +8 for expiring/counter atoms (serializedSizeForSSTable framing)
+        csize = (
+            "(length(coalesce(x.name, x'')) + length(coalesce(x.value, x'')) + 15"
+            " + if(x.kind in ('e', 'x'), 8, 0))"
+        )
         out = out.withColumn(
             "trunc",
             F.expr(

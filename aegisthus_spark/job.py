@@ -67,7 +67,10 @@ def compact_snapshot(
         def sort_key(b):
             return comp.sort_key(bytes(b)) if b is not None else None
 
-        name_sort_key = sort_key(F.col("cell_name"))
+        # callable form: compact() applies it to BOTH cell_name and
+        # cell_name_max, so range-tombstone bounds compare in the same
+        # encoding as the cell keys (CassSSTableReducer.java:142,148-153)
+        name_sort_key = sort_key
     rows = compact(
         cells,
         max_row_size=max_row_size,

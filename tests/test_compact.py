@@ -140,3 +140,70 @@ def test_multistep_equivalent(spark, cells_schema):
     a = rows_of(compact(df))
     b = rows_of(compact_multistep(df))
     assert a == b
+
+
+def test_range_tombstone_typed_comparator_bounds(spark, cells_schema):
+    """J2 under a typed comparator (LongType): both RT bounds must be encoded
+    through the same sort key as the cell names. With raw-byte max bounds,
+    negative longs (0xFF...) compare above positive ones and coverage breaks
+    (reference: CassSSTableReducer.java:142,148-153 compares via the
+    configured comparator on both bounds)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark import types as aegtypes
+
+    comp = aegtypes.get("LongType")
+
+    @F.udf("binary")
+    def sk(b):
+        return comp.sort_key(bytes(b)) if b is not None else None
+
+    def enc(n):
+        return struct.pack(">q", n)
+
+    df = make(spark, cells_schema, [
+        # RT covers [-10, 2] at ts 150
+        ("", 1, b"k", MIN, "t", enc(-10), enc(2), None, 150, None, 99, None),
+        ("", 1, b"k", MIN, "c", enc(-5), None, b"covered_neg", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(1), None, b"covered_pos", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(10), None, b"outside_hi", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(-20), None, b"outside_lo", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(0), None, b"newer_wins", 200, None, None, None),
+    ])
+    out = rows_of(compact(df, name_sort_key=sk))
+    names = [struct.unpack(">q", c[0])[0] for c in out[b"k"][1]]
+    # numeric comparator order, with only the RT-covered older cells dropped
+    assert names == [-20, 0, 10]
+
+
+def test_range_tombstone_typed_explicit_max_key(spark, cells_schema):
+    """Column form of the API: pre-built name_sort_key plus name_max_sort_key."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark import types as aegtypes
+
+    comp = aegtypes.get("LongType")
+
+    @F.udf("binary")
+    def sk(b):
+        return comp.sort_key(bytes(b)) if b is not None else None
+
+    def enc(n):
+        return struct.pack(">q", n)
+
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "t", enc(-3), enc(3), None, 150, None, 99, None),
+        ("", 1, b"k", MIN, "c", enc(-1), None, b"covered", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(5), None, b"outside", 100, None, None, None),
+    ])
+    out = rows_of(compact(
+        df,
+        name_sort_key=sk(F.col("cell_name")),
+        name_max_sort_key=sk(F.col("cell_name_max")),
+    ))
+    names = [struct.unpack(">q", c[0])[0] for c in out[b"k"][1]]
+    assert names == [5]
