@@ -190,6 +190,58 @@ def _sk_float(b: bytes) -> bytes:
     return bytes([b[0] | 0x80]) + bytes(b[1:])
 
 
+def _sk_varint(b: bytes) -> bytes:
+    """Order-preserving key for Cassandra IntegerType (varint): variable-
+    length big-endian two's-complement, compared numerically (reference
+    comparator: sign, then length, then unsigned bytes — i.e. numeric order).
+    Raw bytes do NOT sort numerically (0xFF = -1 > 0x01 = 1 in raw order).
+
+    Layout: 1 sign byte (0x00 neg / 0x01 zero / 0x02 pos) + fixed 8-byte
+    magnitude length (complemented for negatives: longer = more negative =
+    smaller) + magnitude bytes (complemented for negatives).
+    """
+    n = _int_of(b)
+    if n == 0:
+        return b"\x01"
+    mag = abs(n).to_bytes((abs(n).bit_length() + 7) // 8, "big")
+    if n > 0:
+        return b"\x02" + len(mag).to_bytes(8, "big") + mag
+    return (
+        b"\x00"
+        + ((1 << 64) - 1 - len(mag)).to_bytes(8, "big")
+        + bytes(x ^ 0xFF for x in mag)
+    )
+
+
+def _sk_decimal(b: bytes) -> bytes:
+    """Order-preserving key for Cassandra DecimalType (4-byte scale +
+    varint unscaled; compared as BigDecimal, i.e. numerically). Raw bytes
+    lead with the scale and never sort numerically.
+
+    Layout: sign byte + sign-flipped 8-byte adjusted exponent + normalized
+    mantissa digits (complemented for negatives) + terminator so a shorter
+    mantissa orders correctly against its extensions.
+    """
+    scale = int.from_bytes(b[:4], "big", signed=True)
+    unscaled = int.from_bytes(b[4:], "big", signed=True)
+    if unscaled == 0:
+        return b"\x01"
+    d = Decimal(abs(unscaled)).scaleb(-scale).normalize()
+    _, digits, exp = d.as_tuple()
+    adjusted = exp + len(digits) - 1
+    mant = bytes(48 + x for x in digits).rstrip(b"0") or b"0"
+    if unscaled > 0:
+        return (
+            b"\x02" + (adjusted + (1 << 63)).to_bytes(8, "big") + mant + b"\x00"
+        )
+    return (
+        b"\x00"
+        + ((1 << 64) - 1 - (adjusted + (1 << 63))).to_bytes(8, "big")
+        + bytes(0x39 - x + 0x30 for x in mant)
+        + b"\xff"
+    )
+
+
 def _sk_timeuuid(b: bytes) -> bytes:
     # TimeUUID sorts by its 60-bit timestamp: time_hi(12 bits sans version),
     # time_mid, time_low, then the raw bytes as tiebreak
@@ -212,7 +264,7 @@ _SIMPLE = {
     "AsciiType": Comparator("AsciiType", T.StringType(), _render_ascii, None, lambda b: b.decode("ascii")),
     "LongType": Comparator("LongType", T.LongType(), _render_long, _sk_signed_fixed, _compose_long),
     "Int32Type": Comparator("Int32Type", T.IntegerType(), _render_int32, _sk_signed_fixed, _compose_long),
-    "IntegerType": Comparator("IntegerType", T.DecimalType(38, 0), lambda b: str(_int_of(b)), None, _compose_long),
+    "IntegerType": Comparator("IntegerType", T.DecimalType(38, 0), lambda b: str(_int_of(b)), _sk_varint, _compose_long),
     "BooleanType": Comparator("BooleanType", T.BooleanType(), _render_bool, None, lambda b: bool(b and b[0])),
     "FloatType": Comparator("FloatType", T.FloatType(), _render_float, _sk_float, lambda b: _struct.unpack(">f", b)[0]),
     "DoubleType": Comparator("DoubleType", T.DoubleType(), _render_double, _sk_float, lambda b: _struct.unpack(">d", b)[0]),
@@ -223,7 +275,7 @@ _SIMPLE = {
                                 _compose_timestamp),
     "DateType": Comparator("DateType", T.TimestampType(), _render_timestamp, _sk_signed_fixed, _compose_timestamp),
     "DecimalType": Comparator(
-        "DecimalType", T.StringType(), _render_decimal, None,
+        "DecimalType", T.StringType(), _render_decimal, _sk_decimal,
         lambda b: Decimal(int.from_bytes(b[4:], "big", signed=True)).scaleb(
             -int.from_bytes(b[:4], "big", signed=True)
         ),

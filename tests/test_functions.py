@@ -142,3 +142,76 @@ def test_read_aeg_json_roundtrip_with_writer(spark, tmp_path):
     schema = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     assert schema["deletedat"] == "bigint"
     assert schema["bag_columns"].startswith("array<struct<name:string")
+
+
+def _tc(n: int) -> bytes:
+    """minimal big-endian two's-complement encoding (Cassandra varint)"""
+    ln = max(1, (n.bit_length() + 8) // 8)
+    return n.to_bytes(ln, "big", signed=True)
+
+
+def test_integer_type_sort_key_numeric_order():
+    from aegisthus_spark import types as aegtypes
+
+    comp = aegtypes.get("IntegerType")
+    vals = [-(1 << 100), -65536, -256, -255, -129, -128, -2, -1, 0,
+            1, 2, 127, 128, 255, 256, 65535, 1 << 100]
+    keys = [comp.sort_key(_tc(v)) for v in vals]
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_decimal_type_sort_key_numeric_order():
+    from decimal import Decimal
+
+    from aegisthus_spark import types as aegtypes
+
+    comp = aegtypes.get("DecimalType")
+
+    def enc(scale: int, unscaled: int) -> bytes:
+        return scale.to_bytes(4, "big", signed=True) + _tc(unscaled)
+
+    # (scale, unscaled) pairs listed in ascending numeric order; mixed scales
+    cases = [
+        (0, -1230), (1, -1234), (1, -1230), (3, -1234), (3, -1230), (3, -123),
+        (5, -1), (0, 0), (5, 1), (3, 123), (3, 1230), (3, 1234), (1, 1230),
+        (1, 1234), (0, 1230),
+    ]
+    vals = [Decimal(u).scaleb(-s) for s, u in cases]
+    assert vals == sorted(vals)
+    keys = [comp.sort_key(enc(s, u)) for s, u in cases]
+    assert keys == sorted(keys)
+    # equal values with different scales must encode equal
+    assert comp.sort_key(enc(3, 1230)) == comp.sort_key(enc(2, 123))
+
+
+def test_decimal_integer_sort_key_hypothesis():
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aegisthus_spark import types as aegtypes
+
+    icomp = aegtypes.get("IntegerType")
+    dcomp = aegtypes.get("DecimalType")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(10 ** 40), max_value=10 ** 40),
+           st.integers(min_value=-(10 ** 40), max_value=10 ** 40))
+    def check_int(a, b):
+        ka, kb = icomp.sort_key(_tc(a)), icomp.sort_key(_tc(b))
+        assert (ka < kb) == (a < b) and (ka == kb) == (a == b)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(-(10 ** 25), 10 ** 25), st.integers(-20, 20),
+           st.integers(-(10 ** 25), 10 ** 25), st.integers(-20, 20))
+    def check_dec(u1, s1, u2, s2):
+        def enc(scale, unscaled):
+            return scale.to_bytes(4, "big", signed=True) + _tc(unscaled)
+
+        v1, v2 = Decimal(u1).scaleb(-s1), Decimal(u2).scaleb(-s2)
+        k1, k2 = dcomp.sort_key(enc(s1, u1)), dcomp.sort_key(enc(s2, u2))
+        assert (k1 < k2) == (v1 < v2) and (k1 == k2) == (v1 == v2)
+
+    check_int()
+    check_dec()
