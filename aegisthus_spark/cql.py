@@ -60,7 +60,8 @@ class CqlColumn:
     cql_type: str
     kind: str = "regular"  # regular | partition_key | clustering | static
     collection: str | None = None  # list | set | map
-    element_type: str | None = None
+    element_type: str | None = None  # list/set element, or map KEY type
+    value_type: str | None = None  # map VALUE type
 
 
 @dataclass
@@ -130,6 +131,7 @@ def parse_create_table(ddl: str) -> CqlSchema:
         if coll:
             col.collection = coll.group(1).lower()
             col.element_type = coll.group(2).lower()
+            col.value_type = coll.group(3).lower() if coll.group(3) else None
         elif type_str not in CQL_TYPES:
             raise ValueError(f"unsupported CQL type: {type_str}")
         if cm.group(3):
@@ -380,13 +382,14 @@ def cql_rows(compacted: DataFrame, ddl: str | CqlSchema) -> DataFrame:
             )
         elif col.collection == "map":
             kt = col.element_type or "blob"
+            vt = col.value_type or "blob"
             out_cols.append(
                 F.map_from_entries(
                     F.transform(
                         nonempty,
                         lambda s: F.struct(
                             compose_value(s.getField("k"), kt).alias("k"),
-                            s.getField("v").alias("v"),
+                            compose_value(s.getField("v"), vt).alias("v"),
                         ),
                     )
                 ).alias(col.name)

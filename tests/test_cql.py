@@ -157,3 +157,43 @@ def test_cql_rows_static_columns(spark):
     assert [r.ck for r in got] == [1, 2]
     assert [r.v for r in got] == [10, 20]
     assert all(r.s == "stat" for r in got)
+
+
+def test_cql_rows_map_and_set_typed(spark):
+    """map<text,int>: both keys AND values composed to their declared types
+    (reference throws on collections, CQLMapper.java:149-153 — ours types
+    them); set<int> elements decoded from the collection key component."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.cql import cql_rows
+    from tests.conftest import CELLS_SCHEMA
+
+    def comp_name(*parts):
+        out = b""
+        for p in parts:
+            out += struct.pack(">H", len(p)) + p + b"\x00"
+        return out
+
+    ck = struct.pack(">i", 1)
+    rows_in = [
+        # map m: {'a': 7, 'b': 42}
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"m", b"a"),
+         None, struct.pack(">i", 7), 1, None, None, None),
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"m", b"b"),
+         None, struct.pack(">i", 42), 1, None, None, None),
+        # set s: {5, 9} (element in the collection key, empty value)
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"s", struct.pack(">i", 5)),
+         None, b"", 1, None, None, None),
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"s", struct.pack(">i", 9)),
+         None, b"", 1, None, None, None),
+    ]
+    cells = spark.createDataFrame(rows_in, CELLS_SCHEMA)
+    ddl = ("CREATE TABLE t (key blob, ck int, m map<text,int>, s set<int>, "
+           "PRIMARY KEY (key, ck))")
+    rows = cql_rows(compact(cells), ddl)
+    types = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+    assert types["m"] == "map<string,int>"
+    assert types["s"] == "array<int>"
+    got = rows.collect()
+    assert len(got) == 1
+    assert dict(got[0].m) == {"a": 7, "b": 42}
+    assert sorted(got[0].s) == [5, 9]
