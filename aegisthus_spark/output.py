@@ -52,7 +52,13 @@ def render_row_json(
     key_str = key_conv.render(key)
     cols_out = []
     if max_col_size is not None:
-        total = sum(len(c["name"] or b"") + len(c["value"] or b"") + 15 for c in columns)
+        # serializedSizeForSSTable: regular cells = name+value+15 framing;
+        # expiring ('e') and counter ('x') atoms carry 8 extra bytes
+        total = sum(
+            len(c["name"] or b"") + len(c["value"] or b"") + 15
+            + (8 if c.get("kind") in ("e", "x") else 0)
+            for c in columns
+        )
         if total > max_col_size:
             cols_out = [["error", f"row too large: {total:,d} bytes - limit {max_col_size:,d} bytes", 0]]
             columns = []
@@ -69,10 +75,12 @@ def render_row_json(
         elif kind == "x":
             entry += ["c", c.get("ts_of_last_delete")]
         cols_out.append(entry)
+    # ensure_ascii=False: Jackson writes raw UTF-8, not \uXXXX escapes —
+    # keeps byte parity for non-ASCII UTF8Type names/values
     body = json.dumps(
         {key_str: {"deletedAt": deleted_at, "columns": cols_out}},
         separators=(",", ":"),
-        ensure_ascii=True,
+        ensure_ascii=False,
     )
     return f"{key_str}\t{body}"
 
@@ -166,7 +174,8 @@ def to_aeg_json(
             # model matches render_row_json (name+value+15 framing bytes)
             total = F.expr(
                 "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
-                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15)"
+                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15 "
+                "+ if(c.kind in ('e', 'x'), 8, 0))"
             )
             marker = F.concat(
                 F.lit('["error","row too large: '),

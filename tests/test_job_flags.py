@@ -156,3 +156,48 @@ def test_cli_json_with_sort_flag(spark, tmp_path, monkeypatch):
     )
     want = sorted(l.split("\t")[0] for l in golden_lines("2.0.10/randomtable"))
     assert got == want
+
+
+def test_max_col_size_counts_expiring_counter_framing(spark):
+    """Size model: expiring ('e') and counter ('x') atoms add 8 framing bytes
+    (serializedSizeForSSTable) — a row that fits with regular cells can
+    exceed the limit when the same cells are expiring."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import to_aeg_json
+    from tests.conftest import CELLS_SCHEMA
+
+    # name(2) + value(3) + 15 = 20 per regular cell; 28 if expiring
+    def row(kind, name):
+        ttl = 60 if kind == "e" else None
+        ldt = 99 if kind == "e" else None
+        return ("f", 1, b"k", -(1 << 63), kind, name, None, b"vvv", 1, ttl, ldt, None)
+
+    reg = spark.createDataFrame([row("c", b"n1"), row("c", b"n2")], CELLS_SCHEMA)
+    exp = spark.createDataFrame([row("e", b"n1"), row("e", b"n2")], CELLS_SCHEMA)
+    line_reg = to_aeg_json(compact(reg), max_col_size=41).collect()[0].value
+    line_exp = to_aeg_json(compact(exp), max_col_size=41).collect()[0].value
+    assert "error" not in line_reg  # 40 <= 41
+    assert "row too large: 56 bytes" in line_exp  # 2*28 > 41
+    # merge-side truncation guard uses the same model: limit 41 keeps only
+    # the first expiring cell (28), not both (56)
+    trunc = compact(exp, max_row_size=41).collect()[0]
+    assert trunc.row_too_big and len(trunc.columns) == 1
+
+
+def test_render_row_json_non_ascii_utf8():
+    """Jackson emits raw UTF-8, not \\uXXXX escapes — byte parity for
+    non-ASCII UTF8Type names/values."""
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.output import parse_aeg_json_line, render_row_json
+
+    utf8 = aegtypes.get("UTF8Type")
+    line = render_row_json(
+        "clé".encode(), -(1 << 63),
+        [{"name": "naïve".encode(), "value": "héllo→".encode(), "ts": 5,
+          "kind": "c", "ttl": None, "local_deletion_time": None,
+          "ts_of_last_delete": None}],
+        key_conv=utf8, name_conv=utf8, value_conv=utf8,
+    )
+    assert "\\u" not in line and "naïve" in line and "héllo→" in line
+    parsed = parse_aeg_json_line(line)
+    assert parsed["columns"][0]["name"] == "naïve"
