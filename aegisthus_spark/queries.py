@@ -1144,3 +1144,72 @@ def q_rollup_revenue(spark, sf_dir):
         )
         .orderBy("nation", "yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# SSTable decode path (S1-S10, K1) under the correctness gate
+# ---------------------------------------------------------------------------
+# These run the REAL pipeline — sstable scan -> compact -> aeg-JSON render —
+# over the reference repo's fixture SSTables (read-only), and the oracle is
+# the reference's own golden output frozen verbatim into
+# tests/golden/decode_golden.parquet (tools/make_decode_golden.py). The
+# sf_dir argument is unused: the fixtures are fixed-size reference inputs
+# (AegisthusIntegrationTest.groovy:181-195 is the reference's own bar).
+
+_SST_TESTDATA = "/root/reference/aegisthus-hadoop/src/test/resources/testdata"
+_DECODE_GOLDEN = "/root/repo/tests/golden/decode_golden.parquet"
+
+
+def _sst_decode_lines(spark, case_dir: str, *, skip_corrupt: bool = False):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+
+    cells = read_sstable_cells(
+        spark, [f"{_SST_TESTDATA}/{case_dir}/input"], skip_corrupt=skip_corrupt
+    )
+    if skip_corrupt:
+        cells = cells.filter(F.col("kind") != "!")
+    return to_aeg_json(compact(cells)).select(F.col("value").alias("line"))
+
+
+def _decode_oracle(case_name: str) -> str:
+    return (
+        f"SELECT line FROM read_parquet('{_DECODE_GOLDEN}') "
+        f"WHERE case_name = '{case_name}' ORDER BY line"
+    )
+
+
+@register(
+    "sst_decode_randomtable",
+    _decode_oracle("randomtable_jb"),
+    doc="decode jb SSTables -> compact -> aeg-JSON == reference golden bytes",
+)
+def sst_decode_randomtable(spark, sf_dir):
+    return _sst_decode_lines(spark, "2.0.10/randomtable")
+
+
+@register(
+    "sst_decode_rangetombstone",
+    _decode_oracle("rangetombstone_la"),
+    doc="la-format SSTables with range tombstones == reference golden bytes",
+)
+def sst_decode_rangetombstone(spark, sf_dir):
+    return _sst_decode_lines(spark, "2.2.4/rangetombstone")
+
+
+@register(
+    "sst_decode_compressed",
+    _decode_oracle("compressed_jb"),
+    doc="compressed SSTables (chunk-map splittable read) == reference golden",
+)
+def sst_decode_compressed(spark, sf_dir):
+    return _sst_decode_lines(spark, "2.0.10_compressed/randomtable")
+
+
+@register(
+    "sst_decode_combined",
+    _decode_oracle("combined_ic_jb"),
+    doc="multi-version (ic+jb) merge with one corrupt input skipped",
+)
+def sst_decode_combined(spark, sf_dir):
+    return _sst_decode_lines(spark, "2.0.10_1.2.18_combined/randomtable", skip_corrupt=True)
