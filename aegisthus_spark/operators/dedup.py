@@ -156,16 +156,39 @@ def minhash_lsh_dedup(
     return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.1, n: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.1,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Brute-force ground truth: all pairs sharing a shingle, Jaccard >= t.
 
     One shuffle on the shingle, one on the pair: common counts come straight
     out of the self-join's groupBy (no candidate-set materialization and no
     second shingle join). Still O(pairs) by nature — the LSH path is the
     100 TB route; this is the verification baseline.
+
+    ``max_shingle_df``: skew guard for the self-join — a shingle appearing in
+    k documents contributes k^2 join rows, so one stop-phrase shared by 1e5
+    docs would emit 1e10 pairs. Shingles with document frequency above the
+    cap are excluded from the common-count join (sizes stay exact, so the
+    Jaccard of pairs sharing only rare shingles is unchanged; hot-shingle
+    pairs are underestimated — acceptable for a dedup screen, and exact
+    verification of surviving pairs can follow via jaccard_of_pairs). None
+    (default) keeps exact semantics for oracle comparison.
     """
     sh = word_shingles(docs, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s"))
     common = (

