@@ -4,4 +4,4 @@ plumbing. All hot paths are JVM expressions (no Python UDFs); hashes are
 md5-derived so a DuckDB oracle can reproduce them bit-for-bit.
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import dedup, ranking, similarity, text  # noqa: F401

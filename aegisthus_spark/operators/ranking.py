@@ -1,0 +1,53 @@
+"""Scalable total-order ranking.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels every row through a
+single task — fine at dimension cardinality, fatal on a fact table. The
+two-stage pattern here keeps the same semantics with bounded per-task work:
+
+1. ``repartitionByRange`` on the sort key — a distributed range sort; each
+   of N partitions holds a contiguous, disjoint key range.
+2. Rank locally inside each partition (``Window.partitionBy(_pid)`` — no
+   global funnel).
+3. Add per-partition offsets: the cumulative row counts of the preceding
+   partitions. The offset table has exactly N rows, so its own global
+   window is O(num_partitions), and it broadcast-joins back.
+
+Equivalent to ``row_number() OVER (ORDER BY ...)``; equals ``RANK()`` /
+``DENSE_RANK()`` too whenever the sort key is unique (no ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    *,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global rank column in the given total order.
+
+    Ties: rows with equal sort keys get distinct, arbitrary consecutive
+    ranks (row_number semantics) — pass a tiebreaker column to make the
+    order total and the result deterministic.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # N-row table: the only unpartitioned window runs over partition COUNTS
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.row_number().over(local_w) + F.col("_off")).cast("int"))
+        .drop("_pid", "_off")
+    )

@@ -360,6 +360,11 @@ def q18_large_volume_customers(spark, sf_dir):
     doc="window function over a join+agg (TPC-H Q15 analog)",
 )
 def q_supplier_revenue_rank(spark, sf_dir):
+    """Two-stage global rank (operators.ranking): range-partition on the
+    sort key + local rank + N-row offset table — no full-data single-
+    partition window. s_suppkey is unique, so row_number == RANK()."""
+    from .operators.ranking import global_row_number
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     sr = (
@@ -367,8 +372,10 @@ def q_supplier_revenue_rank(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.desc("revenue"), "s_suppkey")
-    return sr.withColumn("rev_rank", F.rank().over(w)).orderBy("rev_rank")
+    ranked = global_row_number(
+        sr, [F.desc("revenue"), F.col("s_suppkey")], rank_col="rev_rank"
+    )
+    return ranked.select("s_suppkey", "s_name", "revenue", "rev_rank").orderBy("rev_rank")
 
 
 # ---------------------------------------------------------------------------

@@ -95,3 +95,17 @@ def test_queries_stay_jvm_side(spark, queries):
         plan = physical_plan(fn(spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{name} uses a scalar pandas UDF"
+
+
+def test_supplier_rank_no_global_window_funnel(spark, queries):
+    """The global rank must NOT funnel the aggregated data through one task:
+    data is range-partitioned on the sort key and ranked per-partition; the
+    only single-partition exchange feeds the N-row offset table."""
+    from aegisthus_spark.plans import physical_plan
+
+    df = queries["q_supplier_revenue_rank"](spark, SF_DIR)
+    plan = physical_plan(df, "formatted")
+    assert "rangepartitioning(revenue" in plan, "missing distributed range sort"
+    assert "windowspecdefinition(_pid" in plan, "rank window must be partition-local"
+    # offsets cumulative-sum window is the only unpartitioned one (N rows)
+    assert plan.count("Exchange SinglePartition") <= 1, plan
