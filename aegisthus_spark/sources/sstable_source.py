@@ -190,8 +190,9 @@ def _decode_tasks(batches) -> "Iterator":
 
     import pyarrow as pa
 
+    from ..sstable.arrow_decode import scan_data_buffer_batches
     from ..sstable.compression import open_compressed
-    from ..sstable.decoder import ROW_FIELDS, scan_data_buffer_rows, scan_data_file
+    from ..sstable.decoder import ROW_FIELDS, scan_data_file
 
     schema = _arrow_cells_schema()
     assert tuple(f.name for f in schema) == ROW_FIELDS
@@ -236,19 +237,24 @@ def _decode_tasks(batches) -> "Iterator":
                     finally:
                         f.close()
                 elif os.path.getsize(task["path"]) > 0:
+                    # columnar fast path: parse straight into Arrow buffers
+                    # (arrow_decode.py) — no tuples, no object lists. The
+                    # generator itself honors skip_corrupt (sentinel row).
+                    if cols[0]:
+                        yield flush()
                     with open(task["path"], "rb") as fh, mmap.mmap(
                         fh.fileno(), 0, access=mmap.ACCESS_READ
                     ) as mm:
-                        yield from consume(
-                            scan_data_buffer_rows(
-                                mm,
-                                version=task["version"],
-                                start=int(task["start"]),
-                                end=int(task["end"]),
-                                source_path=task["path"],
-                                generation=int(task["generation"]),
-                            )
+                        yield from scan_data_buffer_batches(
+                            mm,
+                            version=task["version"],
+                            start=int(task["start"]),
+                            end=int(task["end"]),
+                            source_path=task["path"],
+                            generation=int(task["generation"]),
+                            skip_corrupt=bool(task["skip_corrupt"]),
                         )
+                    continue
             except Exception:
                 if not task["skip_corrupt"]:
                     raise

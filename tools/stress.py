@@ -63,7 +63,13 @@ def main() -> None:
         t = time.time()
         n = sum(1 for _ in scan_data_buffer_rows(mm, version="jb"))
         dt = time.time() - t
-    print(f"decode single-core: {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+        print(f"decode single-core (tuples, no output): {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+        from aegisthus_spark.sstable.arrow_decode import scan_data_buffer_batches
+
+        t = time.time()
+        n = sum(b.num_rows for b in scan_data_buffer_batches(mm, version="jb"))
+        dt = time.time() - t
+        print(f"decode single-core (columnar -> Arrow): {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
 
     spark = get_spark("stress", cpus=args.cpus)
     from pyspark.sql import functions as F
