@@ -433,11 +433,14 @@ def scan_data_buffer_rows(
             o = row_end
 
 
-def scan_file(path: str, errors: str = "raise", on_corrupt=None, **kw) -> Iterator[dict]:
+def scan_file(
+    path: str, errors: str = "raise", on_corrupt=None, compression_path=None, **kw
+) -> Iterator[dict]:
     """Decode a Data.db file on local disk (auto version + compression).
 
     Compression sidecar discovery mirrors AegisthusInputFormat.getCompressionPath
-    (exact sibling, else ±1-minute datetime directory).
+    (exact sibling, else ±1-minute datetime directory); ``compression_path``
+    overrides it (the reference tool's ``-comp`` flag).
 
     ``errors='skip'``: a decode error ends this file's stream (cells decoded
     before the error are kept) and calls ``on_corrupt(path, exc)`` — the
@@ -452,7 +455,7 @@ def scan_file(path: str, errors: str = "raise", on_corrupt=None, **kw) -> Iterat
         generation = parse_filename(path).generation
     except ValueError:
         generation = 0
-    comp_path = find_compression_sidecar(path)
+    comp_path = compression_path or find_compression_sidecar(path)
     if comp_path is not None:
         # compressed: stream chunk-at-a-time (whole-file split, like the
         # reference — AegisthusInputFormat.java:131-135)

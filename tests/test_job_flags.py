@@ -201,3 +201,33 @@ def test_render_row_json_non_ascii_utf8():
     assert "\\u" not in line and "naïve" in line and "héllo→" in line
     parsed = parse_aeg_json_line(line)
     assert parsed["columns"][0]["name"] == "naïve"
+
+
+def test_sstable2json_cli(capsys):
+    """sstable2json parity (scripts/README.md:1-17): dump the reference's own
+    sample tables — the compressed one is a Snappy ib table, so this also
+    exercises the Snappy chunk path end-to-end."""
+    import json
+
+    from aegisthus_spark.sstable2json import main
+
+    main(["/root/reference/scripts/data/test-uncompressed-ib-1-Data.db",
+          "--key-type", "UTF8Type", "--column-type", "UTF8Type",
+          "--column-value-type", "UTF8Type"])
+    plain = capsys.readouterr().out.rstrip("\n").split("\n")
+    main(["/root/reference/scripts/data/test-compressed-ib-1-Data.db",
+          "-comp", "/root/reference/scripts/data/test-compressed-ib-1-CompressionInfo.db",
+          "--key-type", "UTF8Type", "--column-type", "UTF8Type",
+          "--column-value-type", "UTF8Type"])
+    comp = capsys.readouterr().out.rstrip("\n").split("\n")
+    assert len(plain) == 100 and len(comp) == 100
+    # same logical content in both files (write timestamps differ)
+    def logical(lines):
+        out = {}
+        for ln in lines:
+            key, _, body = ln.partition("\t")
+            row = json.loads(body)[key]
+            out[key] = sorted((c[0], c[1]) for c in row["columns"])
+        return out
+    assert logical(plain) == logical(comp)
+    assert logical(plain)["user48"] == [("ts", "48"), ("user_name", "name_48")]
