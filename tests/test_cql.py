@@ -197,3 +197,71 @@ def test_cql_rows_map_and_set_typed(spark):
     assert len(got) == 1
     assert dict(got[0].m) == {"a": 7, "b": 42}
     assert sorted(got[0].s) == [5, 9]
+
+
+@pytest.mark.parametrize("version", ["ic", "jb"])
+def test_cql_collections_statics_from_real_sstables(spark, tmp_path, version):
+    """End-to-end beats-reference feature (CQLMapper.java:149-153 THROWS on
+    collections; single-generation only): write two REAL SSTable generations
+    with a static column and map/set/list cells, read through the full
+    distributed pipeline (source -> compact -> cleanse -> cql_rows), and
+    check gen-2 overwrites won inside the typed collections."""
+    import uuid as uuidlib
+
+    from aegisthus_spark.compact import cleanse, compact
+    from aegisthus_spark.cql import cql_rows
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.writer import serialize_row
+
+    def comp_name(*parts):
+        out = b""
+        for p in parts:
+            out += struct.pack(">H", len(p)) + p + b"\x00"
+        return out
+
+    def tuuid(t):
+        u = uuidlib.UUID(fields=(
+            t & 0xFFFFFFFF, (t >> 32) & 0xFFFF,
+            ((t >> 48) & 0x0FFF) | 0x1000, 0x80, 0, 0xC0FFEE))
+        return u.bytes
+
+    ck = struct.pack(">i", 1)
+
+    def cell(name, value, ts):
+        return {"name": name, "value": value, "ts": ts, "kind": "c",
+                "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}
+
+    static_name = b"\xff\xff" + comp_name(b"", b"st")
+    gen1 = [
+        cell(static_name, b"old-static", 10),
+        cell(comp_name(ck, b"m", b"a"), struct.pack(">i", 7), 10),
+        cell(comp_name(ck, b"m", b"b"), struct.pack(">i", 42), 10),
+        cell(comp_name(ck, b"s", struct.pack(">i", 5)), b"", 10),
+        cell(comp_name(ck, b"l", tuuid(1)), struct.pack(">q", 10), 10),
+        cell(comp_name(ck, b"l", tuuid(2)), struct.pack(">q", 20), 10),
+    ]
+    gen2 = [
+        cell(static_name, b"new-static", 20),            # static overwrite
+        cell(comp_name(ck, b"m", b"b"), struct.pack(">i", 43), 20),  # map overwrite
+        cell(comp_name(ck, b"s", struct.pack(">i", 9)), b"", 20),    # set add
+    ]
+    d = tmp_path / "sst"
+    d.mkdir()
+    # one real Data.db per generation (distinct generation in the filename)
+    for gen, cols in ((1, gen1), (2, gen2)):
+        name = f"keyspace-dataset-{version}-{gen}-Data.db"
+        with open(d / name, "wb") as f:
+            f.write(serialize_row(b"pk1", -(1 << 63), cols, version=version))
+
+    cells = read_sstable_cells(spark, [str(d)])
+    rows = cleanse(compact(cells))
+    ddl = ("CREATE TABLE t (key blob, ck int, m map<text,int>, s set<int>, "
+           "l list<bigint>, st text static, PRIMARY KEY (key, ck))")
+    got = cql_rows(rows, ddl).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert bytes(r.key) == b"pk1" and r.ck == 1
+    assert dict(r.m) == {"a": 7, "b": 43}       # gen2 value won LWW
+    assert sorted(r.s) == [5, 9]                # merged across generations
+    assert list(r.l) == [10, 20]                # timeuuid order preserved
+    assert r.st == "new-static"                 # static LWW across gens
