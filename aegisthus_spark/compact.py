@@ -66,6 +66,7 @@ def compact(
     name_max_sort_key=None,
     max_row_size: int | None = None,
     group_by_source: bool = False,
+    keep_range_tombstones: bool = False,
 ) -> DataFrame:
     """cells -> compacted rows (partition_key, deleted_at, columns, row_too_big).
 
@@ -81,6 +82,14 @@ def compact(
     ``group_by_source``: trace mode — group by (key, source_path) instead of
     key alone, mirroring the reference's grouping comparator when source
     tracing is on (AegisthusKeyGroupingComparator.java:6-18).
+
+    ``keep_range_tombstones``: carry surviving range tombstones in the output
+    as ``kind='t'`` column entries (name = min bound, value = max bound),
+    appended after the cells. The reference's reducer drops RTs after
+    applying them (CassSSTableReducer.java:173-192) — correct for one-shot
+    snapshots, but an incremental merge then resurrects late-arriving cells
+    older than an already-applied RT. Streaming snapshots set this flag and
+    ``rows_to_cells`` turns the entries back into RT records.
     """
     # corrupt-file sentinels ('!', null key) must never form a merge group
     cells = cells.filter(F.col("partition_key").isNotNull())
@@ -127,6 +136,9 @@ def compact(
         sort_key.alias("min_sk"),
         max_sort_key.alias("max_sk"),
         F.col("ts").alias("ts"),
+        # raw bounds, only needed to re-emit surviving RTs
+        F.col("cell_name").alias("name"),
+        F.col("cell_name_max").alias("max_raw"),
     )
 
     keys = ["partition_key", "source_path"] if group_by_source else ["partition_key"]
@@ -200,8 +212,19 @@ def compact(
         .withColumn("c2", F.expr(lww))
         .withColumn("c3", F.expr(shadow))
         .withColumn("columns", F.expr(strip))
-        .drop("cells", "rts", "c1", "c2", "c3")
     )
+    if keep_range_tombstones:
+        # surviving RTs (not shadowed by the row tombstone), deduplicated,
+        # appended after the cells as kind='t' entries (min in name, max in
+        # value — the columns struct has no extra binary slot)
+        rt_cols = (
+            "transform(array_sort(array_distinct(filter(rts, r -> r.ts > deleted_at))), "
+            "r -> struct(r.name as name, r.max_raw as value, r.ts as ts, 't' as kind, "
+            "cast(null as int) as ttl, cast(null as int) as local_deletion_time, "
+            "cast(null as long) as ts_of_last_delete))"
+        )
+        out = out.withColumn("columns", F.expr(f"concat(columns, {rt_cols})"))
+    out = out.drop("cells", "rts", "c1", "c2", "c3")
     cols = keys + ["deleted_at", "columns", "row_too_big"]
     return out.select(*cols)
 
@@ -212,7 +235,13 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
     Pairwise row merge via a full outer join on ``partition_key``: columns
     arrays are concatenated, re-sorted, LWW'd per name with the same tie
     rule as :func:`compact`, and re-shadowed under the folded row deletion.
-    Compacted output carries no range tombstones, so no RT pass is needed.
+
+    Range-tombstone entries (``kind='t'``, produced by
+    ``compact(keep_range_tombstones=True)``) are honored: cells covered by
+    an RT from either side with ``rt.ts >= cell.ts`` are dropped, and the
+    surviving RTs are re-emitted (so a cell arriving N merges later is
+    still shadowed). Bounds compare as raw bytes — byte-ordered comparators
+    (the snapshot pipeline's contract).
 
     This is the incremental-snapshot fast path: when ``a`` is a snapshot
     stored bucketed by ``partition_key`` (with matching bucket count), only
@@ -238,19 +267,28 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
             "concat(coalesce(cols_a, array()), coalesce(cols_b, array()))"
         ).alias("all_cols"),
     )
-    # decorate with the merge sort key, sort, LWW (keep last per name), shadow
+    # split RT entries out, apply their coverage to the live cells, then
+    # decorate/sort/LWW/shadow the survivors exactly as compact() does
+    rts = "filter(all_cols, x -> x.kind = 't')"
+    live = (
+        "filter(all_cols, x -> x.kind != 't' AND NOT exists(rts, "
+        "r -> r.name <= x.name AND x.name <= r.value AND r.ts >= x.ts))"
+    )
     decorated = (
-        "array_sort(transform(all_cols, x -> struct("
+        "array_sort(transform(live, x -> struct("
         "x.name as sk, x.ts as ts, if(x.kind = 'd', 1, 0) as rank, "
         "x.value as value, x as c)))"
     )
     lww = "filter(d1, (x, i) -> i = size(d1) - 1 OR x.sk != d1[i + 1].sk)"
     shadow = "filter(d2, x -> x.ts > deleted_at)"
+    kept_rts = "array_sort(array_distinct(filter(rts, r -> r.ts > deleted_at)))"
     return (
-        j.withColumn("d1", F.expr(decorated))
+        j.withColumn("rts", F.expr(rts))
+        .withColumn("live", F.expr(live))
+        .withColumn("d1", F.expr(decorated))
         .withColumn("d2", F.expr(lww))
         .withColumn("d3", F.expr(shadow))
-        .withColumn("columns", F.expr("transform(d3, x -> x.c)"))
+        .withColumn("columns", F.expr(f"concat(transform(d3, x -> x.c), {kept_rts})"))
         .select(
             "partition_key", "deleted_at", "columns", F.lit(False).alias("row_too_big")
         )

@@ -16,11 +16,15 @@ Design (LSM-style, scale-first):
   snapshot is bucketed by ``partition_key`` (``bucketBy`` on write keeps the
   snapshot side shuffle-free); the micro-batch side is small by definition.
 
-Caveat (shared with the reference): compacted output does not retain range
-tombstones (finalizeReduce drops them, CassSSTableReducer.java:173-192), so
-a cell arriving in a later batch with a timestamp older than an
-already-applied range tombstone will survive the merge. Row tombstones ARE
-retained (``deleted_at``) and keep shadowing late cells correctly.
+Unlike the reference's one-shot reducer (which drops range tombstones after
+applying them, CassSSTableReducer.java:173-192), snapshots here RETAIN
+surviving range tombstones: ``compact(keep_range_tombstones=True)`` carries
+them as ``kind='t'`` column entries (min bound in ``name``, max bound in
+``value``), :func:`rows_to_cells` restores them to RT cell records, and
+``merge_compacted`` applies + re-emits them — so a cell arriving N batches
+late, older than an already-applied RT, is still shadowed. Row tombstones
+are likewise retained via ``deleted_at``. RT bounds compare as raw bytes:
+the snapshot pipeline's contract is byte-ordered comparators.
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ def rows_to_cells(rows: DataFrame, *, source_path: str = "snapshot") -> DataFram
     exploded = rows.select(
         "partition_key", "deleted_at", F.explode_outer("columns").alias("c")
     )
+    is_rt = F.col("c.kind") == "t"
     return exploded.select(
         F.lit(source_path).alias("source_path"),
         F.lit(0).alias("generation"),
@@ -58,13 +63,23 @@ def rows_to_cells(rows: DataFrame, *, source_path: str = "snapshot") -> DataFram
         F.col("deleted_at").alias("row_deleted_at"),
         F.coalesce(F.col("c.kind"), F.lit("r")).alias("kind"),
         F.col("c.name").alias("cell_name"),
-        F.lit(None).cast("binary").alias("cell_name_max"),
-        F.col("c.value").alias("value"),
+        # retained RT entries store the max bound in `value` (see compact())
+        F.when(is_rt, F.col("c.value")).alias("cell_name_max"),
+        F.when(~is_rt, F.col("c.value")).alias("value"),
         F.coalesce(F.col("c.ts"), F.lit(LONG_MIN)).alias("ts"),
         F.col("c.ttl").alias("ttl"),
         F.col("c.local_deletion_time").alias("local_deletion_time"),
         F.col("c.ts_of_last_delete").alias("ts_of_last_delete"),
     )
+
+
+def strip_range_tombstones(rows: DataFrame) -> DataFrame:
+    """Export view of a snapshot: drop the retained ``kind='t'`` entries.
+
+    Snapshots carry surviving range tombstones so later merges stay correct;
+    a point-in-time export (aeg-JSON, CQL) wants only the cells — exactly
+    what the reference's one-shot reducer emits."""
+    return rows.withColumn("columns", F.expr("filter(columns, c -> c.kind != 't')"))
 
 
 def latest_snapshot_version(snapshot_root: str) -> int | None:
@@ -94,7 +109,9 @@ def merge_batch(
     cells = batch_cells
     if prev is not None:
         cells = rows_to_cells(prev).unionByName(batch_cells)
-    merged = compact(cells).sortWithinPartitions("partition_key")
+    merged = compact(cells, keep_range_tombstones=True).sortWithinPartitions(
+        "partition_key"
+    )
     new_version = 0 if prev_version is None else prev_version + 1
     out = os.path.join(snapshot_root, f"v{new_version:05d}")
     merged.write.mode("overwrite").parquet(out)
@@ -136,7 +153,9 @@ def merge_bucketed(
     from ..compact import compact, merge_compacted
 
     snap = spark.table(table)
-    batch_rows = compact(batch_cells).repartition(buckets, "partition_key")
+    batch_rows = compact(batch_cells, keep_range_tombstones=True).repartition(
+        buckets, "partition_key"
+    )
     merged = merge_compacted(snap, batch_rows)
     write_snapshot_bucketed(merged, new_table, buckets=buckets)
 

@@ -55,33 +55,98 @@ def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path):
     cells = cells.cache()
     half = files[len(files) // 2]
 
-    write_snapshot_bucketed(
-        compact(cells.filter(F.col("source_path") < half)), "snap_v0", buckets=BUCKETS
-    )
-    merge_bucketed(
-        spark, cells.filter(F.col("source_path") >= half), "snap_v0", "snap_v1",
-        buckets=BUCKETS,
-    )
+    try:
+        write_snapshot_bucketed(
+            compact(cells.filter(F.col("source_path") < half)), "snap_v0", buckets=BUCKETS
+        )
+        merge_bucketed(
+            spark, cells.filter(F.col("source_path") >= half), "snap_v0", "snap_v1",
+            buckets=BUCKETS,
+        )
 
-    # correctness: the merged table equals one-shot compaction
-    from aegisthus_spark.output import to_aeg_json
+        # correctness: the merged table (minus retained RT metadata) equals
+        # one-shot compaction
+        from aegisthus_spark.output import to_aeg_json
+        from aegisthus_spark.streaming.incremental import strip_range_tombstones
 
-    got = sorted(r.value for r in to_aeg_json(spark.table("snap_v1")).collect())
-    want = sorted(r.value for r in to_aeg_json(compact(cells)).collect())
-    assert got == want
+        got = sorted(
+            r.value
+            for r in to_aeg_json(strip_range_tombstones(spark.table("snap_v1"))).collect()
+        )
+        want = sorted(r.value for r in to_aeg_json(compact(cells)).collect())
+        assert got == want
 
-    # scale property: in the merge plan, the bucketed scan side has no
-    # Exchange between the table scan and the join
-    snap = spark.table("snap_v0")
-    batch_rows = compact(
-        cells.filter(F.col("source_path") >= half)
-    ).repartition(BUCKETS, "partition_key")
-    plan = physical_plan(merge_compacted(snap, batch_rows), "formatted")
-    scan_section = plan[plan.index("Scan parquet") :]
-    # bucketed read markers: the scan reports selected bucket count
-    assert re.search(r"Bucketed: true", plan), plan[:2000]
-    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert exchanges <= 1, f"expected only the batch-side exchange:\n{plan[:3000]}"
+        # scale property: in the merge plan, the bucketed scan side has no
+        # Exchange between the table scan and the join
+        snap = spark.table("snap_v0")
+        batch_rows = compact(
+            cells.filter(F.col("source_path") >= half)
+        ).repartition(BUCKETS, "partition_key")
+        plan = physical_plan(merge_compacted(snap, batch_rows), "formatted")
+        # bucketed read markers: the scan reports selected bucket count
+        assert re.search(r"Bucketed: true", plan), plan[:2000]
+        exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert exchanges <= 1, f"expected only the batch-side exchange:\n{plan[:3000]}"
+    finally:
+        # DROP in finally: a leaked managed-table dir fails every later run
+        # with LOCATION_ALREADY_EXISTS, masking the original failure
+        for t in ("snap_v0", "snap_v1"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
-    for t in ("snap_v0", "snap_v1"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+def test_merge_retains_range_tombstones_for_late_cells(spark):
+    """A cell arriving a LATER merge, older than an already-applied RT, must
+    stay dead: compact(keep_range_tombstones=True) carries the RT, and
+    merge_compacted re-applies + re-emits it."""
+    from aegisthus_spark.compact import compact, merge_compacted
+    from tests.conftest import CELLS_SCHEMA
+
+    MIN = -(1 << 63)
+    batch1 = spark.createDataFrame([
+        ("f", 1, b"k", MIN, "t", b"b", b"c", None, 150, None, 99, None),
+        ("f", 1, b"k", MIN, "c", b"b2", None, b"newer", 200, None, None, None),
+        ("f", 1, b"k", MIN, "c", b"a", None, b"out", 100, None, None, None),
+    ], CELLS_SCHEMA)
+    # late arrivals: b@100 (covered, older), b@300 (newer than RT -> lives)
+    batch2 = spark.createDataFrame([
+        ("f", 2, b"k", MIN, "c", b"b", None, b"late_old", 100, None, None, None),
+    ], CELLS_SCHEMA)
+    batch3 = spark.createDataFrame([
+        ("f", 3, b"k", MIN, "c", b"b", None, b"late_new", 300, None, None, None),
+    ], CELLS_SCHEMA)
+
+    snap = compact(batch1, keep_range_tombstones=True)
+    rt_entries = [c for c in snap.collect()[0].columns if c.kind == "t"]
+    assert len(rt_entries) == 1
+    assert bytes(rt_entries[0].name) == b"b" and bytes(rt_entries[0].value) == b"c"
+
+    snap2 = merge_compacted(snap, compact(batch2, keep_range_tombstones=True))
+    names2 = [(bytes(c.name), c.kind) for c in snap2.collect()[0].columns]
+    assert (b"b", "c") not in names2          # late old cell stayed dead
+    assert (b"b", "t") in names2              # RT still carried
+
+    snap3 = merge_compacted(snap2, compact(batch3, keep_range_tombstones=True))
+    cols3 = {bytes(c.name): c for c in snap3.collect()[0].columns if c.kind != "t"}
+    assert bytes(cols3[b"b"].value) == b"late_new"  # newer write survives
+    assert set(cols3) == {b"a", b"b", b"b2"}
+
+
+def test_merge_batch_retains_range_tombstones(spark, tmp_path):
+    """Same guarantee through the directory-versioned merge_batch path."""
+    from aegisthus_spark.streaming.incremental import merge_batch, read_snapshot
+    from tests.conftest import CELLS_SCHEMA
+
+    MIN = -(1 << 63)
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    b1 = spark.createDataFrame([
+        ("f", 1, b"k", MIN, "t", b"b", b"c", None, 150, None, 99, None),
+        ("f", 1, b"k", MIN, "c", b"z", None, b"live", 100, None, None, None),
+    ], CELLS_SCHEMA)
+    b2 = spark.createDataFrame([
+        ("f", 2, b"k", MIN, "c", b"bb", None, b"late_covered", 120, None, None, None),
+    ], CELLS_SCHEMA)
+    merge_batch(spark, b1, root)
+    merge_batch(spark, b2, root)
+    cols = {bytes(c.name): c.kind for c in read_snapshot(spark, root).collect()[0].columns}
+    assert cols == {b"z": "c", b"b": "t"}  # bb resurrected? no — RT held

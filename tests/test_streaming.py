@@ -64,8 +64,10 @@ def test_incremental_snapshot_converges(spark, tmp_path):
     q.awaitTermination(120)
     assert latest_snapshot_version(snap_root) >= 1  # merged in >= 2 batches
 
+    from aegisthus_spark.streaming.incremental import strip_range_tombstones
+
     final = read_snapshot(spark, snap_root)
-    got = sorted(r.value for r in to_aeg_json(final).collect())
+    got = sorted(r.value for r in to_aeg_json(strip_range_tombstones(final)).collect())
     want = sorted(r.value for r in to_aeg_json(compact(cells)).collect())
     assert got == want
 
