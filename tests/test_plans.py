@@ -109,3 +109,19 @@ def test_supplier_rank_no_global_window_funnel(spark, queries):
     assert "windowspecdefinition(_pid" in plan, "rank window must be partition-local"
     # offsets cumulative-sum window is the only unpartitioned one (N rows)
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_components_plan_has_no_shingle_self_join(spark, queries):
+    """dedup_components must consume LSH band-key candidates, never the raw
+    shingle self-join (O(df^2) blowup on hot shingles). The only equi-joins
+    on a shingle column allowed are the candidate-pair verification joins,
+    which are bounded by the LSH candidate set."""
+    from aegisthus_spark.operators.dedup import lsh_candidate_pairs, minhash_lsh_dedup, word_shingles
+    from aegisthus_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, threshold=0.1)
+    plan = physical_plan(pairs, "formatted")
+    # band-key join present; a raw shingle self-join would join on [s, s]
+    # with BOTH sides the full shingle table and no band/key column
+    assert "band" in plan and "key" in plan, plan[:1500]
