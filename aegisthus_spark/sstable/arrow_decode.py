@@ -179,6 +179,13 @@ def scan_data_buffer_batches(
     except Exception:
         if not skip_corrupt:
             raise
+        # the parse may have died mid-row: cells decoded so far are kept
+        # (reference behavior). acc.n is only synced at row boundaries, so
+        # recover the true count from ts (one append per cell), then close
+        # the partial row's bookkeeping before appending the sentinel row.
+        acc.n = len(acc.ts)
+        if len(acc.row_deleted) > len(acc.row_cells):
+            acc.row_cells.append(acc.n - sum(acc.row_cells))
         i = acc.n
         acc.n += 1
         acc.key_off.append(len(acc.key_data))

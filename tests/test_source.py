@@ -114,3 +114,40 @@ def test_columnar_decode_matches_tuple_path():
         assert rows == tuples, path
         checked += 1
     assert checked >= 30  # every decodable fixture file was compared
+
+
+def test_columnar_decode_mid_row_corruption_keeps_prefix():
+    """A file truncated MID-ROW with skip_corrupt must keep the cells decoded
+    so far and emit exactly one '!' sentinel — the accumulator's per-row
+    bookkeeping has to be reconciled, not crash in flush()."""
+    import struct as st
+
+    from aegisthus_spark.sstable.arrow_decode import scan_data_buffer_batches
+    from aegisthus_spark.sstable.writer import serialize_row
+
+    def cell(name, value, ts):
+        return {"name": name, "value": value, "ts": ts, "kind": "c",
+                "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}
+
+    good = serialize_row(b"k1", -(1 << 63), [cell(b"a", b"v1", 1), cell(b"b", b"v2", 2)],
+                         version="jb")
+    partial = serialize_row(b"k2", -(1 << 63), [cell(b"c", b"v3", 3), cell(b"d", b"v4", 4)],
+                            version="jb")
+    # truncate the second row in the middle of its second cell
+    buf = good + partial[: len(partial) - 5]
+
+    rows = [d for b in scan_data_buffer_batches(
+        buf, version="jb", source_path="f", skip_corrupt=True) for d in b.to_pylist()]
+    kinds = [r["kind"] for r in rows]
+    assert kinds.count("!") == 1 and kinds[-1] == "!"
+    decoded = [(bytes(r["partition_key"]), bytes(r["cell_name"])) for r in rows if r["kind"] == "c"]
+    assert (b"k1", b"a") in decoded and (b"k1", b"b") in decoded
+    assert (b"k2", b"c") in decoded  # prefix of the corrupt row survives
+    # row_deleted_at repeats consistently across the partial row
+    assert all(r["row_deleted_at"] is not None for r in rows if r["kind"] == "c")
+
+    # without skip_corrupt the same buffer must raise
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        list(scan_data_buffer_batches(buf, version="jb"))
