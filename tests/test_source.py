@@ -151,3 +151,70 @@ def test_columnar_decode_mid_row_corruption_keeps_prefix():
 
     with _pytest.raises(Exception):
         list(scan_data_buffer_batches(buf, version="jb"))
+
+
+def test_c_scanner_parity_and_corruption():
+    """The gcc-built scanner (cparse) must match the Python columnar parser
+    byte-for-byte on every fixture, grow its buffers for rows larger than
+    the batch caps, and keep the decoded prefix on mid-row corruption."""
+    import mmap
+    import os
+
+    import pytest as _pytest
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import scan_data_buffer_batches as py_scan
+
+    if not cparse.available():
+        _pytest.skip("no C compiler on this host")
+
+    import glob
+
+    from aegisthus_spark.sstable.descriptor import version_of
+    from tests.test_golden import TESTDATA
+
+    checked = 0
+    for path in sorted(glob.glob(f"{TESTDATA}/*/*/input/**/*-Data.db", recursive=True)):
+        try:
+            v = version_of(path)
+        except ValueError:
+            continue
+        if os.path.getsize(path) == 0:
+            continue
+        with open(path, "rb") as fh, mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            try:
+                want = [tuple(d.values()) for b in py_scan(mm, version=v, source_path=path, generation=7) for d in b.to_pylist()]
+            except Exception:
+                continue
+            got = [tuple(d.values()) for b in cparse.scan_data_buffer_batches(
+                mm, version=v, source_path=path, generation=7, batch_rows=1031) for d in b.to_pylist()]
+        assert got == want, path
+        checked += 1
+    assert checked >= 30
+
+    # buffer growth: a row with more cells than the starting cap
+    import struct as st
+
+    from aegisthus_spark.sstable.writer import serialize_row
+
+    def cell(name, value, ts):
+        return {"name": name, "value": value, "ts": ts, "kind": "c",
+                "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}
+
+    wide = serialize_row(b"k", -(1 << 63), [cell(b"n%04d" % i, b"v", i) for i in range(50)],
+                         version="jb")
+    rows = [d for b in cparse.scan_data_buffer_batches(wide, version="jb", batch_rows=4)
+            for d in b.to_pylist()]
+    assert len(rows) == 50
+
+    # mid-row corruption with skip: prefix kept + one sentinel
+    good = serialize_row(b"k1", -(1 << 63), [cell(b"a", b"v1", 1), cell(b"b", b"v2", 2)], version="jb")
+    partial = serialize_row(b"k2", -(1 << 63), [cell(b"c", b"v3", 3), cell(b"d", b"v4", 4)], version="jb")
+    buf = good + partial[: len(partial) - 5]
+    rows = [d for b in cparse.scan_data_buffer_batches(buf, version="jb", skip_corrupt=True)
+            for d in b.to_pylist()]
+    kinds = [r["kind"] for r in rows]
+    assert kinds.count("!") == 1 and kinds[-1] == "!"
+    assert (b"k2", b"c") in [(bytes(r["partition_key"]), bytes(r["cell_name"])) for r in rows if r["kind"] == "c"]
+    with _pytest.raises(ValueError):
+        list(cparse.scan_data_buffer_batches(buf, version="jb"))

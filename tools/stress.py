@@ -71,6 +71,15 @@ def main() -> None:
         dt = time.time() - t
         print(f"decode single-core (columnar -> Arrow): {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
 
+        from aegisthus_spark.sstable import cparse
+
+        if cparse.available():
+            sum(b.num_rows for b in cparse.scan_data_buffer_batches(mm, version="jb"))  # warm
+            t = time.time()
+            n = sum(b.num_rows for b in cparse.scan_data_buffer_batches(mm, version="jb"))
+            dt = time.time() - t
+            print(f"decode single-core (C scanner -> Arrow): {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+
     spark = get_spark("stress", cpus=args.cpus)
     from pyspark.sql import functions as F
 
