@@ -177,6 +177,78 @@ def _arrow_cells_schema():
     ])
 
 
+def _scan_compressed_c(task) -> list:
+    """Compressed split -> Arrow batches via the C scanner.
+
+    Splits carry UNCOMPRESSED offsets (the chunk map gives random access at
+    chunk granularity). Decompress the covering chunk range — plus slack,
+    since the last row of a split may spill past ``end`` — into one buffer
+    and run the C scan over it. A row spilling past the materialized tail
+    looks like a bounds violation, so on error we extend the buffer with
+    more chunks and retry; only at end-of-file is it treated as corrupt.
+    Batches are collected per split before emitting so a retry never
+    double-yields.
+    """
+    import os
+
+    from ..sstable import cparse
+    from ..sstable.compression import CompressionInfo, decompress_chunk
+
+    info = CompressionInfo.read_path(task["compression_path"])
+    fsize = os.path.getsize(task["path"])
+    ranges = info.chunk_ranges(fsize)
+    cl = info.chunk_length
+    start = int(task["start"])
+    end = min(int(task["end"]), info.data_length)
+    first = start // cl
+    SLACK = 16
+    last = min(len(ranges), (end + cl - 1) // cl + SLACK)
+
+    with open(task["path"], "rb") as f:
+
+        def chunks(lo: int, hi: int) -> bytes:
+            out = []
+            for i in range(lo, hi):
+                off, clen = ranges[i]
+                f.seek(off)
+                raw = f.read(clen)
+                remaining = info.data_length - i * cl
+                out.append(decompress_chunk(info.compressor, raw, min(cl, remaining)))
+            return b"".join(out)
+
+        buf = chunks(first, last)
+        base = first * cl
+        while True:
+            try:
+                return list(cparse.scan_data_buffer_batches(
+                    buf,
+                    version=task["version"],
+                    start=start - base,
+                    end=end - base,
+                    source_path=task["path"],
+                    generation=int(task["generation"]),
+                    skip_corrupt=False,
+                ))
+            except ValueError:
+                if last < len(ranges):
+                    # likely a row spilling past the tail: double the slack
+                    grow = min(len(ranges), last + max(SLACK, last - first))
+                    buf = buf + chunks(last, grow)
+                    last = grow
+                    continue
+                if task["skip_corrupt"]:
+                    return list(cparse.scan_data_buffer_batches(
+                        buf,
+                        version=task["version"],
+                        start=start - base,
+                        end=end - base,
+                        source_path=task["path"],
+                        generation=int(task["generation"]),
+                        skip_corrupt=True,
+                    ))
+                raise
+
+
 def _decode_tasks(batches) -> "Iterator":
     """mapInArrow worker: decode assigned splits into Arrow RecordBatches.
 
@@ -227,6 +299,14 @@ def _decode_tasks(batches) -> "Iterator":
         for task in arrow_batch.to_pylist():
             try:
                 if task["compression_path"]:
+                    if cparse.available():
+                        # decompress the split's chunk range to one buffer
+                        # and C-scan it (batches buffered per split so a
+                        # fallback can't double-emit)
+                        if cols[0]:
+                            yield flush()
+                        yield from _scan_compressed_c(task)
+                        continue
                     f = open_compressed(task["path"], task["compression_path"])
                     try:
                         gen = scan_data_file(
