@@ -121,25 +121,38 @@ def compact(
     # carry one struct per record; leading fields define the merge sort order:
     # (name sort key, ts, tombstone-rank, value) ascending => last per name
     # group is the LWW winner with Cassandra's tie rule.
+    #
+    # For byte-ordered comparators the sort key IS the raw name, so carrying
+    # both would double the per-cell name bytes held in the aggregation
+    # buffer — the struct stores only `sk` then and the strip/RT re-emit
+    # expressions read the raw bytes back out of it.
+    raw_names = name_sort_key is None
+    name_fields = [] if raw_names else [F.col("cell_name").alias("name")]
     cell_struct = F.struct(
         sort_key.alias("sk"),
         F.col("ts").alias("ts"),
         F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
         F.col("value").alias("value"),
-        F.col("cell_name").alias("name"),
+        *name_fields,
         F.col("kind").alias("kind"),
         F.col("ttl").cast("int").alias("ttl"),
         F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
         F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
     )
+    rt_raw_fields = [] if raw_names else [
+        F.col("cell_name").alias("name"),
+        F.col("cell_name_max").alias("max_raw"),
+    ]
     rt_struct = F.struct(
         sort_key.alias("min_sk"),
         max_sort_key.alias("max_sk"),
         F.col("ts").alias("ts"),
         # raw bounds, only needed to re-emit surviving RTs
-        F.col("cell_name").alias("name"),
-        F.col("cell_name_max").alias("max_raw"),
+        *rt_raw_fields,
     )
+    name_of = "x.sk" if raw_names else "x.name"
+    rt_min_of = "r.min_sk" if raw_names else "r.name"
+    rt_max_of = "r.max_sk" if raw_names else "r.max_raw"
 
     keys = ["partition_key", "source_path"] if group_by_source else ["partition_key"]
 
@@ -167,7 +180,7 @@ def compact(
     shadow = "filter(c2, x -> x.ts > deleted_at)"
     # A3: strip merge bookkeeping fields
     strip = (
-        "transform(c3, x -> struct(x.name as name, x.value as value, x.ts as ts, "
+        f"transform(c3, x -> struct({name_of} as name, x.value as value, x.ts as ts, "
         "x.kind as kind, x.ttl as ttl, x.local_deletion_time as local_deletion_time, "
         "x.ts_of_last_delete as ts_of_last_delete))"
     )
@@ -189,7 +202,7 @@ def compact(
         # the growing array per cell, O(n^2) on pathological wide rows.
         # +8 for expiring/counter atoms (serializedSizeForSSTable framing)
         csize = (
-            "(length(coalesce(x.name, x'')) + length(coalesce(x.value, x'')) + 15"
+            f"(length(coalesce({name_of}, x'')) + length(coalesce(x.value, x'')) + 15"
             " + if(x.kind in ('e', 'x'), 8, 0))"
         )
         out = out.withColumn(
@@ -219,7 +232,7 @@ def compact(
         # value — the columns struct has no extra binary slot)
         rt_cols = (
             "transform(array_sort(array_distinct(filter(rts, r -> r.ts > deleted_at))), "
-            "r -> struct(r.name as name, r.max_raw as value, r.ts as ts, 't' as kind, "
+            f"r -> struct({rt_min_of} as name, {rt_max_of} as value, r.ts as ts, 't' as kind, "
             "cast(null as int) as ttl, cast(null as int) as local_deletion_time, "
             "cast(null as long) as ts_of_last_delete))"
         )
