@@ -809,11 +809,19 @@ def dedup_embedding_nn(spark, sf_dir):
     return _dd.embedding_nn_in_block(_t(spark, sf_dir, "embeddings"))
 
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark, sf_dir):
-    row = (
-        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
-    )
-    return [float(x) for x in row[0]]
+    """Query-parameter fetch (vec_id = 0). One tiny driver action per sf_dir,
+    memoized so repeated similarity queries don't relaunch the lookup job —
+    the vector is a query PARAMETER (broadcast into the plan), not data."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+        )
+        _QUERY_VEC_CACHE[sf_dir] = [float(x) for x in row[0]]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 @register(
@@ -1225,3 +1233,37 @@ def sst_decode_compressed(spark, sf_dir):
 )
 def sst_decode_combined(spark, sf_dir):
     return _sst_decode_lines(spark, "2.0.10_1.2.18_combined/randomtable", skip_corrupt=True)
+
+
+@register(
+    "ev_value_rank",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+             CAST(ROW_NUMBER() OVER (ORDER BY CAST(value AS DOUBLE) DESC, event_id)
+                  AS INT) AS rnk
+      FROM events)
+    SELECT event_id, user_id, value, rnk FROM ranked
+    WHERE rnk <= 1000 ORDER BY rnk
+    """,
+    doc="fact-table global rank via two-stage range rank (no single-task window)",
+)
+def ev_value_rank(spark, sf_dir):
+    """Total-order rank over the full events fact table with
+    operators.ranking.global_row_number — range-partition + local rank +
+    broadcast offsets. The filter to the top 1000 happens AFTER the full
+    rank is assigned, so the whole table flows through the ranking path
+    (unlike a top-k, which could short-circuit)."""
+    from .operators.ranking import global_row_number
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    ranked = global_row_number(
+        ev, [F.desc("value"), F.col("event_id")], rank_col="rnk"
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 1000)
+        .select("event_id", "user_id", "value", "rnk")
+        .orderBy("rnk")
+    )
