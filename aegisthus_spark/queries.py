@@ -750,7 +750,9 @@ def dedup_exact(spark, sf_dir):
     doc="MinHash(16)+LSH(4x4) candidate pairs verified by true Jaccard >= 0.1",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    return _dd.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return _dd.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.1, persist_shingles=True
+    )
 
 
 @register(
@@ -1061,7 +1063,7 @@ def dedup_components(spark, sf_dir):
     recall at this threshold is total on near-dup corpora (verified pairs
     are identical), so the cluster labels agree."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, persist_shingles=True)
     return _dd.connected_components(pairs, docs)
 
 
