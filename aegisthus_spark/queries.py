@@ -645,6 +645,41 @@ def aeg_cleanse(spark, sf_dir):
 
 
 @register(
+    "aeg_json_roundtrip",
+    _CELLS_SQL_CTE
+    + """
+    SELECT w.pk AS user_key, a.deleted_at,
+           w.name AS cell_name, w.val AS cell_value, w.ts AS cell_ts
+    FROM lww w JOIN agg a ON a.pk = w.pk
+    WHERE w.rn = 1 AND w.ts > a.deleted_at AND w.kind <> 'd'
+    ORDER BY w.pk, w.name
+    """,
+    doc="serializer round-trip under the gate: compact -> aeg-JSON render "
+        "(K1) -> Pig-loader parse (K5) -> cells; must equal the cleanse "
+        "oracle, proving render/parse byte parity end-to-end",
+)
+def aeg_json_roundtrip(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources.aeg_json import parse_aeg_json
+
+    cells = _events_cells(spark, sf_dir)
+    lines = to_aeg_json(cleanse(compact(cells)))
+    rows = parse_aeg_json(lines)
+    col = F.explode("bag_columns").alias("c")
+    return (
+        rows.select("key", "deletedat", col)
+        .select(
+            F.decode(F.unhex("key"), "UTF-8").alias("user_key"),
+            F.col("deletedat").alias("deleted_at"),
+            F.decode(F.unhex("c.name"), "UTF-8").alias("cell_name"),
+            F.decode(F.unhex("c.value"), "UTF-8").alias("cell_value"),
+            F.col("c.ts").alias("cell_ts"),
+        )
+        .orderBy("user_key", "cell_name")
+    )
+
+
+@register(
     "aeg_cql_pivot",
     """
     WITH r AS (
