@@ -680,6 +680,52 @@ def aeg_json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "aeg_sstable_roundtrip",
+    _CELLS_SQL_CTE
+    + """
+    SELECT w.pk AS user_key, a.deleted_at,
+           w.name AS cell_name, w.val AS cell_value, w.ts AS cell_ts
+    FROM lww w JOIN agg a ON a.pk = w.pk
+    WHERE w.rn = 1 AND w.ts > a.deleted_at AND w.kind <> 'd'
+    ORDER BY w.pk, w.name
+    """,
+    doc="SSTable writer round-trip under the gate: compact -> write real "
+        "Data.db files (K2) -> re-read through the distributed source "
+        "(S1-S6) -> cells; must equal the cleanse oracle",
+)
+def aeg_sstable_roundtrip(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .sources import read_sstable_cells
+    from .sstable.writer import write_sstable
+
+    cells = _events_cells(spark, sf_dir)
+    rows = cleanse(compact(cells))
+    out = tempfile.mkdtemp(prefix="aeg_rt_")
+    try:
+        write_sstable(rows, out, version="jb")
+        back = compact(read_sstable_cells(spark, [out]))
+        result = (
+            compacted_to_cells(back)
+            .select(
+                F.decode("partition_key", "UTF-8").alias("user_key"),
+                "deleted_at",
+                F.decode("cell_name", "UTF-8").alias("cell_name"),
+                F.decode("value", "UTF-8").alias("cell_value"),
+                F.col("ts").alias("cell_ts"),
+            )
+            .orderBy("user_key", "cell_name")
+        )
+        # materialize before the temp files vanish (the driver only
+        # collects after the callable returns)
+        result = result.localCheckpoint()
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "aeg_cql_pivot",
     """
     WITH r AS (
