@@ -257,3 +257,56 @@ corrupt:
     out->max_bytes_used = mb; out->val_bytes = vb;
     return 3;
 }
+
+/* ------------------------------------------------------------------ */
+/* LZ4 block decompression (public block format: token byte with
+ * literal/match lengths, 2-byte little-endian match offset). Cassandra
+ * chunks are raw LZ4 blocks after a 4-byte uncompressed-length prefix.
+ * Returns bytes written, or -1 on malformed/overrun input.            */
+
+int64_t lz4_block_decompress(
+    const uint8_t *src, int64_t src_len, uint8_t *dst, int64_t dst_len)
+{
+    int64_t si = 0, di = 0;
+    while (si < src_len && di < dst_len) {
+        uint8_t token = src[si++];
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (si >= src_len) return -1;
+                b = src[si++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (lit) {
+            if (si + lit > src_len || di + lit > dst_len) return -1;
+            memcpy(dst + di, src + si, lit);
+            si += lit;
+            di += lit;
+        }
+        if (si >= src_len) break; /* last literals-only sequence */
+        if (si + 2 > src_len) return -1;
+        int64_t offset = src[si] | ((int64_t)src[si + 1] << 8);
+        si += 2;
+        if (offset == 0 || offset > di) return -1;
+        int64_t mlen = (token & 0x0F) + 4;
+        if ((token & 0x0F) == 15) {
+            uint8_t b;
+            do {
+                if (si >= src_len) return -1;
+                b = src[si++];
+                mlen += b;
+            } while (b == 255);
+        }
+        if (di + mlen > dst_len) return -1;
+        if (offset >= mlen) {
+            memcpy(dst + di, dst + di - offset, mlen);
+        } else {
+            /* overlapping match: byte-at-a-time semantics */
+            for (int64_t k = 0; k < mlen; k++) dst[di + k] = dst[di + k - offset];
+        }
+        di += mlen;
+    }
+    return di;
+}

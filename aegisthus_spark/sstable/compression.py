@@ -112,12 +112,13 @@ def lz4_block_decompress(src: bytes, uncompressed_len: int) -> bytes:
 
 
 def _native_lz4():
-    """Native LZ4 block codec if deployed (lz4 wheel); cached import probe.
+    """Fastest available LZ4 block codec; cached probe.
 
-    The pure-Python fallback is correct but ~100x slower — a real decode-
-    throughput cliff on compressed Priam backups. Cluster deployments should
-    ship the ``lz4`` package (or ``cramjam``); this probe picks it up with
-    no config.
+    Order: lz4 wheel, cramjam, then the gcc-built decoder shipped with the
+    C scanner (cparse) — so any host that can compile gets native-speed
+    LZ4 with no packages at all. The pure-Python fallback is correct but
+    ~100x slower — a real decode-throughput cliff on compressed Priam
+    backups; it only runs on hosts with neither wheels nor a compiler.
     """
     global _LZ4_MOD
     if _LZ4_MOD is None:
@@ -131,7 +132,9 @@ def _native_lz4():
 
                 _LZ4_MOD = cramjam.lz4
             except ImportError:
-                _LZ4_MOD = False
+                from . import cparse  # deferred: avoids an import cycle
+
+                _LZ4_MOD = cparse if cparse.available() else False
     return _LZ4_MOD
 
 
@@ -144,6 +147,8 @@ def decompress_chunk(compressor: str, raw: bytes, uncompressed_length: int) -> b
         ulen = struct.unpack("<i", raw[:4])[0]
         mod = _native_lz4()
         if mod:
+            if hasattr(mod, "lz4_decompress"):  # gcc-built decoder (cparse)
+                return mod.lz4_decompress(raw[4:], ulen)
             if hasattr(mod, "decompress_block"):  # cramjam.lz4
                 return bytes(mod.decompress_block(raw[4:], output_len=ulen))
             return mod.decompress(raw[4:], uncompressed_size=ulen)  # lz4.block

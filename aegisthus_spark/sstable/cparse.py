@@ -80,10 +80,34 @@ def _lib():
             try:
                 lib = ctypes.CDLL(path)
                 lib.scan_cells.restype = ctypes.c_int
+                lib.lz4_block_decompress.restype = ctypes.c_int64
                 _LIB = lib
             except OSError:
                 _LIB = False
     return _LIB
+
+
+def lz4_decompress(src: bytes, uncompressed_len: int) -> bytes:
+    """C LZ4 block decode; raises ValueError on malformed input.
+
+    Bound via the scanner .so — no external lz4 package needed. Callers
+    should probe :func:`available` first and fall back to the pure-Python
+    decoder when no compiler exists on the host.
+    """
+    lib = _lib()
+    if not lib:
+        raise RuntimeError("C library unavailable")
+    dst = np.empty(uncompressed_len, np.uint8)
+    src_arr = np.frombuffer(src, np.uint8)
+    wrote = lib.lz4_block_decompress(
+        _u8(src_arr), ctypes.c_int64(len(src)), _u8(dst),
+        ctypes.c_int64(uncompressed_len),
+    )
+    if wrote != uncompressed_len:
+        raise ValueError(
+            f"malformed LZ4 block: wrote {wrote} of {uncompressed_len} bytes"
+        )
+    return dst.tobytes()
 
 
 def available() -> bool:

@@ -141,3 +141,40 @@ def test_distributed_read_compressed_splits(spark, tmp_path):
     n = cells.count()
     assert n == N_ROWS * 3
     assert cells.select(F.countDistinct("partition_key")).collect()[0][0] == N_ROWS
+
+
+def test_c_lz4_matches_python_on_crafted_blocks():
+    """The gcc-built LZ4 block decoder must agree with the pure-Python one
+    on hand-crafted blocks covering the format's edges: long literal runs
+    (15 + extension bytes), long matches, and overlapping matches
+    (offset < match length => byte-at-a-time copy semantics)."""
+    import pytest as _pytest
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.compression import lz4_block_decompress
+
+    if not cparse.available():
+        _pytest.skip("no C compiler on this host")
+
+    def block(parts: bytes) -> bytes:
+        return parts
+
+    cases = []
+    # literals-only (short): token lit=5, no match at end
+    cases.append((bytes([0x50]) + b"hello", b"hello"))
+    # long literal run: 20 literals => token 0xF0 + ext 5
+    lit = bytes(range(20))
+    cases.append((bytes([0xF0, 5]) + lit, lit))
+    # repeat: 4 literals "abcd" then match offset 4 len 12 => "abcd" * 4
+    cases.append((bytes([0x48]) + b"abcd" + bytes([4, 0]), b"abcd" * 4))
+    # overlapping match: 1 literal "x" then offset 1 len 19 => "x" * 20
+    cases.append((bytes([0x1F]) + b"x" + bytes([1, 0, 0]), b"x" * 20))
+    # long match with extension: "ab" then offset 2, len 15+4+7=26
+    cases.append((bytes([0x2F]) + b"ab" + bytes([2, 0, 7]), b"ab" + b"ab" * 13))
+    for src, want in cases:
+        assert lz4_block_decompress(src, len(want)) == want
+        assert cparse.lz4_decompress(src, len(want)) == want
+    # malformed: match offset beyond what's been written
+    bad = bytes([0x1F]) + b"x" + bytes([9, 0, 0])
+    with _pytest.raises(ValueError):
+        cparse.lz4_decompress(bad, 20)
