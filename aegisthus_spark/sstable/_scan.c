@@ -310,3 +310,72 @@ int64_t lz4_block_decompress(
     }
     return di;
 }
+
+/* ------------------------------------------------------------------ */
+/* Snappy raw-block decompression (public format: varint uncompressed
+ * length header, then literal/copy tagged elements). Returns bytes
+ * written, or -1 on malformed/overrun input.                          */
+
+int64_t snappy_decompress_block(
+    const uint8_t *src, int64_t src_len, uint8_t *dst, int64_t dst_len)
+{
+    int64_t si = 0, di = 0;
+    /* varint header: the uncompressed length (caller already sized dst) */
+    uint64_t ulen = 0;
+    int shift = 0;
+    for (;;) {
+        if (si >= src_len || shift > 56) return -1;
+        uint8_t b = src[si++];
+        ulen |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    if ((int64_t)ulen != dst_len) return -1;
+
+    while (si < src_len) {
+        uint8_t tag = src[si++];
+        int t = tag & 3;
+        if (t == 0) { /* literal */
+            int64_t ln = (tag >> 2) + 1;
+            if (ln > 60) {
+                int extra = (int)(ln - 60);
+                if (si + extra > src_len) return -1;
+                ln = 0;
+                for (int k = 0; k < extra; k++) ln |= (int64_t)src[si + k] << (8 * k);
+                ln += 1;
+                si += extra;
+            }
+            if (si + ln > src_len || di + ln > dst_len) return -1;
+            memcpy(dst + di, src + si, ln);
+            si += ln;
+            di += ln;
+        } else {
+            int64_t ln, off;
+            if (t == 1) {
+                if (si >= src_len) return -1;
+                ln = ((tag >> 2) & 7) + 4;
+                off = ((int64_t)(tag >> 5) << 8) | src[si];
+                si += 1;
+            } else if (t == 2) {
+                if (si + 2 > src_len) return -1;
+                ln = (tag >> 2) + 1;
+                off = src[si] | ((int64_t)src[si + 1] << 8);
+                si += 2;
+            } else {
+                if (si + 4 > src_len) return -1;
+                ln = (tag >> 2) + 1;
+                off = src[si] | ((int64_t)src[si + 1] << 8) |
+                      ((int64_t)src[si + 2] << 16) | ((int64_t)src[si + 3] << 24);
+                si += 4;
+            }
+            if (off == 0 || off > di || di + ln > dst_len) return -1;
+            if (off >= ln) {
+                memcpy(dst + di, dst + di - off, ln);
+            } else {
+                for (int64_t k = 0; k < ln; k++) dst[di + k] = dst[di + k - off];
+            }
+            di += ln;
+        }
+    }
+    return di;
+}

@@ -161,6 +161,10 @@ def decompress_chunk(compressor: str, raw: bytes, uncompressed_length: int) -> b
 
             return snappy.uncompress(raw)
         except ImportError:
+            from . import cparse  # deferred: avoids an import cycle
+
+            if cparse.available():
+                return cparse.snappy_decompress(raw, uncompressed_length)
             return snappy_decompress(raw)
     raise ValueError(f"unsupported compressor: {compressor}")
 

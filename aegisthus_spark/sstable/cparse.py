@@ -81,6 +81,7 @@ def _lib():
                 lib = ctypes.CDLL(path)
                 lib.scan_cells.restype = ctypes.c_int
                 lib.lz4_block_decompress.restype = ctypes.c_int64
+                lib.snappy_decompress_block.restype = ctypes.c_int64
                 _LIB = lib
             except OSError:
                 _LIB = False
@@ -106,6 +107,24 @@ def lz4_decompress(src: bytes, uncompressed_len: int) -> bytes:
     if wrote != uncompressed_len:
         raise ValueError(
             f"malformed LZ4 block: wrote {wrote} of {uncompressed_len} bytes"
+        )
+    return dst.tobytes()
+
+
+def snappy_decompress(src: bytes, uncompressed_len: int) -> bytes:
+    """C Snappy raw-block decode; raises ValueError on malformed input."""
+    lib = _lib()
+    if not lib:
+        raise RuntimeError("C library unavailable")
+    dst = np.empty(uncompressed_len, np.uint8)
+    src_arr = np.frombuffer(src, np.uint8)
+    wrote = lib.snappy_decompress_block(
+        _u8(src_arr), ctypes.c_int64(len(src)), _u8(dst),
+        ctypes.c_int64(uncompressed_len),
+    )
+    if wrote != uncompressed_len:
+        raise ValueError(
+            f"malformed Snappy block: wrote {wrote} of {uncompressed_len} bytes"
         )
     return dst.tobytes()
 

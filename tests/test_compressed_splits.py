@@ -178,3 +178,50 @@ def test_c_lz4_matches_python_on_crafted_blocks():
     bad = bytes([0x1F]) + b"x" + bytes([9, 0, 0])
     with _pytest.raises(ValueError):
         cparse.lz4_decompress(bad, 20)
+
+
+def test_c_snappy_matches_python_and_reference_sample():
+    """C Snappy decode == pure-Python on the reference's real Snappy ib
+    sample chunks, plus crafted copy-overlap blocks."""
+    import glob
+    import os
+    import struct as st
+
+    import pytest as _pytest
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.compression import CompressionInfo, snappy_decompress
+
+    if not cparse.available():
+        _pytest.skip("no C compiler on this host")
+
+    data = "/root/reference/scripts/data/test-compressed-ib-1-Data.db"
+    info = CompressionInfo.read_path(data.replace("-Data.db", "-CompressionInfo.db"))
+    assert info.compressor == "SnappyCompressor"
+    with open(data, "rb") as f:
+        for i, (off, clen) in enumerate(info.chunk_ranges(os.path.getsize(data))):
+            f.seek(off)
+            raw = f.read(clen)
+            ulen = min(info.chunk_length, info.data_length - i * info.chunk_length)
+            assert cparse.snappy_decompress(raw, ulen) == snappy_decompress(raw)
+
+    def varint(n: int) -> bytes:
+        out = b""
+        while n >= 0x80:
+            out += bytes([(n & 0x7F) | 0x80])
+            n >>= 7
+        return out + bytes([n])
+
+    # literal + overlapping copy1: "ab" then offset 2 len 10 -> "ab"*6
+    src = varint(12) + bytes([0x04]) + b"ab" + bytes([(6 << 2) | 1, 2])
+    want = b"ab" * 6
+    assert snappy_decompress(src) == want
+    assert cparse.snappy_decompress(src, 12) == want
+    # copy2 with 2-byte offset
+    lit = bytes(range(70))  # long literal (>60 -> 1-byte extension)
+    src = varint(80) + bytes([0xF0, 69]) + lit + bytes([((10 - 1) << 2) | 2, 70, 0])
+    want = lit + lit[:10]
+    assert snappy_decompress(src) == want
+    assert cparse.snappy_decompress(src, 80) == want
+    with _pytest.raises(ValueError):
+        cparse.snappy_decompress(varint(5) + bytes([(4 << 2) | 1, 9]), 5)
