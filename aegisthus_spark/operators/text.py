@@ -125,3 +125,35 @@ def fingerprint(docs: DataFrame) -> DataFrame:
             f"aggregate(toks, cast(0 as bigint), (acc, x) -> (acc * {FP_B} + ({h} % {FP_P})) % {FP_P})"
         ).alias("fp"),
     ).orderBy("doc_id")
+
+
+#: BPE-style pretokenizer classes (GPT-2-family pretokenizers split words,
+#: numbers, and punctuation runs before byte-pair merging); the class regex
+#: is chosen to behave identically under Java regex and RE2-style engines
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_pretokenize_stats(docs: DataFrame) -> DataFrame:
+    """Per-document BPE-pretokenizer token counts (words / numbers / punct).
+
+    The training-data question this answers: how many BPE-ish tokens does a
+    document cost, before running a real tokenizer? One scan, one regex
+    extraction in codegen; no UDFs, no shuffle beyond the final sort.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_RE}', 0)").alias("toks"),
+    )
+    is_word = "x rlike '^[A-Za-z]'"
+    is_num = "x rlike '^[0-9]'"
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(f"size(filter(toks, x -> {is_word}))").alias("n_word"),
+        F.expr(f"size(filter(toks, x -> {is_num}))").alias("n_num"),
+        (
+            F.size("toks")
+            - F.expr(f"size(filter(toks, x -> {is_word}))")
+            - F.expr(f"size(filter(toks, x -> {is_num}))")
+        ).alias("n_punct"),
+    ).orderBy("doc_id")

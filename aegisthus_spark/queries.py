@@ -1350,3 +1350,23 @@ def ev_value_rank(spark, sf_dir):
         .select("event_id", "user_id", "value", "rnk")
         .orderBy("rnk")
     )
+
+
+@register(
+    "text_bpe_pretokenize",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]'))) AS INT) AS n_word,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]'))) AS INT) AS n_num,
+           CAST(len(t) - len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]')))
+                - len(list_filter(t, x -> regexp_matches(x, '^[0-9]'))) AS INT) AS n_punct
+    FROM toks ORDER BY doc_id
+    """,
+    doc="BPE-style pretokenizer counts per document (words/numbers/punct runs)",
+)
+def text_bpe_pretokenize(spark, sf_dir):
+    return _tx.bpe_pretokenize_stats(_t(spark, sf_dir, "documents"))
