@@ -146,3 +146,28 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def thumbnail_plan(media: DataFrame, *, box: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan for image payloads.
+
+    Pure relational arithmetic over the typed metadata — target dimensions
+    computed with integer math (identical in any engine), the actual pixel
+    resample deferred to the Arrow-batched codec stage exactly like
+    ``extract_features`` (the image backend is env-gated). ``needs_resize``
+    marks images already inside the box, which a pipeline skips entirely —
+    metadata-only pruning before any payload byte is touched.
+    """
+    imgs = media.filter(F.col("media_type") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    long_side = F.greatest(w, h)
+    tw = F.when(long_side <= box, w).otherwise((w * box).cast("long") / long_side)
+    th = F.when(long_side <= box, h).otherwise((h * box).cast("long") / long_side)
+    return imgs.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.floor(tw).cast("int").alias("target_width"),
+        F.floor(th).cast("int").alias("target_height"),
+        (long_side > box).alias("needs_resize"),
+    ).orderBy("media_id")

@@ -1370,3 +1370,22 @@ def ev_value_rank(spark, sf_dir):
 )
 def text_bpe_pretokenize(spark, sf_dir):
     return _tx.bpe_pretokenize_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_thumbnail_plan",
+    f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+                ELSE (width * 256) // greatest(width, height) END AS INT) AS target_width,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+                ELSE (height * 256) // greatest(width, height) END AS INT) AS target_height,
+           greatest(width, height) > 256 AS needs_resize
+    FROM media WHERE media_type = 'image' ORDER BY media_id
+    """,
+    doc="aspect-preserving resize plan from typed metadata (decode deferred)",
+)
+def mm_thumbnail_plan(spark, sf_dir):
+    media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
+    return _mm.thumbnail_plan(media, box=256)
