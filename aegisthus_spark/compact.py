@@ -404,3 +404,116 @@ def compact_multistep(cells: DataFrame) -> DataFrame:
         F.coalesce("columns", F.array()).alias("columns"),
         F.lit(False).alias("row_too_big"),
     )
+
+
+def compact_salted(
+    cells: DataFrame,
+    *,
+    buckets: int = 16,
+    max_row_size: int | None = None,
+) -> DataFrame:
+    """Skew-safe two-stage compact for pathological (giant) partitions.
+
+    ``compact()`` holds one partition's surviving cells in a single
+    aggregation group — the same bound as the reference's streaming reducer,
+    and the wide-row guard truncates true monsters. When a deployment must
+    fully merge multi-GB partitions instead, salt the FIRST stage by a hash
+    of the cell name: every duplicate of a name lands in the same
+    ``(key, bucket)`` group (the salt is content-derived, not random), so
+    LWW resolves completely inside buckets and names never collide across
+    them. Range tombstones are replicated to every bucket of their key (they
+    must see all names); the row-deletion fold and the row-shadow filter
+    move to the second stage, which only merges the B pre-deduplicated
+    survivor arrays per key.
+
+    Cost: two Exchanges instead of one. Use for skew, not as the default.
+    Semantics equal ``compact()`` exactly (asserted by tests on every golden
+    fixture). Byte-ordered comparators (raw-name sort keys) only.
+    """
+    cells = cells.filter(F.col("partition_key").isNotNull())
+
+    is_cell = F.col("kind").isin("c", "d", "e", "x")
+    is_rt = F.col("kind") == "t"
+
+    bucket = F.when(
+        is_cell, F.pmod(F.xxhash64("cell_name"), F.lit(buckets)).cast("int")
+    ).otherwise(F.lit(0))
+    salted = cells.withColumn("_b", bucket)
+    # RTs must see every name: replicate them into all buckets of their key
+    rts_everywhere = (
+        salted.filter(is_rt)
+        .drop("_b")
+        .crossJoin(F.broadcast(
+            cells.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_b"))
+        ))
+    )
+    salted = salted.filter(~is_rt).unionByName(rts_everywhere)
+
+    cell_struct = F.struct(
+        F.col("cell_name").alias("sk"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+        F.col("value").alias("value"),
+        F.col("kind").alias("kind"),
+        F.col("ttl").cast("int").alias("ttl"),
+        F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
+        F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
+    )
+    rt_struct = F.struct(
+        F.col("cell_name").alias("min_sk"),
+        F.col("cell_name_max").alias("max_sk"),
+        F.col("ts").alias("ts"),
+    )
+
+    stage1 = salted.groupBy("partition_key", "_b").agg(
+        F.max(F.coalesce(F.col("row_deleted_at"), F.lit(LONG_MIN))).alias("da_b"),
+        F.sort_array(F.collect_list(F.when(is_cell, cell_struct))).alias("cells"),
+        F.collect_list(F.when(is_rt, rt_struct)).alias("rts"),
+    )
+    rt_filtered = (
+        "filter(cells, x -> x is not null AND NOT exists(rts, r -> "
+        "r is not null AND r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
+    )
+    lww = "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
+    stage1 = (
+        stage1.withColumn("c1", F.expr(rt_filtered))
+        .withColumn("bucket_cols", F.expr(lww))
+        .select("partition_key", "da_b", "bucket_cols")
+    )
+
+    # stage 2: merge the B pre-deduplicated arrays; names are disjoint
+    # across buckets, so concatenation + one sort restores comparator order
+    merged = stage1.groupBy("partition_key").agg(
+        F.max("da_b").alias("deleted_at"),
+        F.array_sort(F.flatten(F.collect_list("bucket_cols"))).alias("cells"),
+    )
+
+    if max_row_size is not None:
+        csize = (
+            "(length(coalesce(x.sk, x'')) + length(coalesce(x.value, x'')) + 15"
+            " + if(x.kind in ('e', 'x'), 8, 0))"
+        )
+        merged = merged.withColumn(
+            "trunc",
+            F.expr(
+                "aggregate(cells, "
+                "  struct(cast(0 as long) as sz, cast(0 as int) as k, false as stop), "
+                f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
+                "    struct(acc.sz as sz, acc.k as k, true as stop), "
+                f"   struct(acc.sz + {csize} as sz, acc.k + 1 as k, false as stop)))"
+            ),
+        ).withColumn("row_too_big", F.col("trunc.stop")).withColumn(
+            "cells", F.expr("slice(cells, 1, trunc.k)")
+        ).drop("trunc")
+    else:
+        merged = merged.withColumn("row_too_big", F.lit(False))
+
+    strip = (
+        "transform(filter(cells, x -> x.ts > deleted_at), "
+        "x -> struct(x.sk as name, x.value as value, x.ts as ts, "
+        "x.kind as kind, x.ttl as ttl, x.local_deletion_time as local_deletion_time, "
+        "x.ts_of_last_delete as ts_of_last_delete))"
+    )
+    return merged.withColumn("columns", F.expr(strip)).select(
+        "partition_key", "deleted_at", "columns", "row_too_big"
+    )

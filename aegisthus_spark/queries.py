@@ -617,6 +617,40 @@ def aeg_compact(spark, sf_dir):
 
 
 @register(
+    "aeg_compact_salted",
+    _CELLS_SQL_CTE
+    + """
+    SELECT a.pk AS user_key, a.deleted_at,
+           w.name AS cell_name, w.val AS cell_value, w.ts AS cell_ts, w.kind AS cell_kind
+    FROM agg a LEFT JOIN (
+        SELECT l.* FROM lww l JOIN agg a2 ON a2.pk = l.pk
+        WHERE l.rn = 1 AND l.ts > a2.deleted_at) w
+      ON a.pk = w.pk
+    ORDER BY a.pk, w.name
+    """,
+    doc="skew-safe two-stage compact (name-bucketed salting) — same oracle "
+        "as aeg_compact, proving the salted plan's semantics match exactly",
+)
+def aeg_compact_salted(spark, sf_dir):
+    from .compact import compact_salted
+
+    cells = _events_cells(spark, sf_dir)
+    rows = compact_salted(cells, buckets=8)
+    return (
+        compacted_to_cells(rows)
+        .select(
+            F.decode("partition_key", "UTF-8").alias("user_key"),
+            "deleted_at",
+            F.decode("cell_name", "UTF-8").alias("cell_name"),
+            F.decode("value", "UTF-8").alias("cell_value"),
+            F.col("ts").alias("cell_ts"),
+            F.col("kind").alias("cell_kind"),
+        )
+        .orderBy("user_key", "cell_name")
+    )
+
+
+@register(
     "aeg_cleanse",
     _CELLS_SQL_CTE
     + """

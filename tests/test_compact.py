@@ -207,3 +207,45 @@ def test_range_tombstone_typed_explicit_max_key(spark, cells_schema):
     ))
     names = [struct.unpack(">q", c[0])[0] for c in out[b"k"][1]]
     assert names == [5]
+
+
+def test_compact_salted_equals_compact_on_fixtures(spark, cells_schema):
+    """The skew-safe two-stage compact must produce IDENTICAL rows to the
+    single-Exchange compact() on every golden fixture's cell stream (all
+    versions, range tombstones, deletions, multi-generation merges)."""
+    from aegisthus_spark.compact import compact_salted
+    from aegisthus_spark.sstable import scan_file
+    from tests.test_golden import TESTDATA, data_files
+
+    fields = ("source_path", "generation", "partition_key", "row_deleted_at",
+              "kind", "cell_name", "cell_name_max", "value", "ts", "ttl",
+              "local_deletion_time", "ts_of_last_delete")
+    for case in ("2.0.10/randomtable", "2.2.4/rangetombstone", "1.2.18/randomtable"):
+        rows = [tuple(c[k] for k in fields) for f in data_files(case) for c in scan_file(f)]
+        cells = spark.createDataFrame(rows, cells_schema)
+        want = rows_of(compact(cells))
+        for buckets in (1, 4):
+            got = rows_of(compact_salted(cells, buckets=buckets))
+            assert got == want, (case, buckets)
+
+
+def test_compact_salted_kinds_and_guard(spark, cells_schema):
+    from aegisthus_spark.compact import compact_salted
+
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"old", 100, None, None, None),
+        ("", 2, b"k", MIN, "c", b"a", None, b"new", 200, None, None, None),
+        ("", 1, b"k", MIN, "d", b"b", None, b"", 300, None, 9, None),
+        ("", 1, b"k", MIN, "e", b"c", None, b"v", 100, 60, 99, None),
+        ("", 1, b"k", MIN, "x", b"d", None, b"v", 100, None, None, 7),
+        ("", 1, b"k", MIN, "t", b"c", b"cz", None, 150, None, 9, None),
+        ("", 1, b"k2", 500, "c", b"a", None, b"v", 100, None, None, None),
+        ("", 1, b"k3", MIN, "r", None, None, None, MIN, None, None, None),
+    ])
+    want = rows_of(compact(df))
+    got = rows_of(compact_salted(df, buckets=4))
+    assert got == want
+    # truncation guard applies on the merged order
+    trunc = compact_salted(df, buckets=4, max_row_size=40).collect()
+    flagged = {bytes(r.partition_key): r.row_too_big for r in trunc}
+    assert flagged[b"k"] is True
