@@ -32,6 +32,10 @@ def get_spark(app_name: str = "aegisthus_spark", cpus: int | None = None) -> Spa
         # the bench events table carries TIMESTAMP(NANOS) parquet columns,
         # which Spark only reads as raw longs (SPARK-40819)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are naive timestamp[us]; read them as LTZ
+        # (session tz is UTC) so unix_micros/timestamp comparisons work and
+        # semantics match DuckDB's naive-timestamp reading
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -80,6 +80,15 @@ int scan_cells(
     while (o < end) {
         row_start = o; n0 = n; kb0 = kb; nb0 = nb; mb0 = mb; vb0 = vb;
 
+        /* Per-row arrays (row_deleted/row_cells) hold cap_cells entries and
+         * are indexed at `rows` below before any cell-level check runs; a
+         * batch of cap_cells single-cell rows leaves rows == cap_cells at
+         * the next row's header, so guard BEFORE touching them. */
+        if (rows >= cap_cells || n >= cap_cells) {
+            o = row_start;
+            goto capacity_rewound;
+        }
+
         if (o + 2 > total) goto done;
         uint16_t keysize = rd_u16(buf + o); o += 2;
         if (o + keysize > total) goto corrupt;

@@ -47,12 +47,52 @@ class _ScanOut(ctypes.Structure):
 _LIB: object = None  # None = not probed, False = unavailable
 
 
+def _cache_dir() -> str | None:
+    """Per-user 0700 cache dir; never a world-writable shared path.
+
+    A .so loaded into every Spark worker is code execution — on a multi-user
+    host a predictable /tmp path could be pre-planted by another user. The
+    dir is created 0700 and, if it already exists, only trusted when owned
+    by the current uid and not group/world-writable.
+    """
+    base = os.path.join(tempfile.gettempdir(), f"aegisthus-{os.getuid()}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        if (
+            st.st_uid != os.getuid()
+            or not os.path.isdir(base)
+            or os.path.islink(base)
+            or (st.st_mode & 0o077)
+        ):
+            return None
+    except OSError:
+        return None
+    return base
+
+
+def _trusted_file(path: str) -> bool:
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    return (
+        os.path.isfile(path)
+        and not os.path.islink(path)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o022)
+    )
+
+
 def _build() -> str | None:
     with open(_SRC, "rb") as f:
         src = f.read()
+    cache = _cache_dir()
+    if cache is None:
+        return None
     tag = hashlib.md5(src).hexdigest()[:12]
-    so_path = os.path.join(tempfile.gettempdir(), f"aegisthus_scan_{tag}.so")
-    if os.path.exists(so_path):
+    so_path = os.path.join(cache, f"aegisthus_scan_{tag}.so")
+    if _trusted_file(so_path):
         return so_path
     tmp = f"{so_path}.{os.getpid()}.tmp"
     try:
@@ -60,6 +100,7 @@ def _build() -> str | None:
             ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=60,
         )
+        os.chmod(tmp, 0o700)
         os.rename(tmp, so_path)  # atomic: concurrent builders converge
         return so_path
     except Exception:

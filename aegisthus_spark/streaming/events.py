@@ -13,24 +13,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: raw file schema: ts is TIMESTAMP(NANOS), read as a long (nanosAsLong)
+#: events file schema; ts is parquet timestamp[us] read as TimestampType
 EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+#: legacy layout: ts stored as TIMESTAMP(NANOS), readable only as a raw long
+EVENTS_DDL_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    nanos_ts: bool = False,
 ) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_DDL).option("recursiveFileLookup", "true")
+    """Tail a parquet directory of event files as a stream.
+
+    ``nanos_ts=True`` handles the legacy TIMESTAMP(NANOS) layout, where
+    Spark can only surface the column as a raw long (SPARK-40819): it is
+    read as nanos and floor-divided to micros, the same normalization as
+    the batch loader (queries._events).
+    """
+    ddl = EVENTS_DDL_NANOS if nanos_ts else EVENTS_DDL
+    reader = spark.readStream.schema(ddl).option("recursiveFileLookup", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # nanos -> micros TimestampType (watermarks require TIMESTAMP); same
-    # normalization as the batch loader (queries._events)
-    return reader.parquet(events_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    out = reader.parquet(events_dir)
+    if nanos_ts:
+        out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
 
 
 def stream_daily_rollup(events: DataFrame, *, watermark: str = "1 day") -> DataFrame:

@@ -218,3 +218,43 @@ def test_c_scanner_parity_and_corruption():
     assert (b"k2", b"c") in [(bytes(r["partition_key"]), bytes(r["cell_name"])) for r in rows if r["kind"] == "c"]
     with _pytest.raises(ValueError):
         list(cparse.scan_data_buffer_batches(buf, version="jb"))
+
+
+def test_c_scanner_single_cell_rows_at_batch_cap():
+    """Regression: a batch of exactly cap_cells single-cell rows left
+    rows == n == cap_cells when the NEXT row's header was parsed, and the
+    scanner stored row_deleted[rows] before any capacity check — an 8-byte
+    heap write past the caller's numpy array. The fix guards at the top of
+    the row loop (returns MORE at the row boundary instead). Decode well
+    past the minimum cap (1024) in one-cell rows and assert exact parity
+    with the Python columnar parser."""
+    import pytest as _pytest
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import scan_data_buffer_batches as py_scan
+    from aegisthus_spark.sstable.writer import serialize_row
+
+    if not cparse.available():
+        _pytest.skip("no C compiler on this host")
+
+    def cell(name, value, ts):
+        return {"name": name, "value": value, "ts": ts, "kind": "c",
+                "ttl": None, "local_deletion_time": None, "ts_of_last_delete": None}
+
+    n_rows = 3000  # > 2 full 1024-cell batches of one-cell rows
+    buf = b"".join(
+        serialize_row(b"k%05d" % i, -(1 << 63), [cell(b"only", b"v%05d" % i, i)],
+                      version="jb")
+        for i in range(n_rows)
+    )
+
+    batches = list(cparse.scan_data_buffer_batches(
+        buf, version="jb", source_path="f", batch_rows=1024))
+    # every batch respects the cap — no row entry was ever indexed at cap
+    assert all(b.num_rows <= 1024 for b in batches)
+    got = [tuple(d.values()) for b in batches for d in b.to_pylist()]
+    want = [tuple(d.values())
+            for b in py_scan(buf, version="jb", source_path="f")
+            for d in b.to_pylist()]
+    assert got == want
+    assert len(got) == n_rows
