@@ -14,6 +14,25 @@ two-stage pattern here keeps the same semantics with bounded per-task work:
 
 Equivalent to ``row_number() OVER (ORDER BY ...)``; equals ``RANK()`` /
 ``DENSE_RANK()`` too whenever the sort key is unique (no ties).
+
+Determinism: the range-partitioned frame is consumed by TWO subtrees (the
+offset aggregation and the final join). ``repartitionByRange`` picks its
+boundaries by sampling, so if the two subtrees re-executed it independently
+(AQE re-planning, task retries) they could see DIFFERENT boundaries —
+counts against one partitioning, local ranks against another → duplicated
+or skipped ranks. The frame is therefore pinned with an eager
+``localCheckpoint()`` before fan-out: both subtrees read the same
+materialized partitions. Cost: one extra materialization of the input —
+bounded, and the price of a correct global rank at scale. (Lineage is
+truncated; on executor loss the job retries from the checkpoint's parent
+stage rather than recomputing divergent boundaries.)
+
+This module intentionally still exists for FACT-scale input. For
+dimension-cardinality input (e.g. post-aggregation, ≤ ~100k rows) a plain
+``Window.orderBy`` single-task window is both faster and trivially
+deterministic — use that instead; the machinery here (sampling pass +
+counts job + broadcast + an extra shuffle) only pays for itself when the
+data can't fit one task.
 """
 
 from __future__ import annotations
@@ -39,6 +58,9 @@ def global_row_number(
     parted = df.repartitionByRange(n, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin ONE evaluation of the sampled range partitioning before it fans
+    # out into two consumers — see module docstring. Eager: materializes now.
+    parted = parted.localCheckpoint()
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # N-row table: the only unpartitioned window runs over partition COUNTS
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

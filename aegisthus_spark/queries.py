@@ -360,11 +360,12 @@ def q18_large_volume_customers(spark, sf_dir):
     doc="window function over a join+agg (TPC-H Q15 analog)",
 )
 def q_supplier_revenue_rank(spark, sf_dir):
-    """Two-stage global rank (operators.ranking): range-partition on the
-    sort key + local rank + N-row offset table — no full-data single-
-    partition window. s_suppkey is unique, so row_number == RANK()."""
-    from .operators.ranking import global_row_number
-
+    """Plain global window over DIMENSION-cardinality input: after the
+    groupBy the frame has |suppliers| rows, so the single-task
+    ``Window.orderBy`` is the right plan — the two-stage fact-scale rank
+    (operators.ranking.global_row_number, used by ev_value_rank) would add
+    a sampling pass, a counts job, and an extra shuffle for ~100 rows.
+    s_suppkey is unique in the order, so row_number == RANK()."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     sr = (
@@ -372,9 +373,8 @@ def q_supplier_revenue_rank(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
     )
-    ranked = global_row_number(
-        sr, [F.desc("revenue"), F.col("s_suppkey")], rank_col="rev_rank"
-    )
+    w = Window.orderBy(F.desc("revenue"), F.col("s_suppkey"))
+    ranked = sr.withColumn("rev_rank", F.row_number().over(w).cast("int"))
     return ranked.select("s_suppkey", "s_name", "revenue", "rev_rank").orderBy("rev_rank")
 
 
