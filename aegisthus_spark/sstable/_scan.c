@@ -97,8 +97,11 @@ int scan_cells(
         int64_t row_end = -1;
         if (has_rs_cc) {
             if (o + 8 > total) goto corrupt;
-            row_end = o + 8 + rd_i64(buf + o);
+            int64_t row_size = rd_i64(buf + o);
+            row_end = o + 8 + row_size;
             o += 8;
+            /* a negative or past-the-end size is corruption, not a skip */
+            if (row_size < 0 || row_end > total) goto corrupt;
         }
         if (o + 12 > total) goto corrupt;
         int64_t deleted_at = rd_i64(buf + o + 4);
@@ -107,6 +110,10 @@ int scan_cells(
         if (has_rs_cc) {
             if (o + 4 > total) goto corrupt;
             ncols = rd_i32(buf + o); o += 4;
+            /* ncols == -1 doubles as the jb "until terminator" sentinel in
+             * the cell loop below; a negative on-disk count must not alias
+             * into it */
+            if (ncols < 0) goto corrupt;
         }
         row_deleted[rows] = deleted_at;
 

@@ -237,17 +237,25 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
 
         (keysize,) = u16(buf, o)
         o += 2
+        if o + keysize > total:
+            raise ValueError("corrupt SSTable: key extends past buffer")
         key = buf[o : o + keysize]
         o += keysize
         if has_rs_cc:
             (row_size,) = i64(buf, o)
             o += 8
             row_end = o + row_size
+            # mirror the C twin's guards: a negative or past-the-end size is
+            # corruption, not something to silently clamp
+            if row_size < 0 or row_end > total:
+                raise ValueError("corrupt SSTable: bad row size")
         (deleted_at,) = i64(buf, o + 4)
         o += 12
         if has_rs_cc:
             (n,) = i32(buf, o)
             o += 4
+            if n < 0:
+                raise ValueError("corrupt SSTable: negative column count")
         else:
             n = 1 << 62
 
@@ -258,6 +266,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             o += 2
             if name_len == 0:
                 break
+            if o + name_len + 1 > total:
+                raise ValueError("corrupt SSTable: cell name extends past buffer")
             name_data += buf[o : o + name_len]
             name_off_append(len(name_data))
             o += name_len
@@ -266,6 +276,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             if not flags & 0x17:  # plain 'c' cell — the hot path
                 ts, vlen = qi(buf, o)
                 o += 12
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 val_data += buf[o : o + vlen]
                 val_off_append(len(val_data))
                 o += vlen
@@ -274,6 +286,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             elif flags & RANGE_TOMBSTONE_MASK:
                 (max_len,) = u16(buf, o)
                 o += 2
+                if o + max_len > total:
+                    raise ValueError("corrupt SSTable: RT bound extends past buffer")
                 acc.rt_max.append((idx, bytes(buf[o : o + max_len])))
                 o += max_len
                 (ldt,) = i32(buf, o)
@@ -287,6 +301,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             elif flags & COUNTER_MASK:
                 tsd, ts, vlen = qqi(buf, o)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 val_data += buf[o : o + vlen]
                 val_off_append(len(val_data))
                 o += vlen
@@ -296,6 +312,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             elif flags & EXPIRATION_MASK:
                 ttl, ldt, ts, vlen = iiqi(buf, o)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 val_data += buf[o : o + vlen]
                 val_off_append(len(val_data))
                 o += vlen
@@ -306,6 +324,8 @@ def _scan_into(acc: _Acc, data, version, start, end, batch_rows):
             else:  # DELETION_MASK
                 ts, vlen = qi(buf, o)
                 o += 12
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 val_data += buf[o : o + vlen]
                 val_off_append(len(val_data))
                 kind_append(0x64)  # 'd'

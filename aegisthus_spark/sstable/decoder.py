@@ -230,6 +230,8 @@ def scan_data_buffer(
             return
         (keysize,) = u16(buf, o)
         o += 2
+        if o + keysize > total:
+            raise ValueError("corrupt SSTable: key extends past buffer")
         key = bytes(buf[o : o + keysize])
         o += keysize
 
@@ -237,11 +239,15 @@ def scan_data_buffer(
             (row_size,) = i64(buf, o)
             o += 8
             row_end = o + row_size
+            if row_size < 0 or row_end > total:
+                raise ValueError("corrupt SSTable: bad row size")
         (marked_for_delete_at,) = i64(buf, o + 4)  # skip i32 localDeletionTime
         o += 12
         if has_rs_cc:
             (column_count,) = i32(buf, o)
             o += 4
+            if column_count < 0:
+                raise ValueError("corrupt SSTable: negative column count")
             n = column_count
         else:
             n = 1 << 62
@@ -252,6 +258,8 @@ def scan_data_buffer(
             o += 2
             if name_len == 0:
                 break
+            if o + name_len + 1 > total:
+                raise ValueError("corrupt SSTable: cell name extends past buffer")
             name = bytes(buf[o : o + name_len])
             o += name_len
             flags = buf[o]
@@ -273,6 +281,8 @@ def scan_data_buffer(
             if flags & RANGE_TOMBSTONE_MASK:
                 (max_len,) = u16(buf, o)
                 o += 2
+                if o + max_len > total:
+                    raise ValueError("corrupt SSTable: RT bound extends past buffer")
                 cell["cell_name_max"] = bytes(buf[o : o + max_len])
                 o += max_len
                 cell["local_deletion_time"] = i32(buf, o)[0]
@@ -284,6 +294,8 @@ def scan_data_buffer(
                 cell["ts"] = i64(buf, o + 8)[0]
                 (vlen,) = i32(buf, o + 16)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 cell["value"] = bytes(buf[o : o + vlen])
                 o += vlen
                 cell["kind"] = "x"
@@ -293,6 +305,8 @@ def scan_data_buffer(
                 cell["ts"] = i64(buf, o + 8)[0]
                 (vlen,) = i32(buf, o + 16)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 cell["value"] = bytes(buf[o : o + vlen])
                 o += vlen
                 cell["kind"] = "e"
@@ -300,6 +314,8 @@ def scan_data_buffer(
                 cell["ts"] = i64(buf, o)[0]
                 (vlen,) = i32(buf, o + 8)
                 o += 12
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 value = bytes(buf[o : o + vlen])
                 o += vlen
                 cell["value"] = value
@@ -356,17 +372,23 @@ def scan_data_buffer_rows(
             return
         (keysize,) = u16(buf, o)
         o += 2
+        if o + keysize > total:
+            raise ValueError("corrupt SSTable: key extends past buffer")
         key = bytes(buf[o : o + keysize])
         o += keysize
         if has_rs_cc:
             (row_size,) = i64(buf, o)
             o += 8
             row_end = o + row_size
+            if row_size < 0 or row_end > total:
+                raise ValueError("corrupt SSTable: bad row size")
         (deleted_at,) = i64(buf, o + 4)
         o += 12
         if has_rs_cc:
             (n,) = i32(buf, o)
             o += 4
+            if n < 0:
+                raise ValueError("corrupt SSTable: negative column count")
         else:
             n = 1 << 62
 
@@ -376,6 +398,8 @@ def scan_data_buffer_rows(
             o += 2
             if name_len == 0:
                 break
+            if o + name_len + 1 > total:
+                raise ValueError("corrupt SSTable: cell name extends past buffer")
             name = bytes(buf[o : o + name_len])
             o += name_len
             flags = buf[o]
@@ -383,6 +407,8 @@ def scan_data_buffer_rows(
             if flags & RANGE_TOMBSTONE_MASK:
                 (max_len,) = u16(buf, o)
                 o += 2
+                if o + max_len > total:
+                    raise ValueError("corrupt SSTable: RT bound extends past buffer")
                 name_max = bytes(buf[o : o + max_len])
                 o += max_len
                 (ldt,) = i32(buf, o)
@@ -395,6 +421,8 @@ def scan_data_buffer_rows(
                 (ts,) = i64(buf, o + 8)
                 (vlen,) = i32(buf, o + 16)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 value = bytes(buf[o : o + vlen])
                 o += vlen
                 row = (source_path, generation, key, deleted_at, "x",
@@ -405,6 +433,8 @@ def scan_data_buffer_rows(
                 (ts,) = i64(buf, o + 8)
                 (vlen,) = i32(buf, o + 16)
                 o += 20
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 value = bytes(buf[o : o + vlen])
                 o += vlen
                 row = (source_path, generation, key, deleted_at, "e",
@@ -413,6 +443,8 @@ def scan_data_buffer_rows(
                 (ts,) = i64(buf, o)
                 (vlen,) = i32(buf, o + 8)
                 o += 12
+                if vlen < 0 or o + vlen > total:
+                    raise ValueError("corrupt SSTable: bad value length")
                 value = bytes(buf[o : o + vlen])
                 o += vlen
                 if flags & DELETION_MASK:

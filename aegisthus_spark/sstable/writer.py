@@ -38,8 +38,10 @@ LONG_MIN = -(1 << 63)
 _FLAG_DELETED = 0x01
 _FLAG_EXPIRING = 0x02
 _FLAG_COUNTER = 0x04
+_FLAG_RANGE_TOMBSTONE = 0x10
 
-_KIND_FLAG = {"c": 0, "d": _FLAG_DELETED, "e": _FLAG_EXPIRING, "x": _FLAG_COUNTER}
+_KIND_FLAG = {"c": 0, "d": _FLAG_DELETED, "e": _FLAG_EXPIRING, "x": _FLAG_COUNTER,
+              "t": _FLAG_RANGE_TOMBSTONE}
 
 
 def _java_int_div_1000(v: int) -> int:
@@ -52,11 +54,20 @@ def _java_int_div_1000(v: int) -> int:
 
 
 def serialize_atom(col: dict) -> bytes:
-    """One live/deleted/expiring/counter cell -> its on-disk atom bytes."""
+    """One live/deleted/expiring/counter cell — or a range tombstone —
+    -> its on-disk atom bytes."""
     name = col["name"] or b""
     value = col["value"] if col["value"] is not None else b""
     kind = col.get("kind") or "c"
     out = [_U16.pack(len(name)), name, bytes([_KIND_FLAG[kind]])]
+    if kind == "t":
+        # RangeTombstone: min name above, then u16 max_len, max, i32 ldt, i64 ts
+        name_max = col.get("cell_name_max") or b""
+        out.append(_U16.pack(len(name_max)))
+        out.append(name_max)
+        out.append(_I32.pack(col["local_deletion_time"] or 0))
+        out.append(_I64.pack(col["ts"]))
+        return b"".join(out)
     if kind == "x":
         out.append(_I64.pack(col["ts_of_last_delete"] if col["ts_of_last_delete"] is not None else LONG_MIN))
     elif kind == "e":
