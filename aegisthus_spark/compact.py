@@ -410,6 +410,8 @@ def compact_salted(
     cells: DataFrame,
     *,
     buckets: int = 16,
+    name_sort_key=None,
+    name_max_sort_key=None,
     max_row_size: int | None = None,
 ) -> DataFrame:
     """Skew-safe two-stage compact for pathological (giant) partitions.
@@ -426,11 +428,47 @@ def compact_salted(
     move to the second stage, which only merges the B pre-deduplicated
     survivor arrays per key.
 
+    ``name_sort_key`` / ``name_max_sort_key``: typed-comparator encodings,
+    the same contract as :func:`compact` — callable applied to both bounds,
+    or a pre-built Column over ``cell_name`` plus ``name_max_sort_key`` for
+    the RT max bound. Bucketing stays on the RAW name bytes (the sort key
+    is a function of the name, so duplicates still co-locate).
+
     Cost: two Exchanges instead of one. Use for skew, not as the default.
-    Semantics equal ``compact()`` exactly (asserted by tests on every golden
-    fixture). Byte-ordered comparators (raw-name sort keys) only.
+    Without ``max_row_size`` the semantics equal ``compact()`` exactly
+    (asserted by tests on every golden fixture, typed and raw).
+
+    ``max_row_size`` caveat: ``compact()`` (like the reference reducer,
+    CassSSTableReducer.java:89-96) truncates the RAW merge-order stream —
+    duplicates and RT-covered cells consume budget before dedup. Computing
+    that global raw prefix here would require re-centralizing every
+    duplicate per key, which is exactly the skew this operator exists to
+    avoid; the salted guard therefore truncates the POST-merge survivor
+    stream (comparator order, same size model). Output rows are bounded
+    either way, but the kept prefix and the ``row_too_big`` flag can differ
+    from ``compact()`` when duplicates or covered cells exist — so
+    ``max_row_size`` is excluded from the equality contract.
     """
     cells = cells.filter(F.col("partition_key").isNotNull())
+
+    if name_sort_key is not None and not isinstance(name_sort_key, Column):
+        name_max_sort_key = name_sort_key(F.col("cell_name_max"))
+        name_sort_key = name_sort_key(F.col("cell_name"))
+
+    if name_sort_key is not None:
+        # projection first: custom sort keys may be Python UDFs, which can't
+        # run inside aggregate expressions
+        cells = cells.withColumn("_name_sk", name_sort_key)
+        sort_key = F.col("_name_sk")
+        if name_max_sort_key is not None:
+            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
+            max_sort_key = F.col("_name_max_sk")
+        else:
+            max_sort_key = F.col("cell_name_max")
+    else:
+        sort_key = F.col("cell_name")
+        max_sort_key = F.col("cell_name_max")
+    raw_names = name_sort_key is None
 
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"
@@ -449,19 +487,21 @@ def compact_salted(
     )
     salted = salted.filter(~is_rt).unionByName(rts_everywhere)
 
+    name_fields = [] if raw_names else [F.col("cell_name").alias("name")]
     cell_struct = F.struct(
-        F.col("cell_name").alias("sk"),
+        sort_key.alias("sk"),
         F.col("ts").alias("ts"),
         F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
         F.col("value").alias("value"),
+        *name_fields,
         F.col("kind").alias("kind"),
         F.col("ttl").cast("int").alias("ttl"),
         F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
         F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
     )
     rt_struct = F.struct(
-        F.col("cell_name").alias("min_sk"),
-        F.col("cell_name_max").alias("max_sk"),
+        sort_key.alias("min_sk"),
+        max_sort_key.alias("max_sk"),
         F.col("ts").alias("ts"),
     )
 
@@ -488,9 +528,13 @@ def compact_salted(
         F.array_sort(F.flatten(F.collect_list("bucket_cols"))).alias("cells"),
     )
 
+    name_of = "x.sk" if raw_names else "x.name"
+
     if max_row_size is not None:
+        # survivor-stream truncation — see the docstring caveat; the size
+        # model (raw name + value + framing) matches compact()'s
         csize = (
-            "(length(coalesce(x.sk, x'')) + length(coalesce(x.value, x'')) + 15"
+            f"(length(coalesce({name_of}, x'')) + length(coalesce(x.value, x'')) + 15"
             " + if(x.kind in ('e', 'x'), 8, 0))"
         )
         merged = merged.withColumn(
@@ -510,7 +554,7 @@ def compact_salted(
 
     strip = (
         "transform(filter(cells, x -> x.ts > deleted_at), "
-        "x -> struct(x.sk as name, x.value as value, x.ts as ts, "
+        f"x -> struct({name_of} as name, x.value as value, x.ts as ts, "
         "x.kind as kind, x.ttl as ttl, x.local_deletion_time as local_deletion_time, "
         "x.ts_of_last_delete as ts_of_last_delete))"
     )

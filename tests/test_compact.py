@@ -249,3 +249,67 @@ def test_compact_salted_kinds_and_guard(spark, cells_schema):
     trunc = compact_salted(df, buckets=4, max_row_size=40).collect()
     flagged = {bytes(r.partition_key): r.row_too_big for r in trunc}
     assert flagged[b"k"] is True
+
+
+def test_compact_salted_truncation_keeps_survivor_prefix(spark, cells_schema):
+    """Documented semantics: compact_salted(max_row_size=...) truncates the
+    POST-merge survivor stream (comparator order), not compact()'s raw
+    merge-order stream — duplicates don't consume budget. Assert the exact
+    kept prefix, not just the flag."""
+    from aegisthus_spark.compact import compact_salted
+
+    # three surviving cells, each name=1B value=5B -> csize = 1+5+15 = 21.
+    # budget 45 keeps exactly two survivors; the duplicate of 'a' (loser)
+    # must NOT consume budget in the salted path.
+    df = make(spark, cells_schema, [
+        ("", 1, b"k", MIN, "c", b"a", None, b"old__", 100, None, None, None),
+        ("", 2, b"k", MIN, "c", b"a", None, b"new__", 200, None, None, None),
+        ("", 1, b"k", MIN, "c", b"b", None, b"vvvvv", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", b"c", None, b"wwwww", 100, None, None, None),
+    ])
+    out = compact_salted(df, buckets=4, max_row_size=45).collect()
+    row = {bytes(r.partition_key): r for r in out}[b"k"]
+    assert row.row_too_big is True
+    kept = [(bytes(c.name), bytes(c.value)) for c in row.columns]
+    assert kept == [(b"a", b"new__"), (b"b", b"vvvvv")]
+
+
+def test_compact_salted_typed_comparator(spark, cells_schema):
+    """Salted path under a LongType comparator: typed sort keys threaded
+    through both stages (bounds AND cell names) must equal compact() with
+    the same comparator — including RT coverage of negative longs."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.compact import compact_salted
+
+    comp = aegtypes.get("LongType")
+
+    @F.udf("binary")
+    def sk(b):
+        return comp.sort_key(bytes(b)) if b is not None else None
+
+    def enc(n):
+        return struct.pack(">q", n)
+
+    df = make(spark, cells_schema, [
+        # RT covers [-10, 2] at ts 150
+        ("", 1, b"k", MIN, "t", enc(-10), enc(2), None, 150, None, 99, None),
+        ("", 1, b"k", MIN, "c", enc(-5), None, b"covered_neg", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(1), None, b"covered_pos", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(10), None, b"outside_hi", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(-20), None, b"outside_lo", 100, None, None, None),
+        ("", 1, b"k", MIN, "c", enc(0), None, b"newer_wins", 200, None, None, None),
+        # a second key with duplicates across generations
+        ("", 1, b"k2", MIN, "c", enc(7), None, b"old", 100, None, None, None),
+        ("", 2, b"k2", MIN, "c", enc(7), None, b"new", 200, None, None, None),
+    ])
+    want = rows_of(compact(df, name_sort_key=sk))
+    for buckets in (1, 4):
+        got = rows_of(compact_salted(df, buckets=buckets, name_sort_key=sk))
+        assert got == want, buckets
+    # names decode back through the comparator order
+    names = [struct.unpack(">q", c[0])[0] for c in want[b"k"][1]]
+    assert names == [-20, 0, 10]
