@@ -52,6 +52,8 @@ CQL_TYPES = {
 }
 
 _COLLECTION = re.compile(r"^(list|set|map)\s*<\s*([\w]+)\s*(?:,\s*([\w]+)\s*)?>$", re.I)
+_FROZEN = re.compile(r"^frozen\s*<\s*(.+)\s*>$", re.I | re.S)
+_TUPLE = re.compile(r"^tuple\s*<\s*(.+)\s*>$", re.I | re.S)
 
 
 @dataclass
@@ -59,9 +61,11 @@ class CqlColumn:
     name: str
     cql_type: str
     kind: str = "regular"  # regular | partition_key | clustering | static
-    collection: str | None = None  # list | set | map
+    collection: str | None = None  # list | set | map | tuple
     element_type: str | None = None  # list/set element, or map KEY type
     value_type: str | None = None  # map VALUE type
+    frozen: bool = False  # frozen<...>: whole collection in ONE cell blob
+    tuple_types: list[str] | None = None  # tuple<...> component types
 
 
 @dataclass
@@ -127,13 +131,30 @@ def parse_create_table(ddl: str) -> CqlSchema:
         name = cm.group(1).lower()
         type_str = cm.group(2).strip().lower()
         col = CqlColumn(name, type_str)
-        coll = _COLLECTION.match(type_str)
-        if coll:
+        inner = type_str
+        fz = _FROZEN.match(inner)
+        if fz:
+            col.frozen = True
+            inner = fz.group(1).strip()
+        tup = _TUPLE.match(inner)
+        coll = _COLLECTION.match(inner)
+        if tup:
+            # tuples are always frozen (single-blob) in Cassandra
+            col.frozen = True
+            col.collection = "tuple"
+            col.tuple_types = [t.strip() for t in tup.group(1).split(",")]
+            for t in col.tuple_types:
+                if t not in CQL_TYPES:
+                    raise ValueError(f"unsupported tuple component type: {t}")
+        elif coll:
             col.collection = coll.group(1).lower()
             col.element_type = coll.group(2).lower()
             col.value_type = coll.group(3).lower() if coll.group(3) else None
-        elif type_str not in CQL_TYPES:
+        elif inner not in CQL_TYPES:
             raise ValueError(f"unsupported CQL type: {type_str}")
+        elif col.frozen:
+            # frozen<scalar> serializes identically to the scalar
+            col.cql_type = inner
         if cm.group(3):
             col.kind = "static"
         if cm.group(4):
@@ -246,6 +267,79 @@ def _compose_nonnull(b: Column, cql_type: str) -> Column:
     raise ValueError(f"unsupported CQL type: {cql_type}")
 
 
+# ---------------------------------------------------------------------------
+# frozen-collection / tuple blob decode (Cassandra 2.1+ "version 3" wire
+# format: i32 count / i32 element lengths; tuples are i32-length-prefixed
+# components with -1 marking null). The reference delegates these types to
+# Cassandra's QueryProcessor (CFMetadataUtility.java:12-38); here the blobs
+# are unpacked with pure SQL expressions — JVM-side, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def _i32_at(b_sql: str, pos_sql: str) -> str:
+    """Signed big-endian i32 at 1-based byte position (SQL long expr)."""
+    u = f"cast(conv(hex(substring({b_sql}, {pos_sql}, 4)), 16, 10) as long)"
+    return f"(case when {u} >= 2147483648 then {u} - 4294967296 else {u} end)"
+
+
+def _frozen_elems_expr(b_sql: str) -> str:
+    """frozen<list|set>: blob -> array<binary> of element bytes."""
+    n = _i32_at(b_sql, "1")
+    ln = _i32_at(b_sql, "acc.pos")
+    return (
+        f"if({b_sql} is null or length({b_sql}) < 4, cast(null as {_COMPS_DDL}), "
+        # NB sequence(1, 0) counts DOWN — guard the empty collection
+        f"if({n} <= 0, cast(array() as {_COMPS_DDL}), "
+        f"aggregate(sequence(1, cast({n} as int)), "
+        f"struct(cast(5 as int) as pos, cast(array() as {_COMPS_DDL}) as arr), "
+        f"(acc, i) -> struct(cast(acc.pos + 4 + {ln} as int) as pos, "
+        f"array_append(acc.arr, substring({b_sql}, acc.pos + 4, {ln})) as arr), "
+        f"acc -> acc.arr)))"
+    )
+
+
+def _frozen_entries_expr(b_sql: str) -> str:
+    """frozen<map>: blob -> array<struct<k:binary, v:binary>>.
+
+    SQL lambdas have no let-binding, so the key-length expression is
+    inlined wherever the value offset needs it — verbose but JVM-side.
+    """
+    n = _i32_at(b_sql, "1")
+    klen = _i32_at(b_sql, "acc.pos")
+    vlen = _i32_at(b_sql, f"(acc.pos + 4 + {klen})")
+    entries_ddl = "array<struct<k:binary, v:binary>>"
+    return (
+        f"if({b_sql} is null or length({b_sql}) < 4, cast(null as {entries_ddl}), "
+        # NB sequence(1, 0) counts DOWN — guard the empty collection
+        f"if({n} <= 0, cast(array() as {entries_ddl}), "
+        f"aggregate(sequence(1, cast({n} as int)), "
+        f"struct(cast(5 as int) as pos, cast(array() as {entries_ddl}) as arr), "
+        f"(acc, i) -> struct("
+        f"cast(acc.pos + 8 + {klen} + {vlen} as int) as pos, "
+        f"array_append(acc.arr, struct("
+        f"substring({b_sql}, acc.pos + 4, {klen}) as k, "
+        f"substring({b_sql}, acc.pos + 8 + {klen}, {vlen}) as v)) as arr), "
+        f"acc -> acc.arr)))"
+    )
+
+
+def _tuple_comps_expr(b_sql: str, n_comps: int) -> str:
+    """tuple<...>: blob -> array<binary> of components; i32 length -1 (or a
+    truncated blob) yields a null component."""
+    ln = _i32_at(b_sql, "acc.pos")
+    return (
+        f"if({b_sql} is null, cast(null as {_COMPS_DDL}), "
+        f"aggregate(sequence(1, {n_comps}), "
+        f"struct(cast(1 as int) as pos, cast(array() as {_COMPS_DDL}) as arr), "
+        f"(acc, i) -> if(acc.pos + 4 > length({b_sql}) + 1 OR {ln} < 0, "
+        f"struct(cast(acc.pos + 4 as int) as pos, "
+        f"array_append(acc.arr, cast(null as binary)) as arr), "
+        f"struct(cast(acc.pos + 4 + {ln} as int) as pos, "
+        f"array_append(acc.arr, substring({b_sql}, acc.pos + 4, {ln})) as arr)), "
+        f"acc -> acc.arr))"
+    )
+
+
 def _timeuuid_sort_key(h: Column) -> Column:
     """hex(timeuuid) -> string ordered by embedded time (version nibble is
     constant for v1 uuids): time_hi, time_mid, time_low."""
@@ -313,7 +407,14 @@ def cql_rows(compacted: DataFrame, ddl: str | CqlSchema) -> DataFrame:
     aggs = []
     for col in schema.regulars + schema.statics:
         cond = F.col("colname") == col.name
-        if col.collection == "list":
+        if col.frozen:
+            # frozen collections/tuples live in ONE cell blob -> scalar LWW
+            aggs.append(
+                F.max_by(F.when(cond, F.col("value")), F.when(cond, F.col("ts"))).alias(
+                    f"__raw_{col.name}"
+                )
+            )
+        elif col.collection == "list":
             aggs.append(
                 F.transform(
                     F.array_sort(
@@ -369,6 +470,46 @@ def cql_rows(compacted: DataFrame, ddl: str | CqlSchema) -> DataFrame:
         out_cols.append(compose_value(F.col(f"__ck{i}"), c.cql_type).alias(c.name))
     for col in schema.regulars + schema.statics:
         raw = F.col(f"__raw_{col.name}")
+        if col.frozen:
+            raw_sql = f"`__raw_{col.name}`"
+            if col.collection == "tuple":
+                comps = F.expr(_tuple_comps_expr(raw_sql, len(col.tuple_types)))
+                out_cols.append(
+                    F.when(
+                        raw.isNotNull(),
+                        F.struct(*[
+                            compose_value(
+                                F.try_element_at(comps, F.lit(i + 1)), t
+                            ).alias(f"f{i}")
+                            for i, t in enumerate(col.tuple_types)
+                        ]),
+                    ).alias(col.name)
+                )
+            elif col.collection in ("list", "set"):
+                elem = col.element_type or "blob"
+                elems = F.expr(_frozen_elems_expr(raw_sql))
+                out_cols.append(
+                    F.transform(elems, lambda v: compose_value(v, elem)).alias(col.name)
+                )
+            elif col.collection == "map":
+                kt = col.element_type or "blob"
+                vt = col.value_type or "blob"
+                entries = F.expr(_frozen_entries_expr(raw_sql))
+                out_cols.append(
+                    F.map_from_entries(
+                        F.transform(
+                            entries,
+                            lambda s: F.struct(
+                                compose_value(s.getField("k"), kt).alias("k"),
+                                compose_value(s.getField("v"), vt).alias("v"),
+                            ),
+                        )
+                    ).alias(col.name)
+                )
+            else:
+                # frozen<scalar>: identical wire format to the scalar
+                out_cols.append(compose_value(raw, col.cql_type).alias(col.name))
+            continue
         nonempty = F.when(F.size(raw) > 0, raw)  # absent collection -> NULL
         if col.collection == "list":
             elem = col.element_type or "blob"

@@ -265,3 +265,116 @@ def test_cql_collections_statics_from_real_sstables(spark, tmp_path, version):
     assert sorted(r.s) == [5, 9]                # merged across generations
     assert list(r.l) == [10, 20]                # timeuuid order preserved
     assert r.st == "new-static"                 # static LWW across gens
+
+
+def test_parse_frozen_and_tuple_ddl():
+    """frozen<...> and tuple<...> parse (the reference accepts them via
+    Cassandra's QueryProcessor, CFMetadataUtility.java:12-38)."""
+    from aegisthus_spark.cql import parse_create_table
+
+    ddl = ("CREATE TABLE t (key blob, fl frozen<list<int>>, fm frozen<map<text,int>>, "
+           "fs frozen<set<bigint>>, tp tuple<text, int, double>, fz frozen<int>, "
+           "PRIMARY KEY (key))")
+    s = parse_create_table(ddl)
+    by = {c.name: c for c in s.columns}
+    assert by["fl"].frozen and by["fl"].collection == "list" and by["fl"].element_type == "int"
+    assert by["fm"].frozen and by["fm"].collection == "map" and by["fm"].value_type == "int"
+    assert by["fs"].frozen and by["fs"].collection == "set"
+    assert by["tp"].frozen and by["tp"].collection == "tuple"
+    assert by["tp"].tuple_types == ["text", "int", "double"]
+    assert by["fz"].frozen and by["fz"].collection is None and by["fz"].cql_type == "int"
+
+    with pytest.raises(ValueError, match="unsupported tuple component"):
+        parse_create_table("CREATE TABLE t (key blob PRIMARY KEY, x tuple<text, wat>)")
+
+
+def _frozen_list_blob(elems):
+    out = struct.pack(">i", len(elems))
+    for e in elems:
+        out += struct.pack(">i", len(e)) + e
+    return out
+
+
+def _frozen_map_blob(entries):
+    out = struct.pack(">i", len(entries))
+    for k, v in entries:
+        out += struct.pack(">i", len(k)) + k + struct.pack(">i", len(v)) + v
+    return out
+
+
+def _tuple_blob(comps):
+    out = b""
+    for c in comps:
+        out += struct.pack(">i", -1) if c is None else struct.pack(">i", len(c)) + c
+    return out
+
+
+def test_cql_rows_frozen_collections_and_tuple(spark):
+    """frozen collections / tuples arrive as ONE cell blob (v3 wire format:
+    i32 count + i32 lengths) and decode JVM-side; LWW picks the newest blob."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.cql import cql_rows
+    from tests.conftest import CELLS_SCHEMA
+
+    def comp_name(*parts):
+        out = b""
+        for p in parts:
+            out += struct.pack(">H", len(p)) + p + b"\x00"
+        return out
+
+    ck = struct.pack(">i", 1)
+    fl_old = _frozen_list_blob([struct.pack(">i", 1)])
+    fl_new = _frozen_list_blob([struct.pack(">i", 7), struct.pack(">i", 9)])
+    fm = _frozen_map_blob([(b"a", struct.pack(">i", 5)), (b"bc", struct.pack(">i", 6))])
+    tp = _tuple_blob([b"hi", struct.pack(">i", 3), None])
+    rows_in = [
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"fl"), None, fl_old, 1, None, None, None),
+        ("f", 2, b"pk", -(1 << 63), "c", comp_name(ck, b"fl"), None, fl_new, 2, None, None, None),
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"fm"), None, fm, 1, None, None, None),
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"tp"), None, tp, 1, None, None, None),
+    ]
+    cells = spark.createDataFrame(rows_in, CELLS_SCHEMA)
+    ddl = ("CREATE TABLE t (key blob, ck int, fl frozen<list<int>>, "
+           "fm frozen<map<text,int>>, tp tuple<text, int, double>, "
+           "PRIMARY KEY (key, ck))")
+    rows = cql_rows(compact(cells), ddl)
+    types = {f.name: f.dataType.simpleString() for f in rows.schema.fields}
+    assert types["fl"] == "array<int>"
+    assert types["fm"] == "map<string,int>"
+    assert types["tp"].startswith("struct<f0:string,f1:int,f2:double")
+    got = rows.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.fl == [7, 9]  # LWW kept the ts=2 blob
+    assert dict(r.fm) == {"a": 5, "bc": 6}
+    assert r.tp.f0 == "hi" and r.tp.f1 == 3 and r.tp.f2 is None
+
+
+def test_cql_rows_frozen_empty_and_null(spark):
+    """count=0 frozen blob -> empty collection; absent column -> NULL."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.cql import cql_rows
+    from tests.conftest import CELLS_SCHEMA
+
+    def comp_name(*parts):
+        out = b""
+        for p in parts:
+            out += struct.pack(">H", len(p)) + p + b"\x00"
+        return out
+
+    ck = struct.pack(">i", 1)
+    rows_in = [
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"fl"), None,
+         _frozen_list_blob([]), 1, None, None, None),
+        # v regular column so the row exists even without fm
+        ("f", 1, b"pk", -(1 << 63), "c", comp_name(ck, b"v"), None,
+         struct.pack(">q", 5), 1, None, None, None),
+    ]
+    cells = spark.createDataFrame(rows_in, CELLS_SCHEMA)
+    ddl = ("CREATE TABLE t (key blob, ck int, fl frozen<list<int>>, "
+           "fm frozen<map<text,int>>, v bigint, PRIMARY KEY (key, ck))")
+    got = cql_rows(compact(cells), ddl).collect()
+    assert len(got) == 1
+    assert got[0].fl == []
+    assert got[0].fm is None
+    assert got[0].v == 5
