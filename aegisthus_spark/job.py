@@ -127,8 +127,13 @@ def export_cql(
     """SSTableExport analog (org/coursera/SSTableExport.java:142-190): CQL
     rows from SSTables to Avro — run on *merged* cells, so multi-generation
     inputs are fine (the reference's map-only job requires one compacted
-    generation). Falls back to parquet when the avro package isn't deployed;
-    returns the format used."""
+    generation).
+
+    Avro resolution order: the spark-avro DataSource when it is on the
+    classpath, else the built-in pure-Python OCF sink (:mod:`.avro_out` —
+    real Avro, readable by any implementation); parquet only as the last
+    resort for schemas Avro can't express (fmt='parquet' forces it).
+    Returns the format used: 'avro' | 'avro-ocf' | 'parquet'."""
     from .compact import cleanse
     from .cql import cql_rows
 
@@ -138,6 +143,13 @@ def export_cql(
         try:
             wide.write.mode("overwrite").format("avro").save(output)
             return "avro"
+        except Exception:
+            pass
+        try:
+            from .avro_out import write_avro
+
+            write_avro(wide, output)
+            return "avro-ocf"
         except Exception:
             if fmt == "avro":
                 raise
