@@ -363,8 +363,20 @@ def read_sstable_cells(
     target_bytes: int = DEFAULT_TARGET_SPLIT,
     combine: bool = True,
     skip_corrupt: bool = False,
+    stage_dir: str | None = None,
 ) -> DataFrame:
-    """Read SSTable file(s)/dir(s) into the canonical cells DataFrame."""
+    """Read SSTable file(s)/dir(s) into the canonical cells DataFrame.
+
+    ``stage_dir``: decode-to-parquet staging. Each task writes its decoded
+    Arrow batches straight to a parquet file (pyarrow, C++-side) and the
+    returned DataFrame is a NATIVE parquet scan of the staged files. This
+    skips the Python->JVM Arrow socket hop entirely — the ceiling on the
+    direct path — and every downstream query gets whole-stage codegen,
+    column pruning, and predicate pushdown against parquet. The cost is one
+    extra write+read through storage, so it pays when the snapshot is
+    queried more than once (the normal analytics pattern) or when the
+    direct path's transfer bound dominates; on a cluster, point it at DFS.
+    """
     files = discover_data_files(paths)
     if not files:
         return spark.createDataFrame([], CELLS_SCHEMA)
@@ -384,4 +396,136 @@ def read_sstable_cells(
     ]
     rdd = spark.sparkContext.parallelize(groups, len(groups)).flatMap(lambda g: g)
     tasks_df = spark.createDataFrame(rdd, _TASKS_SCHEMA)
-    return tasks_df.mapInArrow(_decode_tasks, CELLS_SCHEMA)
+    if stage_dir is None:
+        return tasks_df.mapInArrow(_decode_tasks, CELLS_SCHEMA)
+
+    os.makedirs(stage_dir, exist_ok=True)
+    staged = tasks_df.mapInArrow(
+        _stage_tasks_factory(stage_dir), "path string, n_cells long"
+    )
+    written = [r.path for r in staged.collect() if r.path]
+    if not written:
+        return spark.createDataFrame([], CELLS_SCHEMA)
+    return spark.read.schema(CELLS_SCHEMA).parquet(*written)
+
+
+def _stage_tasks_factory(stage_dir: str):
+    """mapInArrow worker: decode splits and write parquet files directly.
+
+    Only (path, cell-count) rows cross the Python->JVM boundary; the data
+    itself goes Arrow->parquet in C++ (pyarrow) at memory-bandwidth speed.
+    One file per Spark partition; snappy (cheap to decode JVM-side)."""
+
+    def stage(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..sstable.decoder import ROW_FIELDS
+
+        schema = _arrow_cells_schema()
+        out_path = None
+        writer = None
+        n = 0
+        try:
+            for arrow_batch in batches:
+                for task in arrow_batch.to_pylist():
+                    for cell_batch in _task_cell_batches(task):
+                        if writer is None:
+                            pid = os.getpid()
+                            tag = abs(hash((task["path"], int(task["start"])))) % (1 << 32)
+                            out_path = os.path.join(
+                                stage_dir, f"stage-{pid}-{tag:08x}.parquet"
+                            )
+                            writer = pq.ParquetWriter(
+                                out_path, schema, compression="snappy"
+                            )
+                        writer.write_batch(cell_batch)
+                        n += cell_batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if out_path is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([out_path]), pa.array([n], pa.int64())],
+                names=["path", "n_cells"],
+            )
+
+    return stage
+
+
+def _task_cell_batches(task) -> "Iterator":
+    """One planned split -> its decoded Arrow RecordBatches (shared by the
+    direct mapInArrow path and the parquet-staging path)."""
+    import mmap
+
+    import pyarrow as pa
+
+    from ..sstable import cparse
+    from ..sstable.arrow_decode import scan_data_buffer_batches
+    from ..sstable.compression import open_compressed
+    from ..sstable.decoder import ROW_FIELDS, scan_data_file
+
+    schema = _arrow_cells_schema()
+    try:
+        if task["compression_path"]:
+            if cparse.available():
+                yield from _scan_compressed_c(task)
+                return
+            f = open_compressed(task["path"], task["compression_path"])
+            try:
+                gen = scan_data_file(
+                    f,
+                    version=task["version"],
+                    start=int(task["start"]),
+                    end=int(task["end"]),
+                    source_path=task["path"],
+                    generation=int(task["generation"]),
+                )
+                rows: list = []
+                for c in gen:
+                    rows.append(tuple(c[k] for k in ROW_FIELDS))
+                    if len(rows) >= 65536:
+                        cols = list(zip(*rows))
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(list(cols[i]), type=schema.field(i).type)
+                             for i in range(len(ROW_FIELDS))],
+                            schema=schema,
+                        )
+                        rows = []
+                if rows:
+                    cols = list(zip(*rows))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(list(cols[i]), type=schema.field(i).type)
+                         for i in range(len(ROW_FIELDS))],
+                        schema=schema,
+                    )
+            finally:
+                f.close()
+        elif os.path.getsize(task["path"]) > 0:
+            scanner = (
+                cparse.scan_data_buffer_batches
+                if cparse.available()
+                else scan_data_buffer_batches
+            )
+            with open(task["path"], "rb") as fh, mmap.mmap(
+                fh.fileno(), 0, access=mmap.ACCESS_READ
+            ) as mm:
+                yield from scanner(
+                    mm,
+                    version=task["version"],
+                    start=int(task["start"]),
+                    end=int(task["end"]),
+                    source_path=task["path"],
+                    generation=int(task["generation"]),
+                    skip_corrupt=bool(task["skip_corrupt"]),
+                )
+    except Exception:
+        if not task["skip_corrupt"]:
+            raise
+        sentinel = (task["path"], int(task["generation"]), None, None,
+                    "!", None, None, None, None, None, None, None)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([sentinel[i]], type=schema.field(i).type)
+             for i in range(len(ROW_FIELDS))],
+            schema=schema,
+        )

@@ -94,6 +94,23 @@ def main() -> None:
     print(f"distributed read ({args.cpus} cores): {n / dt / 1e6:.2f}M cells/s, "
           f"{sz / dt / 1e6:.0f} MB/s")
 
+    # decode-to-parquet staging: workers write parquet in C++ (no
+    # Python->JVM Arrow hop), then Spark scans natively. First call pays
+    # python-worker warm-up; report the warm numbers + the native re-scan.
+    read_sstable_cells(spark, [d], target_bytes=target,
+                       stage_dir=tempfile.mkdtemp()).count()  # warm
+    sd = tempfile.mkdtemp()
+    t = time.time()
+    df_staged = read_sstable_cells(spark, [d], target_bytes=target, stage_dir=sd)
+    n = df_staged.count()
+    dt = time.time() - t
+    print(f"stage-to-parquet + first scan ({args.cpus} cores): "
+          f"{n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+    t = time.time()
+    df_staged.count()
+    dt = time.time() - t
+    print(f"staged parquet re-scan: {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     cells = li.select(
         F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
