@@ -45,11 +45,85 @@ def make_sstable(d: str, rows: int) -> str:
     return path
 
 
+def skew_bench(cpus: int, hot_cells: int, cold_keys: int) -> None:
+    """compact() vs compact_salted() on a skewed cell set: one giant
+    partition (hot_cells cells, duplicated across 3 generations) amid
+    cold_keys normal partitions. Evidence for the salted path's crossover:
+    the single-Exchange compact() funnels the hot key through ONE
+    aggregation group, the salted path spreads it over 16 buckets."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact, compact_salted
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("skew-stress", cpus=cpus)
+
+    def cells_for(tag: str):
+        hot = (
+            spark.range(hot_cells)
+            .withColumn("gen", (F.col("id") % 3).cast("int") + 1)
+            .select(
+                F.lit("f").alias("source_path"), F.col("gen").alias("generation"),
+                F.lit(b"hotkey").alias("partition_key"),
+                F.lit(-(1 << 63)).alias("row_deleted_at"), F.lit("c").alias("kind"),
+                # ~hot_cells/3 distinct names, each duplicated in 3 generations
+                F.encode(F.format_string("n%012d", (F.col("id") % (hot_cells // 3 + 1))), "UTF-8").alias("cell_name"),
+                F.lit(None).cast("binary").alias("cell_name_max"),
+                F.encode(F.format_string("v%020d", F.col("id")), "UTF-8").alias("value"),
+                F.col("id").alias("ts"),
+                F.lit(None).cast("int").alias("ttl"),
+                F.lit(None).cast("int").alias("local_deletion_time"),
+                F.lit(None).cast("long").alias("ts_of_last_delete"),
+            )
+        )
+        cold = (
+            spark.range(cold_keys)
+            .select(
+                F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
+                F.encode(F.format_string("k%09d", "id"), "UTF-8").alias("partition_key"),
+                F.lit(-(1 << 63)).alias("row_deleted_at"), F.lit("c").alias("kind"),
+                F.lit(b"only").alias("cell_name"),
+                F.lit(None).cast("binary").alias("cell_name_max"),
+                F.encode(F.format_string("v%020d", F.col("id")), "UTF-8").alias("value"),
+                F.col("id").alias("ts"),
+                F.lit(None).cast("int").alias("ttl"),
+                F.lit(None).cast("int").alias("local_deletion_time"),
+                F.lit(None).cast("long").alias("ts_of_last_delete"),
+            )
+        )
+        return hot.unionByName(cold)
+
+    cells = cells_for("skew")
+    n = cells.count()
+    print(f"skew set: {n} cells, hot key = {hot_cells} cells (x3-generation dups), "
+          f"{cold_keys} cold keys")
+
+    for label, fn in (("compact (1 Exchange)", compact),
+                      ("compact_salted (2 Exchanges, 16 buckets)", compact_salted)):
+        fn(cells).count()  # warm
+        t = time.time()
+        out = fn(cells)
+        nr = out.count()
+        hot_row = out.filter(F.col("partition_key") == F.lit(b"hotkey")) \
+                     .select(F.size("columns").alias("s")).collect()
+        dt = time.time() - t
+        print(f"{label}: {dt:.2f}s -> {nr} rows, hot row kept {hot_row[0].s} cells")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--skew", action="store_true",
+                    help="run the compact vs compact_salted skew benchmark instead")
+    ap.add_argument("--hot-cells", type=int, default=3_000_000)
+    ap.add_argument("--cold-keys", type=int, default=1_000_000)
     args = ap.parse_args()
+    if args.skew:
+        skew_bench(args.cpus, args.hot_cells, args.cold_keys)
+        return
 
     from aegisthus_spark.session import get_spark
     from aegisthus_spark.sstable.decoder import scan_data_buffer_rows
