@@ -97,15 +97,30 @@ def test_queries_stay_jvm_side(spark, queries):
         assert "ArrowEvalPython" not in plan, f"{name} uses a scalar pandas UDF"
 
 
-def test_supplier_rank_no_global_window_funnel(spark, queries):
-    """The global rank must NOT funnel the aggregated data through one task:
-    data is range-partitioned on the sort key and ranked per-partition; the
-    only single-partition exchange feeds the N-row offset table."""
+def test_supplier_rank_uses_plain_window_on_dimension_input(spark, queries):
+    """q_supplier_revenue_rank ranks POST-aggregation dimension-cardinality
+    data (|suppliers| rows): the single-task Window.orderBy is the right
+    plan there — the two-stage machinery cost a 2x regression in round 2.
+    The window input must be the aggregated frame, not the fact table."""
     from aegisthus_spark.plans import physical_plan
 
     df = queries["q_supplier_revenue_rank"](spark, SF_DIR)
     plan = physical_plan(df, "formatted")
-    assert "rangepartitioning(revenue" in plan, "missing distributed range sort"
+    assert "windowspecdefinition" in plan
+    # no two-stage rank leftovers on this query
+    assert "_pid" not in plan, plan[:1500]
+    # the window consumes an aggregate, so a HashAggregate sits below it
+    assert "HashAggregate" in plan
+
+
+def test_fact_scale_rank_no_global_window_funnel(spark, queries):
+    """ev_value_rank ranks the FACT-scale events table: it must keep the
+    two-stage shape — range-partitioned sort + partition-local rank; the
+    only single-partition exchange feeds the N-row offset table."""
+    from aegisthus_spark.plans import physical_plan
+
+    df = queries["ev_value_rank"](spark, SF_DIR)
+    plan = physical_plan(df, "formatted")
     assert "windowspecdefinition(_pid" in plan, "rank window must be partition-local"
     # offsets cumulative-sum window is the only unpartitioned one (N rows)
     assert plan.count("Exchange SinglePartition") <= 1, plan
