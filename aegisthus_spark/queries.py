@@ -789,6 +789,75 @@ def aeg_cql_pivot(spark, sf_dir):
     return pivoted
 
 
+@register(
+    "aeg_cql_frozen",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(user_id % 5 AS INT) AS ck,
+           CAST(user_id % 100 AS INT) AS fl_0,
+           CAST(user_id % 7 AS INT) AS fl_1,
+           'u' || CAST(user_id AS VARCHAR) AS tp_name,
+           CAST(user_id * 2 AS INT) AS tp_num
+    FROM (SELECT DISTINCT user_id FROM events)
+    ORDER BY user_id
+    """,
+    doc="frozen<list<int>> + tuple<text,int> single-blob cells built JVM-side, "
+        "decoded back through the CQL pivot (v3 wire format end-to-end)",
+)
+def aeg_cql_frozen(spark, sf_dir):
+    """Round-trips the frozen/tuple wire format through the full engine:
+    per user, serialize a frozen<list<int>> blob (i32 count + i32-length
+    elements) and a tuple<text,int> blob (i32-length components) with pure
+    SQL byte-building, wrap them in composite cell names, compact, and
+    pivot with cql_rows under a DDL declaring the frozen types. The oracle
+    computes the same values directly — a mismatch anywhere in serialize,
+    compact, composite split, or frozen decode breaks the hash."""
+    from .cql import cql_rows
+
+    def i32(c):
+        return F.unhex(F.lpad(F.hex(c.cast("int")), 8, "0"))
+
+    def comp(b):  # one composite component: u16 length + bytes + 0x00
+        return F.concat(
+            F.unhex(F.lpad(F.hex(F.length(b)), 4, "0")), b, F.unhex(F.lit("00"))
+        )
+
+    users = _events(spark, sf_dir).select("user_id").distinct()
+    uid = F.col("user_id")
+    ck_blob = i32(uid % 5)
+    fl_blob = F.concat(
+        i32(F.lit(2)), i32(F.lit(4)), i32(uid % 100), i32(F.lit(4)), i32(uid % 7)
+    )
+    tp_text = F.encode(F.concat(F.lit("u"), uid.cast("string")), "UTF-8")
+    tp_blob = F.concat(i32(F.length(tp_text)), tp_text, i32(F.lit(4)), i32(uid * 2))
+
+    def cell(colname, value):
+        return users.select(
+            F.lit("f").alias("source_path"), F.lit(1).alias("generation"),
+            F.encode(uid.cast("string"), "UTF-8").alias("partition_key"),
+            F.lit(LONG_MIN).alias("row_deleted_at"), F.lit("c").alias("kind"),
+            F.concat(comp(ck_blob), comp(F.encode(F.lit(colname), "UTF-8"))).alias("cell_name"),
+            F.lit(None).cast("binary").alias("cell_name_max"),
+            value.alias("value"), F.lit(1).cast("long").alias("ts"),
+            F.lit(None).cast("int").alias("ttl"),
+            F.lit(None).cast("int").alias("local_deletion_time"),
+            F.lit(None).cast("long").alias("ts_of_last_delete"),
+        )
+
+    cells = cell("fl", fl_blob).unionByName(cell("tp", tp_blob))
+    ddl = ("CREATE TABLE t (key blob, ck int, fl frozen<list<int>>, "
+           "tp tuple<text, int>, PRIMARY KEY (key, ck))")
+    wide = cql_rows(compact(cells), ddl)
+    return wide.select(
+        F.decode(F.col("key"), "UTF-8").cast("bigint").alias("user_id"),
+        F.col("ck"),
+        F.element_at("fl", 1).alias("fl_0"),
+        F.element_at("fl", 2).alias("fl_1"),
+        F.col("tp.f0").alias("tp_name"),
+        F.col("tp.f1").alias("tp_num"),
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
@@ -1297,12 +1366,22 @@ _SST_TESTDATA = "/root/reference/aegisthus-hadoop/src/test/resources/testdata"
 _DECODE_GOLDEN = "/root/repo/tests/golden/decode_golden.parquet"
 
 
-def _sst_decode_lines(spark, case_dir: str, *, skip_corrupt: bool = False):
+def _sst_decode_lines(
+    spark, case_dir: str, *, skip_corrupt: bool = False, stage: bool = False
+):
     from .output import to_aeg_json
     from .sources import read_sstable_cells
 
+    stage_dir = None
+    if stage:
+        import tempfile
+
+        stage_dir = tempfile.mkdtemp(prefix="aeg_stage_")
     cells = read_sstable_cells(
-        spark, [f"{_SST_TESTDATA}/{case_dir}/input"], skip_corrupt=skip_corrupt
+        spark,
+        [f"{_SST_TESTDATA}/{case_dir}/input"],
+        skip_corrupt=skip_corrupt,
+        stage_dir=stage_dir,
     )
     if skip_corrupt:
         cells = cells.filter(F.col("kind") != "!")
@@ -1350,6 +1429,19 @@ def sst_decode_compressed(spark, sf_dir):
 )
 def sst_decode_combined(spark, sf_dir):
     return _sst_decode_lines(spark, "2.0.10_1.2.18_combined/randomtable", skip_corrupt=True)
+
+
+@register(
+    "sst_decode_staged",
+    _decode_oracle("randomtable_jb"),
+    doc="decode-to-parquet staging path (workers write parquet, native scan) "
+        "== the same reference golden bytes as the direct path",
+)
+def sst_decode_staged(spark, sf_dir):
+    """The 100 TB read shape: decode once to parquet inside the workers
+    (no Python->JVM Arrow hop), query natively. Must be byte-identical to
+    the direct mapInArrow path (sst_decode_randomtable's oracle)."""
+    return _sst_decode_lines(spark, "2.0.10/randomtable", stage=True)
 
 
 @register(
