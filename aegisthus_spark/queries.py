@@ -858,6 +858,49 @@ def aeg_cql_frozen(spark, sf_dir):
     ).orderBy("user_id")
 
 
+@register(
+    "ev_stream_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    doc="Structured Streaming daily rollup (availableNow over the events "
+        "files, watermarked event-time window) == the batch aggregate",
+)
+def ev_stream_rollup(spark, sf_dir):
+    """Runs the REAL streaming operator under the correctness gate: tail
+    the events parquet as a stream, apply the watermarked 1-day windowed
+    aggregation (streaming/events.py:stream_daily_rollup), drain with an
+    availableNow trigger into a memory sink, and return that table. The
+    oracle is the equivalent batch SQL — so the streaming path's
+    event-time windowing is value-checked against DuckDB, not just
+    unit-tested."""
+    import uuid
+
+    from .streaming.events import read_events_stream, stream_daily_rollup
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    qname = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_daily_rollup(ev)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # day comes out of the sink as DATE; the oracle compares as TIMESTAMP
+    # (midnight), matching ev_daily_rollup's convention
+    return (
+        spark.table(qname)
+        .withColumn("day", F.col("day").cast("timestamp"))
+        .orderBy("day", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
