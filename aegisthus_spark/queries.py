@@ -901,6 +901,58 @@ def ev_stream_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "ev_stream_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Structured Streaming session_window (30-min gap) per-user session "
+        "counts == the batch lag+running-sum sessionization oracle",
+)
+def ev_stream_sessionize(spark, sf_dir):
+    """The built-in ``session_window`` streaming operator under the gate:
+    gap-merged sessions drained with availableNow, aggregated per user and
+    compared to the batch lag-based sessionization SQL. (Semantics differ
+    only on a gap of EXACTLY 30:00.000000 — measure-zero at micros
+    resolution.)"""
+    import uuid
+
+    from .streaming.events import read_events_stream, stream_sessionize
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    qname = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sessionize(ev)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
