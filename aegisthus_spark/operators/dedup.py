@@ -234,7 +234,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
+    # Only vertices touched by an edge can ever change label: iterate over
+    # the ACTIVE subgraph (bounded by the LSH candidate set), not the full
+    # corpus — at 100 TB the duplicate subgraph is orders of magnitude
+    # smaller than the vertex set, so every per-round shuffle shrinks with
+    # it. Isolated vertices join back as their own component at the end.
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.v)
@@ -255,8 +264,14 @@ def connected_components(
         labels = updated.select("v", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component")).orderBy(
-        id_col
+    ids = vertices.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(labels, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("label", F.col("v")).alias("component"),
+        )
+        .orderBy(id_col)
     )
 
 
