@@ -1540,6 +1540,85 @@ def sst_decode_staged(spark, sf_dir):
 
 
 @register(
+    "aeg_incremental_snapshot",
+    _decode_oracle("randomtable_jb"),
+    doc="streaming incremental snapshot (two arrival batches, foreachBatch "
+        "merge, versioned publish) converges to the one-shot compaction — "
+        "same reference golden bytes as sst_decode_randomtable",
+)
+def aeg_incremental_snapshot(spark, sf_dir):
+    """The streaming maintenance path under the FULL value gate: decode the
+    reference randomtable generations, feed them to the incremental
+    snapshot maintainer in two arrival batches (availableNow), read the
+    published snapshot back, strip the retained range tombstones, and
+    render aeg-JSON. A correct implementation is byte-identical to the
+    one-shot compact of all generations — the reference golden."""
+    import tempfile
+
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+    from .streaming.incremental import (
+        read_snapshot,
+        start_incremental_snapshot,
+        strip_range_tombstones,
+    )
+
+    cells = read_sstable_cells(spark, [f"{_SST_TESTDATA}/2.0.10/randomtable/input"])
+    files = sorted(r.source_path for r in cells.select("source_path").distinct().collect())
+    half = files[len(files) // 2]
+
+    root = tempfile.mkdtemp(prefix="aeg_incr_")
+    cells_dir = f"{root}/cells"
+    cells.filter(F.col("source_path") < half).coalesce(1).write.parquet(
+        f"{cells_dir}/batch0.parquet"
+    )
+    cells.filter(F.col("source_path") >= half).coalesce(1).write.parquet(
+        f"{cells_dir}/batch1.parquet"
+    )
+    q = start_incremental_snapshot(
+        spark, cells_dir, f"{root}/snapshot", f"{root}/ckpt",
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(300)
+    final = strip_range_tombstones(read_snapshot(spark, f"{root}/snapshot"))
+    return to_aeg_json(final).select(F.col("value").alias("line"))
+
+
+@register(
+    "ev_stream_latest",
+    None,  # applyInPandasWithState: arbitrary stateful — not SQL-expressible;
+           # ties on (ts) resolve by arrival order, so only the row contract
+           # is stable across runs (weaker rows-only driver check)
+    doc="custom stateful streaming operator (applyInPandasWithState): latest "
+        "event per user over an availableNow drain — rows-only check",
+)
+def ev_stream_latest(spark, sf_dir):
+    import uuid
+
+    from .streaming.events import read_events_stream, stream_latest_per_user
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    qname = f"stream_latest_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_latest_per_user(ev)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode may emit one row per user per batch; keep the newest
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("ts", "event_type", "value"), "ts").alias("s"))
+        .select("user_id", "s.ts", "s.event_type", "s.value")
+        .orderBy("user_id")
+    )
+
+
+@register(
     "ev_value_rank",
     """
     WITH ranked AS (
