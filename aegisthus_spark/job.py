@@ -34,6 +34,7 @@ def compact_snapshot(
     trace_source: bool = False,
     blocksize: int | None = None,
     corrupt_check: list | None = None,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """inputs -> compacted rows DataFrame (sorted within partitions by key,
     mirroring the reference's per-reducer output order, SURVEY O5).
@@ -42,9 +43,13 @@ def compact_snapshot(
     different files are NOT combined, for debugging (CONF_TRACE_DATA_FROM_SOURCE).
     ``sort_columns_by_name`` re-sorts output columns by stringified name (O4).
     ``blocksize`` overrides the target split size (CONF_BLOCKSIZE).
+    ``stage_dir`` routes decode through the parquet-staging path (decode
+    once in the workers, all downstream work on a native columnar scan).
     """
     src_kw = {"target_bytes": blocksize} if blocksize else {}
-    cells = read_sstable_cells(spark, inputs, skip_corrupt=skip_corrupt, **src_kw)
+    cells = read_sstable_cells(
+        spark, inputs, skip_corrupt=skip_corrupt, stage_dir=stage_dir, **src_kw
+    )
     if skip_corrupt and corrupt_check is not None:
         # P6 threshold: count corrupt-file sentinels ('!') during the same
         # pass; the caller verifies the count after its write action
@@ -186,6 +191,9 @@ def main(argv: list[str] | None = None):
                     help="keep rows per source file and output the filename (aegisthus.trace_source)")
     ap.add_argument("--cql-schema", default=None,
                     help="CREATE TABLE DDL: export typed CQL rows (aegisthus.cql_schema)")
+    ap.add_argument("--stage-dir", default=None,
+                    help="decode-to-parquet staging directory (workers write "
+                         "parquet; downstream runs on a native columnar scan)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -227,6 +235,7 @@ def main(argv: list[str] | None = None):
         trace_source=args.trace_source,
         blocksize=args.blocksize,
         corrupt_check=corrupt_check,
+        stage_dir=args.stage_dir,
     )
     if args.produce_sstable:
         from .sstable import write_sstable

@@ -431,10 +431,14 @@ def _stage_tasks_factory(stage_dir: str):
                 for task in arrow_batch.to_pylist():
                     for cell_batch in _task_cell_batches(task):
                         if writer is None:
-                            pid = os.getpid()
-                            tag = abs(hash((task["path"], int(task["start"])))) % (1 << 32)
+                            import uuid
+
+                            # collision-free name: pid + random tag (a name
+                            # clash would silently overwrite another task's
+                            # staged file)
                             out_path = os.path.join(
-                                stage_dir, f"stage-{pid}-{tag:08x}.parquet"
+                                stage_dir,
+                                f"stage-{os.getpid()}-{uuid.uuid4().hex[:12]}.parquet",
                             )
                             writer = pq.ParquetWriter(
                                 out_path, schema, compression="snappy"
