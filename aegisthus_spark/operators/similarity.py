@@ -71,6 +71,64 @@ def label_centroids(emb: DataFrame, *, label_col: str = "label", vec_col: str = 
     )
 
 
+def hyperplanes(dim: int, n_planes: int = 6, seed: int = 1234) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded Gaussian) — embedded as
+    literals in the plan so any engine reproduces the same buckets. Values
+    are rounded through float32 so the Spark literal (array<float>) and an
+    oracle's double literal denote the SAME numbers."""
+    import random
+    import struct
+
+    rng = random.Random(seed)
+    f32 = lambda v: struct.unpack("f", struct.pack("f", v))[0]  # noqa: E731
+    return [[f32(rng.gauss(0.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL: random-hyperplane LSH bucket id = sign bits of plane dots."""
+    bits = " + ".join(
+        f"(case when {_dot_decimal(vec_sql, _query_lit(p))} > 0 then {1 << j} else 0 end)"
+        for j, p in enumerate(planes)
+    )
+    return f"({bits})"
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
+    ``n_planes`` fixed Gaussian hyperplane dots (SimHash for vectors), probe
+    the query's bucket plus all Hamming-distance-1 neighbors, exact-rank the
+    candidates.
+
+    Scale shape: the bucket id is a pure per-row expression (no shuffle to
+    assign), candidate selection is a bucket-id filter — on a bucket-
+    partitioned table that is partition pruning, the same story as the IVF
+    variant but without needing trained centroids. Probing H+1 buckets of
+    2^H bounds the scanned fraction at ~(H+1)/2^H of the corpus.
+    """
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    q = _query_lit(query_vec)
+    qb = _bucket_expr(q, planes)  # constant-folds in codegen
+    probes = f"array({qb}, " + ", ".join(
+        f"({qb} ^ {1 << j})" for j in range(n_planes)
+    ) + ")"
+    cand = emb.withColumn("_b", F.expr(_bucket_expr(vec_col, planes))).filter(
+        F.expr(f"array_contains({probes}, _b)")
+    ).drop("_b")
+    return cosine_topk(
+        cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_vec: list[float],

@@ -114,6 +114,53 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_top_terms(
+    docs: DataFrame, *, k: int = 3, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """Per-document top-k terms by BM25 (Robertson/Sparck-Jones idf with the
+    Lucene-style +1 inside the log, so scores stay positive).
+
+    Same shuffle shape as :func:`tfidf_top_terms` — a doc-frequency
+    aggregate and a per-document top-k window — plus one tiny per-document
+    length aggregate that joins back broadcast-style. N and avgdl are
+    scalar aggregates fetched once (query parameters, not data).
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats.n), float(stats.avgdl)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "bm25", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over token hashes: order-sensitive document
     fingerprint (fp = fold (acc*B + h32(tok) mod P))."""

@@ -1346,6 +1346,75 @@ def dedup_components(spark, sf_dir):
     return _dd.connected_components(pairs, docs)
 
 
+def _lsh_planes_for(sf_dir_dim: int = 64):
+    return _sim.hyperplanes(sf_dir_dim, n_planes=6, seed=1234)
+
+
+def _lsh_plane_sql(p: list[float]) -> str:
+    return "[" + ",".join(repr(float(v)) for v in p) + "]"
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {_DOT_SQL.format(a=vec, b=_lsh_plane_sql(p))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_lsh_planes_for())
+    ) + ")"
+
+
+@register(
+    "sim_cosine_lsh",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {_lsh_bucket_sql('q.qv')} AS b FROM q),
+    cand AS (SELECT e.vec_id, e.embedding, {_lsh_bucket_sql('e.embedding')} AS eb
+             FROM embeddings e WHERE e.vec_id <> 0)
+    SELECT e.vec_id,
+           round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM cand e, q, qb
+    WHERE e.eb = qb.b OR {" OR ".join(f"e.eb = xor(qb.b, {1 << j})" for j in range(6))}
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="random-hyperplane LSH ANN: 6 sign-bit planes, Hamming<=1 multiprobe, "
+        "exact rank within candidate buckets",
+)
+def sim_cosine_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk_lsh(
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=6, seed=1234, exclude_id=0
+    )
+
+
+@register(
+    "text_bm25_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) AS bm25
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+    ranked AS (
+      SELECT doc_id, term, bm25,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY bm25 DESC, term) AS INT) AS rn
+      FROM scored)
+    SELECT doc_id, term, bm25, rn FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+    doc="per-document top-3 terms by BM25 (k1=1.2, b=0.75, Lucene +1 idf)",
+)
+def text_bm25_topk(spark, sf_dir):
+    return _tx.bm25_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 @register(
     "text_tfidf_topk",
     """

@@ -170,3 +170,50 @@ def test_components_from_lsh_match_brute(docs):
     brute = connected_components(ngram_jaccard_pairs(docs, threshold=0.1), docs)
     lsh = connected_components(minhash_lsh_dedup(docs, threshold=0.1), docs)
     assert [tuple(r) for r in brute.collect()] == [tuple(r) for r in lsh.collect()]
+
+
+def test_bm25_topk_scores(spark):
+    """BM25 sanity on a crafted corpus: a term appearing in one document
+    only outranks a term every document shares; ranks are deterministic."""
+    from aegisthus_spark.operators.text import bm25_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common rare common extra"), (2, "common filler filler"),
+         (3, "common filler extra")],
+        "doc_id long, text string",
+    )
+    out = bm25_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.term, r.bm25, r.rn))
+    # doc 1's top term is its unique 'rare', never the ubiquitous 'common'
+    assert by_doc[1][0][0] == "rare"
+    assert all(len(v) == 2 for v in by_doc.values())
+    # idf of 'common' (df=3=N) is ln(0.5/3.5 + 1) > 0 — Lucene +1 keeps it positive
+    common_scores = [s for v in by_doc.values() for (t, s, _) in v if t == "common"]
+    assert all(s > 0 for s in common_scores)
+
+
+def test_cosine_lsh_subset_of_brute(spark):
+    """LSH ANN returns a candidate-restricted subset: every returned
+    neighbor must appear in the brute-force ranking with the same score,
+    and the bucket routing must include the query's own bucket (a vector
+    identical to the query is always found)."""
+    import random
+
+    from aegisthus_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(1, 200)]
+    q = rows[0][1]
+    rows.append((999, list(q)))  # exact duplicate of the query vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lsh = cosine_topk_lsh(emb, q, k=10, n_planes=4).collect()
+    brute = {r.vec_id: r.cos for r in cosine_topk(emb, q, k=200).collect()}
+    assert lsh, "no candidates returned"
+    for r in lsh:
+        assert r.vec_id in brute and abs(r.cos - brute[r.vec_id]) < 1e-9
+    # the duplicate shares the query's bucket exactly -> must be found at cos 1
+    assert any(r.vec_id == 999 and abs(r.cos - 1.0) < 1e-6 for r in lsh)
