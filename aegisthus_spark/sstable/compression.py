@@ -70,7 +70,12 @@ class CompressionInfo:
 
 def lz4_block_decompress(src: bytes, uncompressed_len: int) -> bytes:
     """Pure-Python LZ4 block decode (public block format: token byte with
-    literal/match lengths, 2-byte little-endian match offset)."""
+    literal/match lengths, 2-byte little-endian match offset).
+
+    Malformed input raises ValueError — mirroring the C twin's guards. In
+    particular a match offset beyond the decoded prefix must NOT fall
+    through to Python negative indexing (which would silently read from
+    the END of the buffer: corruption, not an error)."""
     dst = bytearray(uncompressed_len)
     si, di, n = 0, 0, len(src)
     while si < n and di < uncompressed_len:
@@ -79,27 +84,39 @@ def lz4_block_decompress(src: bytes, uncompressed_len: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if si >= n:
+                    raise ValueError("malformed LZ4 block: truncated literal length")
                 b = src[si]
                 si += 1
                 lit += b
                 if b != 255:
                     break
         if lit:
+            if si + lit > n or di + lit > uncompressed_len:
+                raise ValueError("malformed LZ4 block: literal run out of bounds")
             dst[di:di + lit] = src[si:si + lit]
             si += lit
             di += lit
         if si >= n:
             break  # last literals-only sequence
+        if si + 2 > n:
+            raise ValueError("malformed LZ4 block: truncated match offset")
         offset = src[si] | (src[si + 1] << 8)
         si += 2
+        if offset == 0 or offset > di:
+            raise ValueError("malformed LZ4 block: match offset out of range")
         mlen = (token & 0x0F) + 4
         if (token & 0x0F) == 15:
             while True:
+                if si >= n:
+                    raise ValueError("malformed LZ4 block: truncated match length")
                 b = src[si]
                 si += 1
                 mlen += b
                 if b != 255:
                     break
+        if di + mlen > uncompressed_len:
+            raise ValueError("malformed LZ4 block: match run past output")
         mstart = di - offset
         if offset >= mlen:  # non-overlapping: single slice copy
             dst[di:di + mlen] = dst[mstart:mstart + mlen]
@@ -108,6 +125,10 @@ def lz4_block_decompress(src: bytes, uncompressed_len: int) -> bytes:
             for k in range(mlen):
                 dst[di + k] = dst[mstart + k]
             di += mlen
+    if di != uncompressed_len:
+        raise ValueError(
+            f"malformed LZ4 block: wrote {di} of {uncompressed_len} bytes"
+        )
     return bytes(dst)
 
 
@@ -171,11 +192,17 @@ def decompress_chunk(compressor: str, raw: bytes, uncompressed_length: int) -> b
 
 def snappy_decompress(src: bytes) -> bytes:
     """Pure-Python Snappy raw-block decode (public format: varint length,
-    then literal/copy tagged elements)."""
+    then literal/copy tagged elements).
+
+    Malformed input raises ValueError, mirroring the C twin — copy offsets
+    past the decoded prefix must not reach Python negative indexing."""
     i = 0
     ulen = 0
     shift = 0
+    n = len(src)
     while True:
+        if i >= n or shift > 56:
+            raise ValueError("malformed Snappy block: bad length varint")
         b = src[i]
         i += 1
         ulen |= (b & 0x7F) << shift
@@ -184,7 +211,6 @@ def snappy_decompress(src: bytes) -> bytes:
         shift += 7
     dst = bytearray(ulen)
     di = 0
-    n = len(src)
     while i < n:
         tag = src[i]
         i += 1
@@ -193,24 +219,36 @@ def snappy_decompress(src: bytes) -> bytes:
             ln = (tag >> 2) + 1
             if ln > 60:
                 extra = ln - 60
+                if i + extra > n:
+                    raise ValueError("malformed Snappy block: truncated literal length")
                 ln = int.from_bytes(src[i:i + extra], "little") + 1
                 i += extra
+            if i + ln > n or di + ln > ulen:
+                raise ValueError("malformed Snappy block: literal out of bounds")
             dst[di:di + ln] = src[i:i + ln]
             i += ln
             di += ln
         else:
             if t == 1:
+                if i >= n:
+                    raise ValueError("malformed Snappy block: truncated copy")
                 ln = ((tag >> 2) & 7) + 4
                 off = ((tag >> 5) << 8) | src[i]
                 i += 1
             elif t == 2:
+                if i + 2 > n:
+                    raise ValueError("malformed Snappy block: truncated copy")
                 ln = (tag >> 2) + 1
                 off = int.from_bytes(src[i:i + 2], "little")
                 i += 2
             else:
+                if i + 4 > n:
+                    raise ValueError("malformed Snappy block: truncated copy")
                 ln = (tag >> 2) + 1
                 off = int.from_bytes(src[i:i + 4], "little")
                 i += 4
+            if off == 0 or off > di or di + ln > ulen:
+                raise ValueError("malformed Snappy block: copy out of range")
             mstart = di - off
             if off >= ln:
                 dst[di:di + ln] = dst[mstart:mstart + ln]
@@ -218,6 +256,8 @@ def snappy_decompress(src: bytes) -> bytes:
                 for k in range(ln):
                     dst[di + k] = dst[mstart + k]
             di += ln
+    if di != ulen:
+        raise ValueError(f"malformed Snappy block: wrote {di} of {ulen} bytes")
     return bytes(dst)
 
 
