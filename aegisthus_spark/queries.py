@@ -1688,6 +1688,42 @@ def ev_stream_latest(spark, sf_dir):
 
 
 @register(
+    "ev_stream_dedup",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    doc="streaming exact dedup (dropDuplicates on event_id over the stream) "
+        "== batch DISTINCT; per-(user,type) counts",
+)
+def ev_stream_dedup(spark, sf_dir):
+    """Streaming exact deduplication — the training-pipeline ingest shape:
+    dropDuplicates on the event key while the stream drains (state holds
+    one entry per key; with event-time data add
+    ``dropDuplicatesWithinWatermark`` to bound it), then aggregate. The
+    oracle is the batch DISTINCT."""
+    import uuid
+
+    from .streaming.events import read_events_stream
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = ev.dropDuplicates(["event_id"]).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).orderBy("user_id", "event_type")
+
+
+@register(
     "ev_value_rank",
     """
     WITH ranked AS (
