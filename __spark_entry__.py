@@ -18,12 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine settings to a driver-provided session (idempotent)."""
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # non-mutable conf on some deployments; queries still run
+    # Each conf is set independently: one rejected key must not skip the rest
+    # (inferTimestampNTZ in particular decides whether naive parquet
+    # timestamps surface as TIMESTAMP_NTZ, which unix_micros() rejects).
+    for key, val in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # non-mutable conf on some deployments; queries still run
     return spark
 
 

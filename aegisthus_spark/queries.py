@@ -53,13 +53,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts normalized to TimestampType (micros).
 
-    The parquet stores TIMESTAMP(NANOS); with nanosAsLong Spark reads a raw
-    long, which we floor-divide to micros — matching DuckDB's own
-    nanos->micros truncation.
+    The parquet has stored either TIMESTAMP(NANOS) (with nanosAsLong Spark
+    reads a raw long, which we floor-divide to micros — matching DuckDB's
+    own nanos->micros truncation) or a naive timestamp[us] (which a session
+    with inferTimestampNTZ enabled reads as TIMESTAMP_NTZ — cast to
+    TIMESTAMP; the session TZ is UTC, so the micros are preserved and match
+    DuckDB's naive reading). This normalization is owned here, not by
+    session conf alone, so queries stay correct in driver-supplied sessions
+    where conf-set silently fails.
     """
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    dtype = dict(ev.dtypes)["ts"]
+    if dtype == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -1655,11 +1663,18 @@ def aeg_incremental_snapshot(spark, sf_dir):
 
 @register(
     "ev_stream_latest",
-    None,  # applyInPandasWithState: arbitrary stateful — not SQL-expressible;
-           # ties on (ts) resolve by arrival order, so only the row contract
-           # is stable across runs (weaker rows-only driver check)
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, ts, event_type, value FROM ranked
+    WHERE rn = 1 ORDER BY user_id
+    """,
     doc="custom stateful streaming operator (applyInPandasWithState): latest "
-        "event per user over an availableNow drain — rows-only check",
+        "event per user over an availableNow drain; ties break on event_id, "
+        "so a batch argmax oracle checks it exactly",
 )
 def ev_stream_latest(spark, sf_dir):
     import uuid
@@ -1677,11 +1692,17 @@ def ev_stream_latest(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
-    # update mode may emit one row per user per batch; keep the newest
+    # update mode may emit one row per user per batch; keep the newest,
+    # breaking ts ties on event_id exactly as the stateful operator does
     return (
         spark.table(qname)
         .groupBy("user_id")
-        .agg(F.max_by(F.struct("ts", "event_type", "value"), "ts").alias("s"))
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"),
+                F.struct(F.unix_micros("ts"), F.col("event_id")),
+            ).alias("s")
+        )
         .select("user_id", "s.ts", "s.event_type", "s.value")
         .orderBy("user_id")
     )
@@ -1694,23 +1715,23 @@ def ev_stream_latest(spark, sf_dir):
     FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
     GROUP BY user_id, event_type ORDER BY user_id, event_type
     """,
-    doc="streaming exact dedup (dropDuplicates on event_id over the stream) "
-        "== batch DISTINCT; per-(user,type) counts",
+    doc="streaming exact dedup (watermarked dropDuplicatesWithinWatermark on "
+        "event_id, bounded state) == batch DISTINCT; per-(user,type) counts",
 )
 def ev_stream_dedup(spark, sf_dir):
     """Streaming exact deduplication — the training-pipeline ingest shape:
-    dropDuplicates on the event key while the stream drains (state holds
-    one entry per key; with event-time data add
-    ``dropDuplicatesWithinWatermark`` to bound it), then aggregate. The
-    oracle is the batch DISTINCT."""
+    watermarked ``dropDuplicatesWithinWatermark`` on the event key while the
+    stream drains (state per key is dropped once the watermark passes its
+    event time — bounded, unlike plain ``dropDuplicates``), then aggregate.
+    The input is bounded, so the result equals the batch DISTINCT oracle."""
     import uuid
 
-    from .streaming.events import read_events_stream
+    from .streaming.events import read_events_stream, stream_dedup
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    deduped = ev.dropDuplicates(["event_id"]).groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    deduped = stream_dedup(ev, keys=("event_id",), watermark="1 day").groupBy(
+        "user_id", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     q = (
         deduped.writeStream.format("memory")
@@ -1794,3 +1815,40 @@ def text_bpe_pretokenize(spark, sf_dir):
 def mm_thumbnail_plan(spark, sf_dir):
     media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
     return _mm.thumbnail_plan(media, box=256)
+
+
+# ---------------------------------------------------------------------------
+# Gate-window ordering
+# ---------------------------------------------------------------------------
+# The correctness driver records only the FIRST `GATE_WINDOW` registered
+# queries; anything after that runs in bench/pytest but gets no driver
+# correctness row. Registration order above follows the module's topical
+# layout, so we explicitly demote a few queries whose driver row would be
+# redundant — each is an oracle-duplicate of a query that stays in the
+# window and each is additionally pytest-gated:
+#   sst_decode_staged  — byte-identical twin of sst_decode_randomtable
+#                        (same oracle; identity asserted in test_source.py)
+#   aeg_compact_salted — same oracle as aeg_compact (salted two-stage path
+#                        property-tested against compact() in test_compact.py)
+#   text_tfidf_topk    — same tokenization/doc-freq machinery as the gated
+#                        text_bm25_topk
+# tests/test_registry.py asserts every other query fits inside the window.
+
+GATE_WINDOW = 50
+
+GATE_TAIL = ("sst_decode_staged", "aeg_compact_salted", "text_tfidf_topk")
+
+
+def _apply_gate_order() -> None:
+    for name in GATE_TAIL:
+        if name in REGISTRY:
+            REGISTRY[name] = REGISTRY.pop(name)  # re-insert at the end
+    n_gated = len(REGISTRY) - sum(1 for n in GATE_TAIL if n in REGISTRY)
+    if n_gated > GATE_WINDOW:
+        raise RuntimeError(
+            f"{n_gated} queries registered ahead of the {GATE_WINDOW}-row "
+            "correctness window; extend GATE_TAIL or trim the registry"
+        )
+
+
+_apply_gate_order()

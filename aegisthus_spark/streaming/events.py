@@ -87,32 +87,65 @@ def stream_sessionize(
     )
 
 
+def stream_dedup(
+    events: DataFrame, *, keys: tuple[str, ...] = ("event_id",), watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: the state entry for a key
+    is dropped once the watermark passes its event time, so state size is
+    O(keys arriving within the watermark window), not O(all keys ever seen)
+    — the form that survives a continuous 100 TB ingest. A duplicate
+    arriving later than ``watermark`` after the original is (by contract)
+    not dropped; pick the watermark from the source's max duplicate lag.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_latest_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator: the latest event per user, maintained with
     ``applyInPandasWithState`` (arbitrary state, update mode) — the pattern
-    for operators Spark's built-in aggregations can't express."""
+    for operators Spark's built-in aggregations can't express.
+
+    Deterministic: ties on ts break on the higher event_id, mirroring the
+    batch ``max_by(..., struct(unix_micros(ts), event_id))`` in
+    queries.ev_latest_per_user, so the result is independent of arrival
+    order and a batch SQL oracle can check it exactly.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id long, ts timestamp, event_type string, value double"
-    state_schema = "ts long, event_type string, value double"
+    out_schema = (
+        "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    state_schema = "ts long, event_id long, event_type string, value double"
 
     def keep_latest(key, pdf_iter, state: GroupState):
-        best_us, best_type, best_val = state.get if state.exists else (None, None, None)
+        if state.exists:
+            best_us, best_id, best_type, best_val = state.get
+        else:
+            best_us = best_id = best_type = best_val = None
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            idx = pdf["ts"].idxmax()
-            row_us = int(pdf.loc[idx, "ts"].value // 1000)  # ns -> us epoch
-            if best_us is None or row_us > best_us:
-                best_us = row_us
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us epoch
+            idx = (
+                pd.DataFrame({"us": us, "eid": pdf["event_id"].astype("int64")})
+                .sort_values(["us", "eid"])
+                .index[-1]
+            )
+            row_us = int(us.loc[idx])
+            row_id = int(pdf.loc[idx, "event_id"])
+            if best_us is None or (row_us, row_id) > (best_us, best_id):
+                best_us, best_id = row_us, row_id
                 best_type = str(pdf.loc[idx, "event_type"])
                 best_val = float(pdf.loc[idx, "value"])
-        state.update((best_us, best_type, best_val))
+        state.update((best_us, best_id, best_type, best_val))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "ts": [pd.Timestamp(best_us * 1000, unit="ns")],
+                "event_id": [best_id],
                 "event_type": [best_type],
                 "value": [best_val],
             }

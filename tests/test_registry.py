@@ -1,0 +1,99 @@
+"""Registry/gate-window invariants and driver-session compatibility.
+
+The correctness driver records only the first ``GATE_WINDOW`` registered
+queries and supplies its OWN SparkSession (configured solely through
+``__spark_entry__._configure``). These tests pin both contracts:
+
+* the gate ordering — every query outside ``GATE_TAIL`` fits in the window,
+  and the demoted tail queries are exactly the oracle-duplicates we chose;
+* every registered query ships oracle SQL (no weaker rows-only checks);
+* timestamp normalization — a session that infers naive parquet timestamps
+  as TIMESTAMP_NTZ (the round-3 driver default) still analyzes and runs the
+  events-family queries, because ``queries._events`` owns the cast instead
+  of relying on session conf alone.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gate_window_fit():
+    from aegisthus_spark.queries import GATE_TAIL, GATE_WINDOW, REGISTRY
+
+    names = list(REGISTRY)
+    assert len(names) - len(GATE_TAIL) <= GATE_WINDOW
+    # the demoted queries sit at the very end, in GATE_TAIL order
+    assert tuple(names[-len(GATE_TAIL):]) == GATE_TAIL
+    # queries that were never driver-gated before round 4 are in the window
+    window = set(names[:GATE_WINDOW])
+    for must_gate in ("ev_value_rank", "text_bpe_pretokenize",
+                      "mm_thumbnail_plan", "ev_stream_latest",
+                      "ev_stream_dedup"):
+        assert must_gate in window, must_gate
+    # each tail query's oracle story is covered by an in-window sibling
+    siblings = {
+        "sst_decode_staged": "sst_decode_randomtable",
+        "aeg_compact_salted": "aeg_compact",
+        "text_tfidf_topk": "text_bm25_topk",
+    }
+    for tail, kept in siblings.items():
+        if tail in REGISTRY:
+            assert kept in window, f"{tail} demoted but {kept} not gated"
+
+
+def test_every_query_has_oracle_sql():
+    """No rows-only checks: every registered query carries DuckDB oracle SQL."""
+    from aegisthus_spark.queries import REGISTRY
+
+    missing = [n for n, q in REGISTRY.items() if q.sql is None]
+    assert missing == []
+
+
+@pytest.fixture()
+def ntz_spark(spark):
+    """A sibling session that infers naive parquet timestamps as
+    TIMESTAMP_NTZ — the round-3 driver environment."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    return s
+
+
+def test_events_normalized_under_ntz_inference(ntz_spark):
+    from aegisthus_spark.queries import _events
+
+    raw = ntz_spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert dict(raw.dtypes)["ts"] == "timestamp_ntz"  # inference is really on
+    ev = _events(ntz_spark, SF_DIR)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_events_queries_analyze_under_ntz_inference(ntz_spark):
+    """Every batch events-family query must at least pass analysis (the
+    round-3 failure was an AnalysisException on unix_micros(TIMESTAMP_NTZ))
+    in an NTZ-inferring session; the cheapest one also executes."""
+    from aegisthus_spark.queries import REGISTRY
+
+    build_only = (
+        "ev_daily_rollup", "ev_sessionize", "ev_funnel_signup_purchase",
+        "aeg_compact", "aeg_cleanse", "aeg_cql_pivot", "ev_value_quantiles",
+    )
+    for name in build_only:
+        df = REGISTRY[name].fn(ntz_spark, SF_DIR)
+        assert len(df.schema) > 0, name  # forces analysis
+
+    rows = REGISTRY["ev_latest_per_user"].fn(ntz_spark, SF_DIR).collect()
+    assert len(rows) > 0
+
+
+def test_configure_disables_ntz_inference(ntz_spark):
+    """__spark_entry__._configure must flip inference off even when an
+    earlier conf key in the list is rejected."""
+    import __spark_entry__ as entry
+
+    entry._configure(ntz_spark)
+    assert (
+        ntz_spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+        == "false"
+    )

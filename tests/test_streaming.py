@@ -146,11 +146,13 @@ def test_stream_latest_per_user_matches_batch(spark):
         .start()
     )
     q.awaitTermination(120)
-    # update mode may emit a row per batch; keep the newest per user
+    # update mode may emit a row per batch; keep the newest per user,
+    # tie-breaking on event_id exactly as the stateful operator does
     got = {
         r.user_id: (r.ts, r.event_type)
         for r in spark.sql(
-            "select user_id, max_by(ts, ts) ts, max_by(event_type, ts) event_type "
+            "select user_id, max_by(ts, struct(ts, event_id)) ts, "
+            "max_by(event_type, struct(ts, event_id)) event_type "
             "from latest group by user_id"
         ).collect()
     }
@@ -166,6 +168,48 @@ def test_stream_latest_per_user_matches_batch(spark):
         )
         .collect()
     }
-    assert set(got) == set(want)
-    for u in want:
-        assert got[u][0] == want[u][0], f"user {u}: ts {got[u][0]} != {want[u][0]}"
+    # deterministic contract: full (ts, event_type) equality, not just ts
+    assert got == want
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """Watermarked dropDuplicatesWithinWatermark: (a) equals the batch
+    DISTINCT on bounded input, (b) actually EVICTS state once the watermark
+    passes a key's event time — the property that makes it safe on an
+    unbounded 100 TB ingest."""
+    from aegisthus_spark.queries import _events
+    from aegisthus_spark.streaming import read_events_stream
+    from aegisthus_spark.streaming.events import stream_dedup
+
+    events = _events(spark, SF_DIR).cache()
+    mid = int(events.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0].p)
+    in_dir = str(tmp_path / "events_in")
+    # two arrival batches split by event time, so the watermark set by
+    # batch 0 is far behind batch 1's data and cleanup must fire between
+    events.filter(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    events.filter(F.unix_micros("ts") > mid).coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_dedup(stream, keys=("event_id",), watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+
+    got = spark.sql("select count(distinct event_id) n from dedup_wm").collect()[0].n
+    want = events.select("event_id").distinct().count()
+    assert got == want
+
+    # state eviction: across the multi-batch drain some batch must report
+    # rows removed from the dedup state operator
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, "watermark never evicted dedup state"

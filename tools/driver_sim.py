@@ -1,0 +1,92 @@
+"""Driver-style correctness simulation: a bare SparkSession (only
+__spark_entry__._configure applied, NTZ inference left at the environment
+default beforehand), each query vs its DuckDB oracle at a given sf —
+replicating the per-round CORRECTNESS gate so red rows are caught locally.
+
+Usage: python tools/driver_sim.py [sf_dir] [query ...]
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def compare(spark_df, oracle_df, name):
+    sp = spark_df.toPandas()
+    oc = oracle_df
+    if len(sp) != len(oc):
+        return f"{name}: ROWS {len(sp)} != {len(oc)}"
+    sp_cols, oc_cols = sorted(sp.columns), sorted(oc.columns)
+    if sp_cols != oc_cols:
+        return f"{name}: SCHEMA {sp_cols} != {oc_cols}"
+    sp = sp[sp_cols].sort_values(sp_cols).reset_index(drop=True)
+    oc = oc[oc_cols].sort_values(oc_cols).reset_index(drop=True)
+    for c in sp_cols:
+        a, b = sp[c], oc[c]
+        if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
+            a = pd.to_datetime(a).dt.tz_localize(None)
+            b = pd.to_datetime(b).dt.tz_localize(None)
+        try:
+            same = (a.fillna("\0") == b.fillna("\0")).all() if a.dtype == object else (
+                (a.isna() == b.isna()).all() and (a.dropna().values == b.dropna().values).all()
+            )
+        except Exception as e:
+            return f"{name}: COMPARE ERROR col {c}: {e}"
+        if not same:
+            bad = (a != b) & ~(a.isna() & b.isna())
+            return f"{name}: VALUES differ col {c} ({int(bad.sum())} rows), e.g. {a[bad].head(2).tolist()} vs {b[bad].head(2).tolist()}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_bad = 0
+    for name in qs:
+        if only and name not in only:
+            continue
+        try:
+            sdf = qs[name](spark, sf_dir)
+            if name not in oracles:
+                print(f"{name}: NO_ORACLE ({sdf.count()} rows)")
+                continue
+            odf = con.execute(oracles[name]).df()
+            msg = compare(sdf, odf, name)
+        except Exception as e:
+            msg = f"{name}: ERR {type(e).__name__}: {str(e)[:300]}"
+        if msg:
+            n_bad += 1
+            print(msg)
+        else:
+            print(f"{name}: OK")
+    print(f"\n{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILURES'}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
