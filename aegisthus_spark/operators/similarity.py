@@ -84,10 +84,27 @@ def hyperplanes(dim: int, n_planes: int = 6, seed: int = 1234) -> list[list[floa
     return [[f32(rng.gauss(0.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _dot_float(a: str, b: str) -> str:
+    """SQL expr: double-precision dot product as a strict LEFT FOLD over the
+    array (aggregate with 0.0 seed). Same element order + same IEEE-754 ops
+    => bit-identical in any engine that folds left (DuckDB: list_reduce over
+    the same products), without decimal's ~10x constant factor. Used where
+    only the dot's SIGN or a rounded score is consumed."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def _bucket_expr(vec_sql: str, planes: list[list[float]]) -> str:
-    """SQL: random-hyperplane LSH bucket id = sign bits of plane dots."""
+    """SQL: random-hyperplane LSH bucket id = sign bits of plane dots.
+
+    Sign bits use the FLOAT dot (_dot_float): production bucketing never
+    needs exact decimal, and the oracle reproduces the same left fold
+    bit-for-bit. Gaussian plane dots sit far from 0 relative to double
+    rounding error, so the sign — hence the bucket — is stable."""
     bits = " + ".join(
-        f"(case when {_dot_decimal(vec_sql, _query_lit(p))} > 0 then {1 << j} else 0 end)"
+        f"(case when {_dot_float(vec_sql, _query_lit(p))} > 0 then {1 << j} else 0 end)"
         for j, p in enumerate(planes)
     )
     return f"({bits})"

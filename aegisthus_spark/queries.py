@@ -1362,9 +1362,18 @@ def _lsh_plane_sql(p: list[float]) -> str:
     return "[" + ",".join(repr(float(v)) for v in p) + "]"
 
 
+# float dot as the same strict left fold the Spark operator uses
+# (operators.similarity._dot_float): bit-identical sign bits in both engines
+_DOT_F_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
 def _lsh_bucket_sql(vec: str) -> str:
     return "(" + " + ".join(
-        f"(CASE WHEN {_DOT_SQL.format(a=vec, b=_lsh_plane_sql(p))} > 0 THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN {_DOT_F_SQL.format(a=vec, b=_lsh_plane_sql(p))} > 0 THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(_lsh_planes_for())
     ) + ")"
 
