@@ -143,8 +143,20 @@ def _encode_base(value, dt: T.DataType, out: bytearray) -> None:
         out += struct.pack("<f", float(value))
     elif isinstance(dt, T.DoubleType):
         out += struct.pack("<d", float(value))
-    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        # datetime -> micros since epoch (Spark collects tz-naive UTC here)
+    elif isinstance(dt, T.TimestampType):
+        # TimestampType.fromInternal materializes naive LOCAL-time datetimes
+        # (datetime.fromtimestamp) in the executor; the exact inverse is
+        # mktime, not timegm — timegm would shift by the host's UTC offset
+        # on any non-UTC machine. tz-aware values invert via .timestamp().
+        import time as _time
+
+        if value.tzinfo is not None:
+            micros = int(value.timestamp()) * 1_000_000 + value.microsecond
+        else:
+            micros = int(_time.mktime(value.timetuple())) * 1_000_000 + value.microsecond
+        out += _zigzag(micros)
+    elif isinstance(dt, T.TimestampNTZType):
+        # TimestampNTZType.fromInternal yields UTC wall-clock; timegm inverts
         import calendar
 
         micros = calendar.timegm(value.timetuple()) * 1_000_000 + value.microsecond
@@ -232,4 +244,12 @@ def write_avro(df: DataFrame, output_dir: str, *, prefix: str = "part") -> list[
         write_ocf_file(path, itertools.chain([first], it), schema)
         yield path
 
-    return sorted(df.rdd.mapPartitionsWithIndex(write_partition).collect())
+    written = sorted(df.rdd.mapPartitionsWithIndex(write_partition).collect())
+    if not written:
+        # all partitions empty: still represent the export durably — a
+        # header-only OCF records the schema and an empty record set, so
+        # consumers of the directory see the export rather than nothing
+        path = os.path.join(output_dir, f"{prefix}-00000.avro")
+        write_ocf_file(path, iter(()), schema)
+        written = [path]
+    return written

@@ -431,8 +431,11 @@ def compact_salted(
     ``name_sort_key`` / ``name_max_sort_key``: typed-comparator encodings,
     the same contract as :func:`compact` — callable applied to both bounds,
     or a pre-built Column over ``cell_name`` plus ``name_max_sort_key`` for
-    the RT max bound. Bucketing stays on the RAW name bytes (the sort key
-    is a function of the name, so duplicates still co-locate).
+    the RT max bound. With a typed comparator, bucketing hashes the
+    COMPUTED sort key (not the raw bytes): LWW dedup compares sort keys, so
+    two raw names with equal sort keys (a non-injective encoding) must land
+    in the same bucket or stage 2 would keep both where :func:`compact`
+    keeps one. Raw-name mode hashes the name itself (identity encoding).
 
     Cost: two Exchanges instead of one. Use for skew, not as the default.
     Without ``max_row_size`` the semantics equal ``compact()`` exactly
@@ -473,8 +476,10 @@ def compact_salted(
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"
 
+    # hash what dedup compares: the sort key under a typed comparator
+    bucket_on = F.col("cell_name") if raw_names else sort_key
     bucket = F.when(
-        is_cell, F.pmod(F.xxhash64("cell_name"), F.lit(buckets)).cast("int")
+        is_cell, F.pmod(F.xxhash64(bucket_on), F.lit(buckets)).cast("int")
     ).otherwise(F.lit(0))
     salted = cells.withColumn("_b", bucket)
     # RTs must see every name: replicate them into all buckets of their key

@@ -148,11 +148,16 @@ def export_cql(
         try:
             wide.write.mode("overwrite").format("avro").save(output)
             return "avro"
-        except Exception:
-            pass
+        except Exception as e:
+            # fall through ONLY when the avro DataSource is absent; a
+            # mid-write failure of a present spark-avro must surface, not
+            # be papered over with a second sink's partial output
+            if not _is_missing_datasource(e):
+                raise
         try:
             from .avro_out import write_avro
 
+            _clear_dir(output)  # no stale DataSource droppings next to OCF
             write_avro(wide, output)
             return "avro-ocf"
         except Exception:
@@ -160,6 +165,23 @@ def export_cql(
                 raise
     wide.write.mode("overwrite").parquet(output)
     return "parquet"
+
+
+def _is_missing_datasource(e: Exception) -> bool:
+    """True iff the failure means 'no avro DataSource on the classpath'."""
+    msg = str(e)
+    return (
+        "FAILED_FIND_DATA_SOURCE" in msg
+        or "Failed to find data source" in msg
+        or "ClassNotFoundException" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+    )
+
+
+def _clear_dir(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def main(argv: list[str] | None = None):

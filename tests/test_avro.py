@@ -118,3 +118,15 @@ def test_export_cql_emits_real_avro(spark, tmp_path):
         recs = [r for p in files for r in _read_with_java(spark, str(p))]
         assert len(recs) > 0
         assert all("name" in r for r in recs)
+
+
+def test_write_avro_empty_dataframe_header_only(spark, tmp_path):
+    """An all-empty DataFrame still produces one header-only OCF file, so
+    the schema and the (empty) record set are durably represented."""
+    from aegisthus_spark.avro_out import write_avro
+
+    df = spark.createDataFrame([], "id long, name string")
+    paths = write_avro(df, str(tmp_path / "empty"))
+    assert len(paths) == 1
+    recs = _read_with_java(spark, paths[0])
+    assert recs == []

@@ -137,3 +137,35 @@ def test_compact_matches_model(spark, cells_in):
         assert got[k][1] == expected[k][1], (
             f"columns mismatch for {k}:\n  got {got[k][1]}\n  want {expected[k][1]}"
         )
+
+
+def test_salted_noninjective_comparator_matches_compact(spark, cells_schema):
+    """A comparator that maps distinct raw names to EQUAL sort keys (here:
+    lowercasing) must dedup identically in compact() and compact_salted():
+    salting buckets the computed sort key, so such duplicates co-locate."""
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact, compact_salted
+
+    rows = [
+        ("g1", 1, b"k1", None, "c", b"COL", None, b"old", 10, None, None, None),
+        ("g2", 2, b"k1", None, "c", b"col", None, b"new", 20, None, None, None),
+        ("g1", 1, b"k1", None, "c", b"other", None, b"v", 5, None, None, None),
+        ("g1", 1, b"k2", None, "c", b"Name", None, b"a", 1, None, None, None),
+        ("g2", 2, b"k2", None, "c", b"NAME", None, b"b", 2, None, None, None),
+    ]
+    cells = spark.createDataFrame(rows, cells_schema)
+    lower = lambda c: F.lower(c.cast("string")).cast("binary")  # noqa: E731
+
+    def rendered(df):
+        return sorted(
+            (bytes(r.partition_key), [(bytes(c.name), bytes(c.value), c.ts) for c in r.columns])
+            for r in df.collect()
+        )
+
+    got = rendered(compact_salted(cells, buckets=4, name_sort_key=lower))
+    want = rendered(compact(cells, name_sort_key=lower))
+    assert got == want
+    # and the survivors are the newer-ts values (LWW resolved across names)
+    flat = {k: cols for k, cols in got}
+    assert [(v, ts) for _, v, ts in flat[b"k1"]] == [(b"new", 20), (b"v", 5)]
