@@ -22,6 +22,7 @@ Scale design (the reference's input pipeline re-thought for Spark):
 from __future__ import annotations
 
 import os
+import re
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
@@ -53,11 +54,37 @@ COMBINE_TARGET = 100 * 1024 * 1024  # reference combined-split default
 MAX_COMBINED_FILES = 200  # reference aegisthus.max_combined_splits
 
 
-def discover_data_files(paths: list[str] | str) -> list[str]:
+#: Priam batch directory marker (DirectoryWalker.java:156)
+_BATCH_RE = re.compile(r"batch_?id=[0-9]+/?$")
+
+
+def _accept_data_file(fn: str) -> bool:
+    if not fn.endswith("-Data.db") or fn.startswith((".", "_")):
+        return False
+    return ".idx" not in fn  # secondary index sstable
+
+
+def discover_data_files(
+    paths: list[str] | str,
+    *,
+    honor_manifest: bool = True,
+    batched: bool = True,
+) -> list[str]:
     """Recursive discovery of *-Data.db inputs.
 
     Filters hidden files/dirs (`_`/`.` prefixes) and secondary-index
-    sstables (`<cf>.<index>` filename arity), like the reference.
+    sstables (`<cf>.<index>` filename arity), like the reference. Two
+    Priam-layout behaviors from the reference's DirectoryWalker
+    (DirectoryWalker.java:310-341):
+
+    - ``honor_manifest``: a directory holding ``_manifest/_manifest`` is
+      enumerated from that manifest (one file path per line) INSTEAD of
+      being walked — the manifest is the authoritative file list for the
+      backup partition.
+    - ``batched``: sibling ``batch_id=N`` / ``batchid=N`` directories are
+      upload retries; only the greatest (the reference compares path
+      strings, DirectoryWalker.filterBatch:167-177 — lexicographic, kept
+      identical here) is current, the rest are skipped.
     """
     if isinstance(paths, str):
         paths = [paths]
@@ -67,17 +94,47 @@ def discover_data_files(paths: list[str] | str) -> list[str]:
             if p.endswith("-Data.db"):
                 out.append(p)
             continue
-        for root, dirs, files in os.walk(p):
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            for fn in files:
-                if not fn.endswith("-Data.db") or fn.startswith((".", "_")):
-                    continue
-                if ".idx" in fn:
-                    continue  # secondary index sstable
-                full = os.path.join(root, fn)
-                if os.path.getsize(full) > 0:
-                    out.append(full)
+        _walk_dir(p, out, honor_manifest, batched)
     return sorted(out)
+
+
+def _walk_dir(d: str, out: list[str], honor_manifest: bool, batched: bool) -> None:
+    if honor_manifest:
+        manifest = os.path.join(d, "_manifest", "_manifest")
+        if os.path.isfile(manifest):
+            with open(manifest) as fh:
+                for line in fh:
+                    f = line.strip()
+                    if (
+                        f
+                        and _accept_data_file(os.path.basename(f))
+                        and os.path.isfile(f)
+                        and os.path.getsize(f) > 0
+                    ):
+                        out.append(f)
+            return
+    try:
+        entries = sorted(os.listdir(d))
+    except OSError:
+        return
+    subdirs = [
+        e
+        for e in entries
+        if not e.startswith((".", "_")) and os.path.isdir(os.path.join(d, e))
+    ]
+    if batched:
+        batch_dirs = [e for e in subdirs if _BATCH_RE.search(e)]
+        if batch_dirs:
+            keep = max(batch_dirs)
+            subdirs = [
+                e for e in subdirs if not _BATCH_RE.search(e) or e == keep
+            ]
+    for e in subdirs:
+        _walk_dir(os.path.join(d, e), out, honor_manifest, batched)
+    for e in entries:
+        full = os.path.join(d, e)
+        if os.path.isfile(full) and _accept_data_file(e) and os.path.getsize(full) > 0:
+            out.append(full)
 
 
 def _plan_one(path: str, target_bytes: int) -> list[tuple]:

@@ -302,3 +302,49 @@ def test_stage_to_parquet_corrupt_sentinel(spark, tmp_path):
     )
     rows = df.collect()
     assert [r.kind for r in rows] == ["!"]
+
+
+def test_discovery_priam_manifest_and_batches(tmp_path):
+    """S9 parity with the reference DirectoryWalker: a _manifest/_manifest
+    file is the authoritative listing for its directory, and among sibling
+    batch_id=N upload retries only the greatest is walked."""
+    import os
+    import shutil
+
+    src = sorted(
+        glob.glob(f"{TESTDATA}/2.0.10/randomtable/input/**/*-Data.db", recursive=True)
+    )
+    assert len(src) >= 3
+
+    root = tmp_path / "backup"
+    # plain keyspace dir with two generations
+    plain = root / "ks" / "cf"
+    plain.mkdir(parents=True)
+    shutil.copy(src[0], plain / os.path.basename(src[0]))
+    # batch retries: batch_id=1 (stale) and batch_id=2 (current)
+    for b, f in (("batch_id=1", src[1]), ("batch_id=2", src[2])):
+        d = root / "ks" / "cf2" / b
+        d.mkdir(parents=True)
+        shutil.copy(f, d / os.path.basename(f))
+
+    found = discover_data_files(str(root))
+    names = [os.path.basename(f) for f in found]
+    assert os.path.basename(src[0]) in names
+    assert os.path.basename(src[2]) in names  # greatest batch kept
+    assert all("batch_id=1" not in f for f in found)  # stale batch skipped
+    assert len(found) == 2
+
+    # batched=False keeps every batch dir (reference default behavior)
+    assert len(discover_data_files(str(root), batched=False)) == 3
+
+    # now drop a manifest into cf2 naming ONLY the stale batch's file: the
+    # manifest overrides the walk entirely
+    man = root / "ks" / "cf2" / "_manifest"
+    man.mkdir()
+    (man / "_manifest").write_text(str(root / "ks" / "cf2" / "batch_id=1" / os.path.basename(src[1])) + "\n")
+    found = discover_data_files(str(root))
+    assert os.path.basename(src[1]) in [os.path.basename(f) for f in found]
+    assert all("batch_id=2" not in f for f in found)
+    # manifest off -> back to batch dedup
+    found = discover_data_files(str(root), honor_manifest=False)
+    assert all("batch_id=1" not in f for f in found)
