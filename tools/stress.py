@@ -23,10 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_sstable(d: str, rows: int) -> str:
+def make_sstable(d: str, rows: int, gen: int = 1) -> str:
     from aegisthus_spark.sstable.writer import serialize_row
 
-    path = os.path.join(d, "ks-t-jb-1-Data.db")
+    path = os.path.join(d, f"ks-t-jb-{gen}-Data.db")
     index = bytearray()
     with open(path, "wb") as f:
         for i in range(rows):
@@ -115,6 +115,9 @@ def skew_bench(cpus: int, hot_cells: int, cold_keys: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--files", type=int, default=1,
+                    help="number of synthetic sstables (--rows each); use "
+                         "e.g. --rows 1000000 --files 8 for a multi-GB set")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--skew", action="store_true",
                     help="run the compact vs compact_salted skew benchmark instead")
@@ -130,8 +133,12 @@ def main() -> None:
 
     d = tempfile.mkdtemp()
     path = make_sstable(d, args.rows)
+    for g in range(2, args.files + 1):
+        make_sstable(d, args.rows, gen=g)
     sz = os.path.getsize(path)
-    print(f"synthetic sstable: {sz / 1e6:.0f} MB, {args.rows} rows x 5 cells")
+    total_sz = sz * args.files
+    print(f"synthetic sstables: {args.files} x {sz / 1e6:.0f} MB "
+          f"({total_sz / 1e9:.2f} GB total), {args.rows} rows x 5 cells each")
 
     with open(path, "rb") as fh, mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
         t = time.time()
@@ -160,13 +167,13 @@ def main() -> None:
     from aegisthus_spark.compact import compact
     from aegisthus_spark.sources import read_sstable_cells
 
-    target = max(sz // args.cpus, 1 << 20)
+    target = max(total_sz // args.cpus, 1 << 20)
     read_sstable_cells(spark, [d], target_bytes=target).count()  # warm
     t = time.time()
     n = read_sstable_cells(spark, [d], target_bytes=target).count()
     dt = time.time() - t
     print(f"distributed read ({args.cpus} cores): {n / dt / 1e6:.2f}M cells/s, "
-          f"{sz / dt / 1e6:.0f} MB/s")
+          f"{total_sz / dt / 1e6:.0f} MB/s ({total_sz / dt / 1e6 / args.cpus:.0f} MB/s/core)")
 
     # decode-to-parquet staging: workers write parquet in C++ (no
     # Python->JVM Arrow hop), then Spark scans natively. First call pays
@@ -179,11 +186,13 @@ def main() -> None:
     n = df_staged.count()
     dt = time.time() - t
     print(f"stage-to-parquet + first scan ({args.cpus} cores): "
-          f"{n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+          f"{n / dt / 1e6:.2f}M cells/s, {total_sz / dt / 1e6:.0f} MB/s "
+          f"({total_sz / dt / 1e6 / args.cpus:.0f} MB/s/core)")
     t = time.time()
     df_staged.count()
     dt = time.time() - t
-    print(f"staged parquet re-scan: {n / dt / 1e6:.2f}M cells/s, {sz / dt / 1e6:.0f} MB/s")
+    print(f"staged parquet re-scan: {n / dt / 1e6:.2f}M cells/s, "
+          f"{total_sz / dt / 1e6:.0f} MB/s ({total_sz / dt / 1e6 / args.cpus:.0f} MB/s/core)")
 
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     cells = li.select(
