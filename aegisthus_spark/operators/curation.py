@@ -1,0 +1,98 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+dataset splitting and token-budget sequence packing.
+
+Scale design notes (100 TB):
+- Splitting is a pure per-row expression over a content-stable hash — no
+  RNG state, no shuffle, no driver coordination; any engine (and any rerun,
+  on any partitioning) assigns every document the same split. Stratification
+  falls out of hashing per-document rather than per-partition.
+- Packing is the DISTRIBUTED formulation: exact greedy first-fit-decreasing
+  is inherently sequential, so the pipeline-standard shape is a cumulative
+  token sum per stratum (one partitioned window, one shuffle on the stratum
+  key) chunked into fixed budgets. Documents longer than the budget get a
+  pack of their own (they would be truncated/split downstream either way).
+  Pack ids are deterministic given the (stratum, order) — reruns and
+  engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 32-bit hash bucket count for split assignment; the md5-prefix hash is the
+#: same engine-agnostic construction the dedup operators use (dedup.H32)
+_SPLIT_BUCKETS = 10_000
+
+
+def split_assign(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),  # train, val; rest = test
+    salt: str = "split-v1",
+) -> DataFrame:
+    """(id, bucket, split): deterministic train/val/test assignment.
+
+    The bucket is ``h32(salt || id) mod 10000``; fraction boundaries cut the
+    bucket space. Content-stable: adding or removing OTHER documents never
+    moves an existing document across splits (unlike sortBy+limit sampling),
+    which is what makes incremental corpus refreshes reproducible.
+    """
+    train_hi = int(fractions[0] * _SPLIT_BUCKETS)
+    val_hi = train_hi + int(fractions[1] * _SPLIT_BUCKETS)
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', cast({id_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {_SPLIT_BUCKETS}"
+    )
+    return docs.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """(id, stratum, n_tokens, pack_id, pack_offset): assign documents to
+    fixed token-budget training sequences.
+
+    Within each stratum, documents are ordered by id (deterministic), the
+    token counts are cumulatively summed, and the running total is chunked
+    into ``budget``-sized packs: ``pack_id = floor((cumsum - n) / budget)``
+    — i.e. a document starts the pack its first token lands in. This is the
+    declarative analog of streaming concatenate-and-cut packing (documents
+    may straddle a boundary; downstream chunking splits them).
+
+    Strata are fact-scale (one language can hold most of a corpus), so the
+    cumulative sum uses :func:`..ranking.global_running_sum` — range
+    partition + local window + broadcast offsets — NOT a plain
+    ``Window.partitionBy(stratum)``, which would funnel each stratum
+    through a single task.
+    """
+    from .ranking import global_running_sum
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    cum = global_running_sum(
+        toks, ["stratum"], [F.col(id_col)], "n_tokens", out_col="cum"
+    )
+    return cum.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("int").alias("pack_id"),
+        ((F.col("cum") - F.col("n_tokens")) % budget).cast("int").alias("pack_offset"),
+    )

@@ -41,6 +41,49 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``SUM(value) OVER (PARTITION BY part ORDER BY order ROWS
+    UNBOUNDED PRECEDING)`` without funneling any partition-by group through
+    one task — groups here are fact-scale strata (e.g. a language holding
+    most of a corpus), not dimensions.
+
+    Same two-stage shape as :func:`global_row_number`: range-partition on
+    (part, order) so each range partition holds contiguous runs of each
+    group, sum locally, then add per-(range-partition, group) offsets —
+    an offset table of O(num_partitions x groups) rows, broadcast back.
+    The range-partitioned frame fans out to two consumers, so it is pinned
+    with an eager ``localCheckpoint`` (see module docstring).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *part_cols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint()
+    sums = parted.groupBy("_pid", *part_cols).agg(F.sum(value_col).alias("_s"))
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "_pid", *part_cols, F.coalesce(F.sum("_s").over(off_w), F.lit(0)).alias("_off")
+    )
+    local_w = Window.partitionBy("_pid", *part_cols).orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), ["_pid", *part_cols])
+        .withColumn(out_col, F.sum(value_col).over(local_w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column | str],

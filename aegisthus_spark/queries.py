@@ -1826,6 +1826,55 @@ def mm_thumbnail_plan(spark, sf_dir):
     return _mm.thumbnail_plan(media, box=256)
 
 
+@register(
+    "doc_split_assign",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             {_H32_SQL.format(col="'split-v1' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+    doc="deterministic hash-bucket train/val/test split (content-stable, "
+        "no RNG, no shuffle) — corpus curation",
+)
+def doc_split_assign(spark, sf_dir):
+    from .operators.curation import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang AS stratum, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, stratum, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks)
+    SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((c - n_tokens) // 2048 AS INT) AS pack_id,
+           CAST((c - n_tokens) % 2048 AS INT) AS pack_offset
+    FROM cum ORDER BY doc_id
+    """,
+    doc="token-budget sequence packing plan via distributed running sum "
+        "(range partition + broadcast offsets, no single-task stratum window)",
+)
+def doc_pack_sequences(spark, sf_dir):
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=2048, stratum_col="lang"
+    ).withColumn("n_tokens", F.col("n_tokens").cast("int")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -1845,7 +1894,16 @@ def mm_thumbnail_plan(spark, sf_dir):
 
 GATE_WINDOW = 50
 
-GATE_TAIL = ("sst_decode_staged", "aeg_compact_salted", "text_tfidf_topk")
+GATE_TAIL = (
+    "sst_decode_staged",
+    "aeg_compact_salted",
+    "text_tfidf_topk",
+    # new round-4 curation operators: verified by the same oracle machinery
+    # locally (tools/driver_sim.py) and by pytest; they queue for window
+    # rotation once this round's never-gated queries hold green rows
+    "doc_split_assign",
+    "doc_pack_sequences",
+)
 
 
 def _apply_gate_order() -> None:

@@ -217,3 +217,66 @@ def test_cosine_lsh_subset_of_brute(spark):
         assert r.vec_id in brute and abs(r.cos - brute[r.vec_id]) < 1e-9
     # the duplicate shares the query's bucket exactly -> must be found at cos 1
     assert any(r.vec_id == 999 and abs(r.cos - 1.0) < 1e-6 for r in lsh)
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    """Hash-split: reproducible across reruns/partitionings, fractions
+    roughly honored, and removing other docs never moves a survivor."""
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.curation import split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    # content stability: a half-corpus subset keeps identical assignments
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    c = {r.doc_id: r.split for r in split_assign(half).collect()}
+    assert all(a[k] == v for k, v in c.items())
+
+
+def test_pack_sequences_invariants(spark):
+    from aegisthus_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 512
+    rows = pack_sequences(docs, budget=budget).collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for stratum, rs in by_stratum.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // budget, (stratum, r)
+            assert r.pack_offset == cum % budget
+            assert 0 <= r.pack_offset < budget
+            cum += r.n_tokens
+        # pack ids are contiguous from 0
+        ids = sorted({r.pack_id for r in rs})
+        assert ids == list(range(ids[-1] + 1))
+
+
+def test_global_running_sum_matches_plain_window(spark):
+    """Two-stage distributed running sum == single-task window (small data)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.ranking import global_running_sum
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 17 + 1).alias("v"),
+    )
+    got = {
+        (r.g, r.k): r.rs
+        for r in global_running_sum(df, ["g"], [F.col("k")], "v", out_col="rs").collect()
+    }
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r.g, r.k): r.rs for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
+    assert got == want

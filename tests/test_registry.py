@@ -97,3 +97,65 @@ def test_configure_disables_ntz_inference(ntz_spark):
         ntz_spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
         == "false"
     )
+
+
+# dtypes the query/oracle pair machinery depends on, as read by the repo's
+# own session factory. The driver REGENERATES /root/testdata between rounds
+# and has changed physical types before (ts: TIMESTAMP(NANOS) -> naive
+# timestamp[us], which silently became TIMESTAMP_NTZ in NTZ-inferring
+# sessions and broke 8 queries in round 3). When many queries fail at once,
+# run this file first: a drift fails HERE with the table and column named.
+# Column types the queries normalize themselves (events.ts: bigint /
+# timestamp / timestamp_ntz are all handled by _events) are listed with
+# every accepted alternative.
+_EXPECTED_DTYPES = {
+    "lineitem": {
+        "l_orderkey": {"bigint"}, "l_partkey": {"bigint"}, "l_suppkey": {"bigint"},
+        "l_linenumber": {"int"}, "l_quantity": {"double"},
+        "l_extendedprice": {"double"}, "l_discount": {"double"}, "l_tax": {"double"},
+        "l_returnflag": {"string"}, "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp", "timestamp_ntz", "date"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"}, "o_custkey": {"bigint"},
+        "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp", "timestamp_ntz", "date"},
+        "o_orderpriority": {"string"},
+    },
+    "customer": {"c_custkey": {"bigint"}, "c_mktsegment": {"string"}, "c_nationkey": {"int"}},
+    "supplier": {"s_suppkey": {"bigint"}, "s_nationkey": {"int"}},
+    "nation": {"n_nationkey": {"int"}, "n_regionkey": {"int"}, "n_name": {"string"}},
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "part": {"p_partkey": {"bigint"}, "p_type": {"string"}},
+    "events": {
+        "event_id": {"bigint"},
+        "ts": {"timestamp", "timestamp_ntz", "bigint"},  # all normalized by _events
+        "user_id": {"bigint"}, "event_type": {"string"}, "value": {"double"},
+        "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"bigint"}, "text": {"string"}, "lang": {"string"},
+        "source": {"string"}, "n_chars": {"bigint"},
+    },
+    "embeddings": {
+        "vec_id": {"bigint"},
+        "embedding": {"array<float>"},  # float: _query_lit casts literals to float
+        "label": {"int"},
+    },
+}
+
+
+def test_testdata_schema_drift_sentinel(spark):
+    problems = []
+    for table, cols in _EXPECTED_DTYPES.items():
+        got = dict(spark.read.parquet(f"/root/testdata/sf0.001/{table}.parquet").dtypes)
+        for col, accepted in cols.items():
+            if col not in got:
+                problems.append(f"{table}.{col}: MISSING (have {sorted(got)})")
+            elif got[col] not in accepted:
+                problems.append(
+                    f"{table}.{col}: {got[col]!r} not in accepted {sorted(accepted)} "
+                    "— regenerated testdata changed a physical type; audit every "
+                    "query touching this column AND its DuckDB oracle"
+                )
+    assert not problems, "\n".join(problems)
