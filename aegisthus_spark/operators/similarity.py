@@ -146,6 +146,66 @@ def cosine_topk_lsh(
     )
 
 
+def knn_join(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL-vectors k-NN join — the join form of ANN that corpus curation
+    actually runs (near-dup candidate generation, retrieval augmentation):
+    for every vector, its top-k neighbors by cosine among LSH-blocked
+    candidates (same bucket or Hamming-distance-1, the multiprobe
+    criterion), ranked with ties broken on neighbor id.
+
+    Scale shape: bucket assignment is a pure per-row expression; the
+    candidate set comes from ONE equi-join on bucket id (the probe list —
+    n_planes+1 distinct buckets — is exploded on the left side, so no
+    nested-loop join ever appears). Candidate count is
+    ~n * (n_planes+1) * n/2^n_planes; pick ``n_planes ~ log2(n / target
+    bucket size)`` as the corpus grows. Scoring uses the float left-fold
+    dot (bit-identical across engines); per-vector ranking windows
+    partition on the vector id — corpus-cardinality groups, never a
+    single-task funnel.
+    """
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    b = F.expr(_bucket_expr(vec_col, planes))
+    norm = F.sqrt(F.expr(_dot_float(vec_col, vec_col)))  # once per vector
+    left = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), b.alias("ab"),
+        norm.alias("na"),
+    )
+    right = emb.select(
+        F.col(id_col).alias("nn"), F.col(vec_col).alias("vb"), b.alias("bb"),
+        norm.alias("nb"),
+    )
+    probe = F.explode(
+        F.array(F.col("ab"), *[F.expr(f"ab ^ {1 << j}") for j in range(n_planes)])
+    ).alias("pb")
+    cand = left.select("a", "va", "na", probe).join(
+        right, (F.col("pb") == F.col("bb")) & (F.col("a") != F.col("nn"))
+    )
+    scored = cand.select(
+        "a",
+        "nn",
+        F.round(
+            F.expr(_dot_float("va", "vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), "nn")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("a").alias(id_col), F.col("nn"), "cos", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_vec: list[float],

