@@ -140,3 +140,30 @@ def test_components_plan_has_no_shingle_self_join(spark, queries):
     # band-key join present; a raw shingle self-join would join on [s, s]
     # with BOTH sides the full shingle table and no band/key column
     assert "band" in plan and "key" in plan, plan[:1500]
+
+
+def test_knn_join_no_nested_loop(spark, queries):
+    """sim_knn_join blocks candidates through ONE equi-join on bucket id;
+    a nested-loop/cartesian join here is the O(n^2) cliff at scale. The
+    per-vector top-k must also push a WindowGroupLimit below the rank
+    shuffle (partial top-k per partition)."""
+    from aegisthus_spark.plans import physical_plan
+
+    df = queries["sim_knn_join"](spark, SF_DIR)
+    plan = physical_plan(df, "formatted")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+    assert "HashJoin" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+def test_pack_sequences_no_single_task_stratum_window(spark, queries):
+    """doc_pack_sequences runs the cumulative sum via the two-stage running
+    sum: the data window must be partition-local (_pid in its spec); the
+    only stratum-partitioned window is over the O(partitions x strata)
+    offset table."""
+    from aegisthus_spark.plans import physical_plan
+
+    df = queries["doc_pack_sequences"](spark, SF_DIR)
+    plan = physical_plan(df, "formatted")
+    assert "windowspecdefinition(_pid" in plan, "data window must be _pid-local"
+    assert plan.count("Exchange SinglePartition") == 0, plan
