@@ -1924,14 +1924,24 @@ def sim_knn_join(spark, sf_dir):
 # queries; anything after that runs in bench/pytest but gets no driver
 # correctness row. Registration order above follows the module's topical
 # layout, so we explicitly demote a few queries whose driver row would be
-# redundant — each is an oracle-duplicate of a query that stays in the
-# window and each is additionally pytest-gated:
+# redundant — never-gated queries take window priority over queries that
+# already hold green rows from earlier rounds. Each demoted query is an
+# oracle- or machinery-duplicate of a query that stays in the window, is
+# additionally pytest-gated, and is verified locally by the same
+# Spark-vs-DuckDB comparison the driver runs (tools/driver_sim.py):
 #   sst_decode_staged  — byte-identical twin of sst_decode_randomtable
 #                        (same oracle; identity asserted in test_source.py)
 #   aeg_compact_salted — same oracle as aeg_compact (salted two-stage path
 #                        property-tested against compact() in test_compact.py)
 #   text_tfidf_topk    — same tokenization/doc-freq machinery as the gated
-#                        text_bm25_topk
+#                        text_bm25_topk; driver-green in round 3
+#   ev_daily_rollup    — plain groupBy-agg; the same rollup is gated through
+#                        the streaming path (ev_stream_rollup) and the agg
+#                        machinery through the TPC-H block; green r2+r3
+#   ev_funnel_signup_purchase — conditional-min + join machinery gated by
+#                        q4/q18/ev_latest_per_user; green r2+r3
+#   mm_frame_plan      — metadata->plan explosion gated by mm_thumbnail_plan
+#                        and mm_features; green r2+r3
 # tests/test_registry.py asserts every other query fits inside the window.
 
 GATE_WINDOW = 50
@@ -1940,12 +1950,9 @@ GATE_TAIL = (
     "sst_decode_staged",
     "aeg_compact_salted",
     "text_tfidf_topk",
-    # new round-4 operators: verified by the same oracle machinery locally
-    # (tools/driver_sim.py) and by pytest; they queue for window rotation
-    # once this round's never-gated queries hold green rows
-    "doc_split_assign",
-    "doc_pack_sequences",
-    "sim_knn_join",
+    "ev_daily_rollup",
+    "ev_funnel_signup_purchase",
+    "mm_frame_plan",
 )
 
 

@@ -29,13 +29,17 @@ def test_gate_window_fit():
     window = set(names[:GATE_WINDOW])
     for must_gate in ("ev_value_rank", "text_bpe_pretokenize",
                       "mm_thumbnail_plan", "ev_stream_latest",
-                      "ev_stream_dedup"):
+                      "ev_stream_dedup", "doc_split_assign",
+                      "doc_pack_sequences", "sim_knn_join"):
         assert must_gate in window, must_gate
     # each tail query's oracle story is covered by an in-window sibling
     siblings = {
         "sst_decode_staged": "sst_decode_randomtable",
         "aeg_compact_salted": "aeg_compact",
         "text_tfidf_topk": "text_bm25_topk",
+        "ev_daily_rollup": "ev_stream_rollup",
+        "ev_funnel_signup_purchase": "ev_latest_per_user",
+        "mm_frame_plan": "mm_thumbnail_plan",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
