@@ -1,0 +1,131 @@
+"""Temporal operators: distributed as-of join.
+
+An as-of join attaches, to every left row, the nearest right row at or
+before (backward) / at or after (forward) its timestamp within the same
+key — the standard way to align two event streams (trades↔quotes, feature
+lookback joins for training data). Spark has no native ASOF JOIN, and the
+naive formulations fall over at scale:
+
+- range join (``l.ts >= r.ts``) explodes to O(|L|·|R|) per key;
+- per-key ``applyInPandas`` ships both sides through Python.
+
+The scalable formulation used here is UNION + WINDOW: tag each side, union
+both (right rows carry the right payload, left rows carry the left
+payload), and run one ``last(payload) IGNORE NULLS`` window partitioned by
+key. Cost = ONE hash shuffle of |L|+|R| rows and a streaming per-key sort —
+the same shape as any windowed aggregation, with no row multiplication and
+no second join. At 100 TB both sides shuffle once on the join key; skewed
+keys are handled the same way as any hot window key (AQE / pre-salting
+upstream), not worse.
+
+Determinism: right rows carry a ``seq_col`` tiebreak. The match for a left
+row is the right row with the greatest ``(ts, seq)`` such that
+``r.ts <= l.ts`` (backward; exact-ts matches included — right rows order
+before left rows on the same timestamp). Forward mirrors with the nearest
+``r.ts >= l.ts``, greatest seq among equals.
+
+The reference has no temporal join surface; this extends the engine for
+training-data pipelines (feature as-of alignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    seq_col: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Attach the nearest right row per key to every left row.
+
+    Parameters
+    ----------
+    on: join key column(s) present in both sides.
+    ts_col: event-time column present in both sides (orderable).
+    right_cols: right payload columns to attach (default: all non-key,
+        non-ts columns of ``right``); each appears as ``{prefix}{col}``,
+        plus ``{prefix}{ts_col}`` with the matched right timestamp.
+    seq_col: right column breaking ties among equal timestamps
+        deterministically (greatest wins). Required when right may hold
+        duplicate (key, ts) pairs.
+    direction: 'backward' (r.ts <= l.ts, nearest) or 'forward'
+        (r.ts >= l.ts, nearest).
+    tolerance: optional Column interval (e.g. ``F.expr("INTERVAL 1 HOUR")``)
+        — matches farther than this from the left timestamp are nulled.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
+    left_rest = [c for c in left.columns if c not in keys]
+
+    r_pay = F.struct(
+        F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
+    )
+    l_pay = F.struct(*[F.col(c).alias(c) for c in left_rest])
+    seq = F.col(seq_col) if seq_col else F.lit(0)
+    r_u = right.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        seq.alias("_seq"),
+        r_pay.alias("_rpay"),
+        F.lit(None).alias("_lpay"),
+    )
+    l_u = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_u.schema["_seq"].dataType).alias("_seq"),
+        F.lit(None).cast(r_u.schema["_rpay"].dataType).alias("_rpay"),
+        l_pay.alias("_lpay"),
+    )
+    r_u = r_u.withColumn("_lpay", F.lit(None).cast(l_u.schema["_lpay"].dataType))
+
+    sign = 1 if direction == "backward" else -1
+    # Right rows must order BEFORE left rows at the same timestamp so exact
+    # matches are visible; among equal-ts right rows the greatest seq wins
+    # (it is the last one the frame sees).
+    order = [
+        (F.col("_ts").asc() if sign == 1 else F.col("_ts").desc()),
+        F.col("_side").asc(),
+        (F.col("_seq").asc() if sign == 1 else F.col("_seq").desc()),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r_u.unionByName(l_u)
+        .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        in_range = (
+            F.col("_ts") - F.col("_match")[ts_col] <= tolerance
+            if direction == "backward"
+            else F.col("_match")[ts_col] - F.col("_ts") <= tolerance
+        )
+        matched = matched.withColumn(
+            "_match", F.when(in_range, F.col("_match"))
+        )
+    out = [
+        F.col(c) if c in keys else F.col("_lpay")[c].alias(c)
+        for c in left.columns
+    ]
+    out += [F.col("_match")[ts_col].alias(f"{prefix}{ts_col}")]
+    out += [F.col("_match")[c].alias(f"{prefix}{c}") for c in right_cols]
+    return matched.select(*out)
