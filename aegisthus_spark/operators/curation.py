@@ -96,3 +96,44 @@ def pack_sequences(
         F.floor((F.col("cum") - F.col("n_tokens")) / budget).cast("int").alias("pack_id"),
         ((F.col("cum") - F.col("n_tokens")) % budget).cast("int").alias("pack_offset"),
     )
+
+
+def sample_balanced(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "balance-v1",
+) -> DataFrame:
+    """Deterministic stratum-balanced downsampling: keep each stratum at
+    (approximately) the size of the SMALLEST stratum — the standard
+    language-rebalancing step before training-mix assembly.
+
+    Per-stratum keep fraction = min_count / stratum_count, applied through
+    the same content-stable hash bucket as :func:`split_assign`, compared
+    with integer cross-multiplication (``bucket * count < min_count *
+    BUCKETS``) so no float threshold ever enters — any engine keeps the
+    exact same documents.
+
+    Scale shape: the stratum census is one tiny aggregate (|strata| rows)
+    joined back as a broadcast; the keep decision is then a pure per-row
+    expression. No fact-table shuffle at any corpus size, and adding or
+    removing documents in one stratum never reshuffles which documents
+    another stratum keeps (only its own threshold).
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_str"))
+    floor_ = counts.agg(F.min("_n_str").alias("_n_min"))
+    thresholds = counts.crossJoin(F.broadcast(floor_))
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', cast({id_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {_SPLIT_BUCKETS}"
+    )
+    return (
+        docs.withColumn("_bucket", bucket)
+        .join(F.broadcast(thresholds), stratum_col)
+        .filter(
+            F.col("_bucket") * F.col("_n_str")
+            < F.col("_n_min") * F.lit(_SPLIT_BUCKETS)
+        )
+        .select(F.col(id_col), F.col(stratum_col), F.col("_bucket").cast("int").alias("bucket"))
+    )

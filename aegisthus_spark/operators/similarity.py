@@ -240,3 +240,65 @@ def cosine_topk_ivf(
     return cosine_topk(
         pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
     )
+
+
+def _dot_int(a: str, b: str) -> str:
+    """SQL expr: exact integer dot product of two int arrays (bigint acc)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = floor(x_i / scale + 0.5)`` — 4x smaller vectors, the standard
+    memory-bandwidth lever for billion-vector search. ``floor(x + 0.5)``
+    (not ``round``) so every engine quantizes identically regardless of its
+    round-half convention. Keeps ``qq`` (the integer self-dot) so cosine
+    needs no float norm later.
+    """
+    s = f"(array_max(transform({vec_col}, x -> abs(cast(x as double)))) / 127)"
+    qv = (
+        f"CASE WHEN {s} = 0 THEN transform({vec_col}, x -> 0) "
+        f"ELSE transform({vec_col}, x -> cast(floor(cast(x as double) / {s} + 0.5d) as int)) END"
+    )
+    return emb.select(
+        F.col(id_col),
+        F.expr(s).alias("scale"),
+        F.expr(qv).alias("qvec"),
+    ).withColumn("qq", F.expr(_dot_int("qvec", "qvec")))
+
+
+def cosine_topk_quantized(
+    emb: DataFrame,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine over int8-quantized vectors. The per-vector scales
+    CANCEL in the cosine (dot/sqrt(qq_a*qq_b) — pure integer arithmetic
+    plus one sqrt), so the score is engine-exact with no float dot chains
+    and the scan reads 4x fewer bytes than float32. Brute-force scan form;
+    compose with the LSH/IVF candidate pruning above for the 100 TB path.
+    """
+    qz = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    qrow = qz.filter(F.col(id_col) == query_id).select(
+        F.col("qvec").alias("_qv"), F.col("qq").alias("_qqq")
+    )
+    scored = qz.filter(F.col(id_col) != query_id).crossJoin(F.broadcast(qrow))
+    return (
+        scored.select(
+            id_col,
+            (
+                F.expr(_dot_int("qvec", "_qv"))
+                / F.sqrt((F.col("qq") * F.col("_qqq")).cast("double"))
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), id_col)
+        .limit(k)
+    )

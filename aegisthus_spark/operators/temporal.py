@@ -101,7 +101,10 @@ def asof_join(
     order = [
         (F.col("_ts").asc() if sign == 1 else F.col("_ts").desc()),
         F.col("_side").asc(),
-        (F.col("_seq").asc() if sign == 1 else F.col("_seq").desc()),
+        # seq ascends in BOTH directions: the frame's last-seen right row
+        # wins, so ascending seq makes the greatest seq the match among
+        # equal timestamps.
+        F.col("_seq").asc(),
     ]
     w = (
         Window.partitionBy(*keys)

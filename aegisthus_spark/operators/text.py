@@ -204,3 +204,39 @@ def bpe_pretokenize_stats(docs: DataFrame) -> DataFrame:
             - F.expr(f"size(filter(toks, x -> {is_num}))")
         ).alias("n_punct"),
     ).orderBy("doc_id")
+
+
+def repetition_stats(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """Per-document repetition signals — the Gopher-style quality filter
+    for machine-generated / boilerplate text: the fraction of duplicate
+    words and duplicate word ``n``-grams within each document.
+
+    Everything is a pure per-row array expression (split → n-gram window →
+    ``array_distinct``): zero shuffles, zero UDFs, embarrassingly parallel
+    at any corpus size. Ratios are ``1 - distinct/total`` on exact integer
+    counts, so any engine reproduces the doubles bit-for-bit.
+    """
+    sep = "\\u001f"  # unit separator: cannot appear in space-split tokens
+    grams = (
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), '{sep}')) END"
+    )
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("_dw"),
+        F.expr(f"size({grams})").alias("n_ngrams"),
+        F.expr(f"size(array_distinct({grams}))").alias("_dg"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(1.0 - F.col("_dw") / F.col("n_tokens"))
+        .alias("dup_word_ratio"),
+        "n_ngrams",
+        F.when(F.col("n_ngrams") == 0, F.lit(0.0))
+        .otherwise(1.0 - F.col("_dg") / F.col("n_ngrams"))
+        .alias("dup_ngram_ratio"),
+    ).orderBy("doc_id")

@@ -318,3 +318,104 @@ def test_knn_join_invariants(spark):
             assert best.cos == max(r.cos for r in rs)
             checked += 1
     assert checked > 0
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from aegisthus_spark.operators.temporal import asof_join
+
+    TS = lambda x: dt.datetime(2024, 1, 1, 0, 0, x)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, TS(10), "L10"), (1, TS(20), "L20"), (1, TS(5), "L5"),
+         (2, TS(7), "L7"), (3, TS(9), "L9")],
+        "k int, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, TS(10), 100, 1.0), (1, TS(10), 101, 2.0),
+         (1, TS(15), 102, 3.0), (2, TS(8), 103, 4.0)],
+        "k int, ts timestamp, seq int, v double")
+
+    back = {r.lbl: r.asof_v for r in asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["v"], seq_col="seq"
+    ).collect()}
+    # exact-ts match included, greatest seq wins among equal timestamps
+    assert back == {"L5": None, "L10": 2.0, "L20": 3.0, "L7": None, "L9": None}
+
+    fwd = {r.lbl: r.asof_v for r in asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["v"], seq_col="seq",
+        direction="forward",
+    ).collect()}
+    assert fwd == {"L5": 2.0, "L10": 2.0, "L20": None, "L7": 4.0, "L9": None}
+
+    tol = {r.lbl: r.asof_v for r in asof_join(
+        left, right, on="k", ts_col="ts", right_cols=["v"], seq_col="seq",
+        tolerance=F.expr("INTERVAL 3 SECONDS"),
+    ).collect()}
+    # L20's match (ts=15) is 5s away -> nulled by the 3s tolerance
+    assert tol == {"L5": None, "L10": 2.0, "L20": None, "L7": None, "L9": None}
+
+
+def test_repetition_stats_counts(spark):
+    from aegisthus_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),      # 5 toks (2 distinct), 3-grams: aba bab aba (2 distinct)
+         (2, "x y z"),          # no repetition
+         (3, "w w"),            # shorter than n -> no 3-grams
+         ],
+        "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in repetition_stats(docs, n=3).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["dup_word_ratio"] == 1 - 2 / 5
+    assert out[1]["n_ngrams"] == 3 and out[1]["dup_ngram_ratio"] == 1 - 2 / 3
+    assert out[2]["dup_word_ratio"] == 0.0 and out[2]["dup_ngram_ratio"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_ngram_ratio"] == 0.0
+    assert out[3]["dup_word_ratio"] == 0.5
+
+
+def test_sample_balanced_proportions_and_stability(docs):
+    from aegisthus_spark.operators.curation import sample_balanced
+
+    kept = sample_balanced(docs)
+    sizes = {r.lang: r.n for r in
+             kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    raw = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    floor = min(raw.values())
+    # every stratum lands near the smallest stratum's size (hash variance)
+    for lang, n in sizes.items():
+        assert abs(n - floor) <= max(10, floor // 3), (lang, n, floor)
+    # smallest stratum is kept whole
+    smallest = min(raw, key=raw.get)
+    assert sizes[smallest] == raw[smallest]
+    # deterministic: same input -> identical kept set
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in sample_balanced(docs).collect()}
+    assert a == b
+    # content-stable: dropping one OTHER stratum's docs never changes which
+    # of the smallest stratum's docs are kept (only thresholds move)
+    sub = docs.filter((F.col("lang") != "en") | (F.col("doc_id") % 2 == 0))
+    c = {r.doc_id for r in sample_balanced(sub).filter(
+        F.col("lang") == smallest).collect()}
+    assert c == {r.doc_id for r in kept.filter(F.col("lang") == smallest).collect()}
+
+
+def test_quantize_int8_bounds_and_topk_agreement(emb):
+    from aegisthus_spark.operators.similarity import (
+        cosine_topk_quantized, quantize_int8)
+
+    qz = quantize_int8(emb)
+    stats = qz.select(
+        F.max(F.expr("array_max(transform(qvec, x -> abs(x)))")).alias("mx"),
+        F.min(F.expr("array_max(transform(qvec, x -> abs(x)))")).alias("mn"),
+    ).collect()[0]
+    assert stats.mx == 127  # max-abs component quantizes to exactly +-127
+    assert stats.mn >= 1
+    # quantized top-10 overlaps the exact float top-10 heavily (int8 keeps
+    # ~2 decimal digits of cosine)
+    from aegisthus_spark.operators.dedup import _dot_decimal  # noqa: F401
+    from aegisthus_spark.operators.similarity import cosine_topk
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10, exclude_id=0).collect()}
+    quant = {r.vec_id for r in cosine_topk_quantized(emb, query_id=0, k=10).collect()}
+    assert len(exact & quant) >= 8

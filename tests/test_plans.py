@@ -167,3 +167,49 @@ def test_pack_sequences_no_single_task_stratum_window(spark, queries):
     plan = physical_plan(df, "formatted")
     assert "windowspecdefinition(_pid" in plan, "data window must be _pid-local"
     assert plan.count("Exchange SinglePartition") == 0, plan
+
+
+def test_asof_join_single_shuffle_no_join(spark, queries):
+    """The as-of join must stay the union+window formulation: ONE hash
+    Exchange for the key spine (plus the final presentation sort) and NO
+    join operator at all — a SortMergeJoin or nested loop here means the
+    formulation regressed to a range join that explodes at scale."""
+    from aegisthus_spark.plans import count_exchanges, join_strategies
+
+    df = queries["ev_asof_join"](spark, SF_DIR)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) <= 2  # key shuffle + output orderBy range
+
+
+def test_repetition_no_shuffle(spark, queries):
+    """Per-row repetition signals must not shuffle (beyond the output
+    sort): no groupBy, no explode-regroup."""
+    from aegisthus_spark.plans import count_exchanges
+
+    df = queries["text_repetition"](spark, SF_DIR)
+    assert count_exchanges(df) <= 1  # output orderBy only
+
+
+def test_sample_balanced_broadcasts_census(spark, queries):
+    """The stratum census must reach the fact table as a broadcast —
+    a sort-merge join here would shuffle the whole corpus by lang."""
+    from aegisthus_spark.plans import join_strategies
+
+    df = queries["doc_sample_balanced"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    # fact-side join must be broadcast; the scalar census floor (ONE row)
+    # legitimately rides a broadcast nested-loop cross join
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_quantized_topk_broadcasts_query_row(spark, queries):
+    """The single quantized query row joins the scan as a broadcast; the
+    scan itself must not shuffle (top-k is sort+limit with partial
+    per-partition top-k)."""
+    from aegisthus_spark.plans import join_strategies
+
+    df = queries["sim_quantized_topk"](spark, SF_DIR)
+    assert "SortMergeJoin" not in join_strategies(df)
+    assert "CartesianProduct" not in join_strategies(df)

@@ -30,7 +30,9 @@ def test_gate_window_fit():
     for must_gate in ("ev_value_rank", "text_bpe_pretokenize",
                       "mm_thumbnail_plan", "ev_stream_latest",
                       "ev_stream_dedup", "doc_split_assign",
-                      "doc_pack_sequences", "sim_knn_join"):
+                      "doc_pack_sequences", "sim_knn_join",
+                      "ev_asof_join", "text_repetition",
+                      "doc_sample_balanced", "sim_quantized_topk"):
         assert must_gate in window, must_gate
     # each tail query's oracle story is covered by an in-window sibling
     siblings = {
@@ -40,6 +42,10 @@ def test_gate_window_fit():
         "ev_daily_rollup": "ev_stream_rollup",
         "ev_funnel_signup_purchase": "ev_latest_per_user",
         "mm_frame_plan": "mm_thumbnail_plan",
+        "q5_local_supplier_volume": "q3_shipping_priority",
+        "q14_promo_revenue": "q4_order_priority",
+        "dedup_ngram_jaccard": "dedup_minhash_lsh",
+        "text_langid": "text_quality",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
