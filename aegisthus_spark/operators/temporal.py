@@ -132,3 +132,49 @@ def asof_join(
     out += [F.col("_match")[ts_col].alias(f"{prefix}{ts_col}")]
     out += [F.col("_match")[c].alias(f"{prefix}{c}") for c in right_cols]
     return matched.select(*out)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str | list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "30 minutes",
+) -> DataFrame:
+    """Range (interval-containment) join without the nested loop: every
+    point row is matched to every interval of the same key with
+    ``start <= point_ts < end`` (half-open).
+
+    A direct theta join (``p.ts BETWEEN i.start AND i.end``) is a
+    nested-loop per key — O(|P|·|I|) and a CartesianProduct at the planner
+    level when keys are hot. The scalable formulation BINS time: each point
+    belongs to exactly one fixed-width bucket; each interval is exploded to
+    the buckets it covers (``len/bucket + 1`` rows — bounded when interval
+    length is bounded, and ≤2 when intervals are no longer than the bucket
+    width). The join is then a plain equi-join on (key, bucket) with the
+    exact containment check as a post-filter — hashable, broadcastable,
+    AQE-skew-splittable, everything a range join is not. Pick ``bucket``
+    near the typical interval length.
+
+    Output: the interval row's columns + the matched point's columns (the
+    caller projects/aggregates).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    step = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket}"))
+    p_b = points.withColumn("_bk", (F.unix_micros(F.col(point_ts)) / step).cast("long"))
+    i_b = intervals.withColumn(
+        "_bks",
+        F.sequence(
+            (F.unix_micros(F.col(start_col)) / step).cast("long"),
+            # end is exclusive, but a point in end's bucket can still precede
+            # it; ceil via (end-1) keeps the explosion tight
+            ((F.unix_micros(F.col(end_col)) - 1) / step).cast("long"),
+        ),
+    ).withColumn("_bk", F.explode("_bks")).drop("_bks")
+    joined = i_b.join(p_b, [*keys, "_bk"]).filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bk")

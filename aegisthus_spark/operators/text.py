@@ -240,3 +240,57 @@ def repetition_stats(docs: DataFrame, *, n: int = 3) -> DataFrame:
         .otherwise(1.0 - F.col("_dg") / F.col("n_ngrams"))
         .alias("dup_ngram_ratio"),
     ).orderBy("doc_id")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every document, the fraction of its
+    word ``n``-grams that appear in a benchmark/eval set — the standard
+    filter for keeping test sets out of training data (production uses
+    n≈8–13).
+
+    Scale shape: the benchmark gram set is SMALL (eval suites are KBs–MBs)
+    — distinct grams broadcast to every executor; the corpus side explodes
+    its grams, left-joins the broadcast, and re-aggregates per document.
+    The only fact-side shuffle is the per-document groupBy; the benchmark
+    never shuffles the corpus.
+    """
+    sep = "\\u001f"
+    grams = (
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), '{sep}')) END"
+    )
+    def _grams(df):
+        return df.select(
+            F.col(id_col), F.split(text_col, " ").alias("toks")
+        ).select(F.col(id_col), F.explode_outer(F.expr(grams)).alias("gram"))
+
+    bench_grams = _grams(benchmark).select("gram").distinct()
+    hit = (
+        _grams(docs)
+        .join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    return hit.select(
+        id_col,
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.col("n_hit").cast("int").alias("n_hit"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(F.col("n_hit") / F.col("n_grams"))
+        .alias("contam_ratio"),
+    ).orderBy(id_col)

@@ -419,3 +419,41 @@ def test_quantize_int8_bounds_and_topk_agreement(emb):
     exact = {r.vec_id for r in cosine_topk(emb, qvec, k=10, exclude_id=0).collect()}
     quant = {r.vec_id for r in cosine_topk_quantized(emb, query_id=0, k=10).collect()}
     assert len(exact & quant) >= 8
+
+
+def test_interval_join_containment(spark):
+    import datetime as dt
+
+    from aegisthus_spark.operators.temporal import interval_join
+
+    TS = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, TS(0), "p0"), (1, TS(29), "p29"), (1, TS(30), "p30"),
+         (1, TS(45), "p45"), (2, TS(10), "q10")],
+        "k int, ts timestamp, lbl string")
+    # interval [00:00, 00:30) for k=1; [00:40, 01:40) for k=1 (spans >1
+    # bucket); [00:05, 00:15) for k=2
+    intervals = spark.createDataFrame(
+        [(1, 10, TS(0), TS(30)), (1, 11, TS(40), dt.datetime(2024, 1, 1, 1, 40)),
+         (2, 12, TS(5), TS(15))],
+        "k int, iid int, start timestamp, end timestamp")
+    got = {(r.iid, r.lbl) for r in interval_join(
+        points, intervals, on="k", point_ts="ts",
+        start_col="start", end_col="end", bucket="30 minutes",
+    ).collect()}
+    # half-open: p30 is NOT in [0, 30); p45 IS in [40, 100)
+    assert got == {(10, "p0"), (10, "p29"), (11, "p45"), (12, "q10")}
+
+
+def test_decontaminate_self_and_disjoint(spark):
+    from aegisthus_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w"), (3, "a b x")],
+        "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r.asDict() for r in decontaminate(docs, bench, n=2).collect()}
+    assert out[1]["contam_ratio"] == 1.0          # benchmark doc: full overlap
+    assert out[2]["contam_ratio"] == 0.0          # disjoint vocabulary
+    assert out[3]["n_grams"] == 2 and out[3]["n_hit"] == 1  # 'a b' hits
+    assert out[3]["contam_ratio"] == 0.5

@@ -213,3 +213,27 @@ def test_quantized_topk_broadcasts_query_row(spark, queries):
     df = queries["sim_quantized_topk"](spark, SF_DIR)
     assert "SortMergeJoin" not in join_strategies(df)
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_interval_join_no_nested_loop(spark, queries):
+    """The range join must stay the binned equi-join: a
+    BroadcastNestedLoopJoin or CartesianProduct here means the
+    containment predicate leaked into the join condition."""
+    from aegisthus_spark.plans import join_strategies
+
+    df = queries["ev_interval_join"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert strategies, "expected an equi-join in the plan"
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_decontaminate_broadcasts_benchmark(spark, queries):
+    """The benchmark gram set must reach the corpus as a broadcast — a
+    SortMergeJoin would shuffle every corpus n-gram by gram text."""
+    from aegisthus_spark.plans import join_strategies
+
+    df = queries["doc_decontaminate"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies

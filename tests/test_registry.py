@@ -32,7 +32,8 @@ def test_gate_window_fit():
                       "ev_stream_dedup", "doc_split_assign",
                       "doc_pack_sequences", "sim_knn_join",
                       "ev_asof_join", "text_repetition",
-                      "doc_sample_balanced", "sim_quantized_topk"):
+                      "doc_sample_balanced", "sim_quantized_topk",
+                      "ev_interval_join", "doc_decontaminate"):
         assert must_gate in window, must_gate
     # each tail query's oracle story is covered by an in-window sibling
     siblings = {
@@ -46,6 +47,8 @@ def test_gate_window_fit():
         "q14_promo_revenue": "q4_order_priority",
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
         "text_langid": "text_quality",
+        "q6_revenue_forecast": "q1_pricing_summary",
+        "sim_cosine_topk": "sim_cosine_ivf",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
