@@ -43,8 +43,10 @@ def compare(spark_df, oracle_df, name):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    json_out = "--json" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -67,6 +69,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_bad = 0
+    results = {}
     for name in qs:
         if only and name not in only:
             continue
@@ -74,17 +77,33 @@ def main():
             sdf = qs[name](spark, sf_dir)
             if name not in oracles:
                 print(f"{name}: NO_ORACLE ({sdf.count()} rows)")
+                results[name] = "no_oracle"
                 continue
             odf = con.execute(oracles[name]).df()
             msg = compare(sdf, odf, name)
         except Exception as e:
             msg = f"{name}: ERR {type(e).__name__}: {str(e)[:300]}"
+        results[name] = "pass" if msg is None else msg.split(":", 1)[1].strip()[:200]
         if msg:
             n_bad += 1
             print(msg)
         else:
             print(f"{name}: OK")
     print(f"\n{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILURES'}")
+    if json_out:
+        import json
+
+        from aegisthus_spark.queries import GATE_TAIL, GATE_WINDOW
+
+        payload = {
+            "sf_dir": sf_dir,
+            "gate_window": GATE_WINDOW,
+            "gate_tail": list(GATE_TAIL),
+            "results": results,
+        }
+        with open("DRIVER_SIM.json", "w") as f:
+            json.dump(payload, f, indent=1)
+        print("wrote DRIVER_SIM.json")
     sys.exit(1 if n_bad else 0)
 
 

@@ -112,6 +112,72 @@ def skew_bench(cpus: int, hot_cells: int, cold_keys: int) -> None:
         print(f"{label}: {dt:.2f}s -> {nr} rows, hot row kept {hot_row[0].s} cells")
 
 
+def temporal_bench(cpus: int, n_rows: int, n_keys: int) -> None:
+    """asof_join / interval_join at synthetic scale, plus evidence for WHY
+    the binned/union formulations exist: the naive theta-join's
+    intermediate row count, measured on a key subset and extrapolated.
+
+    The union+window as-of touches exactly |L|+|R| rows regardless of
+    per-key density; a theta join (r.ts <= l.ts per key) materializes
+    ~|L|·|R|/keys² per key — quadratic in density. This prints both so the
+    crossover is a number, not a claim.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.temporal import asof_join, interval_join
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("temporal-stress", cpus=cpus)
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    def stream(tag: str, n: int):
+        # deterministic pseudo-shuffled timestamps, ~n/keys rows per key
+        return (
+            spark.range(n)
+            .select(
+                (F.col("id") % n_keys).alias("k"),
+                (base + F.make_interval(secs=(F.col("id") * 7919 % 10_000_000) / 10.0)).alias("ts"),
+                F.col("id").alias("seq"),
+                (F.col("id") % 1000).cast("double").alias("v"),
+            )
+        )
+
+    left, right = stream("l", n_rows), stream("r", n_rows)
+
+    t = time.time()
+    n = asof_join(left.drop("seq"), right, on="k", ts_col="ts",
+                  right_cols=["v"], seq_col="seq").count()
+    dt = time.time() - t
+    print(f"asof_join: {n:,} rows in {dt:.1f}s ({n / dt / 1e6:.2f}M rows/s, "
+          f"|L|+|R|={2 * n_rows:,} through one shuffle)")
+
+    iv = right.select(
+        "k", F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+    )
+    t = time.time()
+    n = interval_join(left, iv, on="k", point_ts="ts",
+                      start_col="start", end_col="end", bucket="5 minutes").count()
+    dt = time.time() - t
+    print(f"interval_join: {n:,} matches in {dt:.1f}s (binned equi-join)")
+
+    # naive theta-join intermediate size, on 1/50 of the keys
+    frac = max(1, n_keys // 50)
+    lf = left.filter(F.col("k") < frac)
+    rf = right.filter(F.col("k") < frac)
+    t = time.time()
+    naive = lf.alias("l").join(
+        rf.alias("r"),
+        (F.col("l.k") == F.col("r.k")) & (F.col("r.ts") <= F.col("l.ts")),
+    ).count()
+    dt = time.time() - t
+    print(f"naive theta join on {frac}/{n_keys} keys: {naive:,} intermediate "
+          f"rows in {dt:.1f}s -> extrapolated {naive * (n_keys // frac):,} "
+          f"rows full-corpus (vs {2 * n_rows:,} for union+window)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -121,11 +187,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--skew", action="store_true",
                     help="run the compact vs compact_salted skew benchmark instead")
+    ap.add_argument("--temporal", action="store_true",
+                    help="run the asof/interval join scale benchmark instead")
+    ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
     ap.add_argument("--cold-keys", type=int, default=1_000_000)
     args = ap.parse_args()
     if args.skew:
         skew_bench(args.cpus, args.hot_cells, args.cold_keys)
+        return
+    if args.temporal:
+        temporal_bench(args.cpus, args.rows, args.keys)
         return
 
     from aegisthus_spark.session import get_spark
