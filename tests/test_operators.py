@@ -457,3 +457,44 @@ def test_decontaminate_self_and_disjoint(spark):
     assert out[2]["contam_ratio"] == 0.0          # disjoint vocabulary
     assert out[3]["n_grams"] == 2 and out[3]["n_hit"] == 1  # 'a b' hits
     assert out[3]["contam_ratio"] == 0.5
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-validation against pandas.merge_asof (backward,
+    exact matches allowed): sorting the right side by (ts, seq) makes
+    pandas pick the greatest seq among equal timestamps — the same
+    deterministic tie rule asof_join implements."""
+    import numpy as np
+    import pandas as pd
+
+    from aegisthus_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        nl, nr, keys = 200, 150, 5
+        left = pd.DataFrame({
+            "k": rng.randint(0, keys, nl).astype("int32"),
+            "ts": pd.to_datetime(rng.randint(0, 500, nl), unit="s"),
+            "lid": np.arange(nl).astype("int64"),
+        })
+        right = pd.DataFrame({
+            "k": rng.randint(0, keys, nr).astype("int32"),
+            "ts": pd.to_datetime(rng.randint(0, 500, nr), unit="s"),
+            "seq": np.arange(nr).astype("int64"),
+            "v": rng.rand(nr),
+        })
+        lp = left.sort_values(["ts", "lid"], kind="stable").reset_index(drop=True)
+        rp = right.sort_values(["ts", "seq"], kind="stable").reset_index(drop=True)
+        exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        expected = dict(zip(exp["lid"], exp["v"]))
+
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k", ts_col="ts", right_cols=["v"], seq_col="seq",
+        ).toPandas()
+        actual = dict(zip(got["lid"], got["asof_v"]))
+
+        assert set(actual) == set(expected)
+        for lid in expected:
+            e, a = expected[lid], actual[lid]
+            assert (pd.isna(e) and pd.isna(a)) or e == a, (lid, e, a)
