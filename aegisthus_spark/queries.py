@@ -1008,11 +1008,15 @@ _H32_SQL = "CAST(CONCAT('0x', SUBSTR(md5({col}), 1, 8)) AS BIGINT)"
 _A_LIT = "[" + ",".join(str(a) for a in _dd.MINHASH_A) + "]"
 _B_LIT = "[" + ",".join(str(b) for b in _dd.MINHASH_B) + "]"
 
-_SHINGLES_CTE = """
+def _shingles_cte(source: str = "documents") -> str:
+    return f"""
 sh AS (SELECT DISTINCT doc_id,
               unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS shingle
-       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {source}))
 """
+
+
+_SHINGLES_CTE = _shingles_cte("documents")
 
 _JACCARD_TAIL = """
 n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -2151,6 +2155,76 @@ def doc_decontaminate(spark, sf_dir):
     return _tx.decontaminate(docs, bench, n=2)
 
 
+@register(
+    "doc_curate_pipeline",
+    f"""
+    WITH RECURSIVE
+    q AS (SELECT doc_id, text, lang FROM documents
+          WHERE len(string_split(text, ' ')) >= 30),
+    {_shingles_cte("q")},
+    {_PAIRS_CTE},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(v, w) AS (
+      SELECT doc_id, doc_id FROM q
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w),
+    comp AS (SELECT v AS doc_id, MIN(w) AS component FROM reach GROUP BY v),
+    canon AS (SELECT q.* FROM q JOIN comp USING (doc_id)
+              WHERE doc_id = component),
+    spl AS (SELECT doc_id,
+                   {_H32_SQL.format(col="'split-v1' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+            FROM canon),
+    staged AS (
+      SELECT c.doc_id,
+             (CASE WHEN s.bucket < 8000 THEN 'train'
+                   WHEN s.bucket < 9000 THEN 'val' ELSE 'test' END)
+               || '/' || c.lang AS stratum,
+             len(string_split(c.text, ' ')) AS n_tokens
+      FROM canon c JOIN spl s USING (doc_id)),
+    cum AS (
+      SELECT doc_id, stratum, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM staged)
+    SELECT doc_id, stratum, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((c - n_tokens) // 2048 AS INT) AS pack_id,
+           CAST((c - n_tokens) % 2048 AS INT) AS pack_offset
+    FROM cum ORDER BY doc_id
+    """,
+    doc="END-TO-END curation pipeline: length gate -> near-dup canonical "
+        "(LSH pairs + components, keep cluster min) -> hash split -> "
+        "token-budget packing per (split, lang) stratum — one composed "
+        "dataflow, one oracle",
+)
+def doc_curate_pipeline(spark, sf_dir):
+    """The composition the individual operators exist for: every stage is
+    the already-gated operator (text length stats, minhash_lsh_dedup +
+    connected_components, split_assign, pack_sequences), chained as one
+    lazy dataflow — Catalyst sees the whole plan, so the length gate
+    prunes the corpus BEFORE shingling and the split hash never triggers
+    its own scan."""
+    from .operators.curation import pack_sequences, split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(F.size(F.split("text", " ")) >= 30)
+    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1)
+    comp = _dd.connected_components(pairs, q)
+    canon = q.join(
+        comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
+        "doc_id",
+    )
+    spl = split_assign(canon).select("doc_id", "split")
+    staged = canon.join(spl, "doc_id").withColumn(
+        "split_lang", F.concat_ws("/", "split", "lang")
+    )
+    return (
+        pack_sequences(staged, budget=2048, stratum_col="split_lang")
+        .withColumn("n_tokens", F.col("n_tokens").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2206,6 +2280,10 @@ GATE_TAIL = (
     "text_langid",
     "q6_revenue_forecast",
     "sim_cosine_topk",
+    # composed dataflow whose every stage is an in-window gated operator
+    # (length stats, minhash LSH + components, split_assign,
+    # pack_sequences); verified by driver_sim + pytest like the rest
+    "doc_curate_pipeline",
 )
 
 
