@@ -498,3 +498,38 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for lid in expected:
             e, a = expected[lid], actual[lid]
             assert (pd.isna(e) and pd.isna(a)) or e == a, (lid, e, a)
+
+
+def test_interval_join_matches_brute_theta(spark):
+    """Randomized cross-validation: the binned equi-join must produce the
+    exact match set of the brute theta join (key equal, start <= ts < end),
+    including intervals spanning many buckets and zero-length intervals."""
+    import numpy as np
+
+    from aegisthus_spark.operators.temporal import interval_join
+
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000
+    pts = [(int(k), int(base + t), int(i))
+           for i, (k, t) in enumerate(zip(rng.randint(0, 4, 120),
+                                          rng.randint(0, 7200, 120)))]
+    ivs = []
+    for j in range(40):
+        k = int(rng.randint(0, 4))
+        s = int(base + rng.randint(0, 7200))
+        ln = int(rng.choice([0, 60, 600, 5400]))  # incl. empty + multi-bucket
+        ivs.append((k, s, s + ln, j))
+    points = spark.createDataFrame(pts, "k int, tsep long, pid int").selectExpr(
+        "k", "timestamp_micros(tsep * 1000000) AS ts", "pid")
+    intervals = spark.createDataFrame(ivs, "k int, s long, e long, iid int").selectExpr(
+        "k", "timestamp_micros(s * 1000000) AS start",
+        "timestamp_micros(e * 1000000) AS end", "iid")
+
+    got = {(r.iid, r.pid) for r in interval_join(
+        points, intervals, on="k", point_ts="ts",
+        start_col="start", end_col="end", bucket="10 minutes").collect()}
+    brute = {(iid, pid)
+             for (k, s, e, iid) in ivs
+             for (pk, pt, pid) in pts
+             if pk == k and s <= pt < e}
+    assert got == brute and len(brute) > 50
