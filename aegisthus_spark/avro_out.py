@@ -148,11 +148,19 @@ def _encode_base(value, dt: T.DataType, out: bytearray) -> None:
         # (datetime.fromtimestamp) in the executor; the exact inverse is
         # mktime, not timegm — timegm would shift by the host's UTC offset
         # on any non-UTC machine. tz-aware values invert via .timestamp().
+        import calendar as _cal
         import time as _time
 
         if value.tzinfo is not None:
-            micros = int(value.timestamp()) * 1_000_000 + value.microsecond
+            # exact integer inverse (utctimetuple + microsecond); a float
+            # .timestamp() would truncate pre-epoch values toward zero,
+            # shifting e.g. 1969-12-31T23:59:59.5Z by a full second
+            micros = _cal.timegm(value.utctimetuple()) * 1_000_000 + value.microsecond
         else:
+            # naive local wall clock: mktime inverts fromInternal. The one
+            # irrecoverable case is the DST fall-back hour on DST-observing
+            # hosts (fromInternal drops the fold bit); run executors in UTC
+            # — as this engine's session factory does — to avoid it.
             micros = int(_time.mktime(value.timetuple())) * 1_000_000 + value.microsecond
         out += _zigzag(micros)
     elif isinstance(dt, T.TimestampNTZType):

@@ -39,11 +39,13 @@ def split_assign(
     moves an existing document across splits (unlike sortBy+limit sampling),
     which is what makes incremental corpus refreshes reproducible.
     """
+    from .dedup import H32
+
     train_hi = int(fractions[0] * _SPLIT_BUCKETS)
     val_hi = train_hi + int(fractions[1] * _SPLIT_BUCKETS)
     bucket = F.expr(
-        f"cast(conv(substring(md5(concat('{salt}', cast({id_col} as string))), 1, 8), 16, 10) "
-        f"as bigint) % {_SPLIT_BUCKETS}"
+        H32.format(col=f"concat('{salt}', cast({id_col} as string))")
+        + f" % {_SPLIT_BUCKETS}"
     )
     return docs.select(
         F.col(id_col),
@@ -121,12 +123,14 @@ def sample_balanced(
     removing documents in one stratum never reshuffles which documents
     another stratum keeps (only its own threshold).
     """
+    from .dedup import H32
+
     counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_str"))
     floor_ = counts.agg(F.min("_n_str").alias("_n_min"))
     thresholds = counts.crossJoin(F.broadcast(floor_))
     bucket = F.expr(
-        f"cast(conv(substring(md5(concat('{salt}', cast({id_col} as string))), 1, 8), 16, 10) "
-        f"as bigint) % {_SPLIT_BUCKETS}"
+        H32.format(col=f"concat('{salt}', cast({id_col} as string))")
+        + f" % {_SPLIT_BUCKETS}"
     )
     return (
         docs.withColumn("_bucket", bucket)

@@ -76,6 +76,10 @@ def asof_join(
     )
     l_pay = F.struct(*[F.col(c).alias(c) for c in left_rest])
     seq = F.col(seq_col) if seq_col else F.lit(0)
+    # NULL event times match nothing: null-ts right rows are dropped, and
+    # the window orders nulls FIRST in both directions so a null-ts left
+    # row sorts before every right row and sees no payload.
+    right = right.filter(F.col(ts_col).isNotNull())
     r_u = right.select(
         *keys,
         F.col(ts_col).alias("_ts"),
@@ -99,7 +103,7 @@ def asof_join(
     # matches are visible; among equal-ts right rows the greatest seq wins
     # (it is the last one the frame sees).
     order = [
-        (F.col("_ts").asc() if sign == 1 else F.col("_ts").desc()),
+        (F.col("_ts").asc_nulls_first() if sign == 1 else F.col("_ts").desc_nulls_first()),
         F.col("_side").asc(),
         # seq ascends in BOTH directions: the frame's last-seen right row
         # wins, so ascending seq makes the greatest seq the match among
@@ -163,7 +167,10 @@ def interval_join(
     caller projects/aggregates).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    step = F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + F.expr(f"INTERVAL {bucket}"))
+    # bucket width in micros, TZ-independently: timestamp_micros(0) is the
+    # epoch INSTANT (a string literal would parse in the session TZ and
+    # could even make the step zero in a +1h zone)
+    step = F.unix_micros(F.timestamp_micros(F.lit(0)) + F.expr(f"INTERVAL {bucket}"))
     p_b = points.withColumn("_bk", (F.unix_micros(F.col(point_ts)) / step).cast("long"))
     i_b = intervals.withColumn(
         "_bks",

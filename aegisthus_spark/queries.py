@@ -67,7 +67,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dtype == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ wall clock -> the instant DuckDB's naive reading denotes,
+        # INDEPENDENT of session TZ: a bare cast interprets the wall clock
+        # in the session zone (wrong by the UTC offset when the session-TZ
+        # conf-set was rejected); from_utc_timestamp(cast, current session
+        # tz) undoes that shift exactly (verified against DuckDB under an
+        # America/New_York session).
+        ev = ev.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.expr("current_timezone()")
+            ),
+        )
     return ev
 
 

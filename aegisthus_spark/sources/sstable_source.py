@@ -105,9 +105,14 @@ def _walk_dir(d: str, out: list[str], honor_manifest: bool, batched: bool) -> No
             with open(manifest) as fh:
                 for line in fh:
                     f = line.strip()
+                    if not f:
+                        continue
+                    # manifest lines may be absolute or relative to the
+                    # directory that owns the manifest
+                    if not os.path.isabs(f):
+                        f = os.path.join(d, f)
                     if (
-                        f
-                        and _accept_data_file(os.path.basename(f))
+                        _accept_data_file(os.path.basename(f))
                         and os.path.isfile(f)
                         and os.path.getsize(f) > 0
                     ):
@@ -125,7 +130,9 @@ def _walk_dir(d: str, out: list[str], honor_manifest: bool, batched: bool) -> No
     if batched:
         batch_dirs = [e for e in subdirs if _BATCH_RE.search(e)]
         if batch_dirs:
-            keep = max(batch_dirs)
+            # newest retry wins NUMERICALLY: lexicographic max would pick
+            # batch_id=9 over batch_id=10
+            keep = max(batch_dirs, key=lambda e: int(re.search(r"[0-9]+", _BATCH_RE.search(e).group()).group()))
             subdirs = [
                 e for e in subdirs if not _BATCH_RE.search(e) or e == keep
             ]

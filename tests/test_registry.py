@@ -172,3 +172,25 @@ def test_testdata_schema_drift_sentinel(spark):
                     "query touching this column AND its DuckDB oracle"
                 )
     assert not problems, "\n".join(problems)
+
+
+def test_events_micros_survive_non_utc_session(spark):
+    """The round-3 hardening claimed _events stays correct when the UTC
+    session conf-set silently fails; this pins it: in an
+    America/New_York session with NTZ inference ON, the normalized ts
+    micros must still equal DuckDB's naive reading (a bare NTZ->LTZ cast
+    would be off by the UTC offset)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.session.timeZone", "America/New_York")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    from aegisthus_spark.queries import _events
+
+    got = [r.us for r in _events(s, SF_DIR)
+           .select(F.unix_micros("ts").alias("us")).orderBy("us").limit(5).collect()]
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT epoch_us(ts) AS us FROM '{SF_DIR}/events.parquet' "
+        "ORDER BY us LIMIT 5").fetchall()]
+    assert got == want

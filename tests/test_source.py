@@ -348,3 +348,31 @@ def test_discovery_priam_manifest_and_batches(tmp_path):
     # manifest off -> back to batch dedup
     found = discover_data_files(str(root), honor_manifest=False)
     assert all("batch_id=1" not in f for f in found)
+
+
+def test_discovery_numeric_batch_order_and_relative_manifest(tmp_path):
+    """Two review-found S9 edges: batch retry dedup must compare batch ids
+    NUMERICALLY (lexicographic max picks batch_id=9 over batch_id=10), and
+    _manifest lines may be relative to the directory owning the manifest."""
+    import os
+    import shutil
+
+    src = sorted(
+        glob.glob(f"{TESTDATA}/2.0.10/randomtable/input/**/*-Data.db", recursive=True)
+    )
+    root = tmp_path / "backup"
+    for b, f in (("batch_id=9", src[0]), ("batch_id=10", src[1])):
+        d = root / "ks" / "cf" / b
+        d.mkdir(parents=True)
+        shutil.copy(f, d / os.path.basename(f))
+    found = discover_data_files(str(root))
+    assert len(found) == 1
+    assert "batch_id=10" in found[0], found  # numeric, not lexicographic
+
+    # relative manifest lines resolve against the manifest's directory
+    man = root / "ks" / "cf" / "_manifest"
+    man.mkdir()
+    rel = os.path.join("batch_id=9", os.path.basename(src[0]))
+    (man / "_manifest").write_text(rel + "\n")
+    found = discover_data_files(str(root))
+    assert len(found) == 1 and "batch_id=9" in found[0], found
