@@ -260,25 +260,35 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
     stored bucketed by ``partition_key`` (with matching bucket count), only
     ``b`` — the new batch — shuffles; the snapshot side reads in place.
     """
-    LONG_MIN_ = LONG_MIN
+    def _flag(df):
+        return (
+            F.col("row_too_big") if "row_too_big" in df.columns else F.lit(False)
+        )
+
     an = a.select(
         F.col("partition_key"),
         F.col("deleted_at").alias("da_a"),
         F.col("columns").alias("cols_a"),
+        _flag(a).alias("rtb_a"),
     )
     bn = b.select(
         F.col("partition_key"),
         F.col("deleted_at").alias("da_b"),
         F.col("columns").alias("cols_b"),
+        _flag(b).alias("rtb_b"),
     )
     j = an.join(bn, "partition_key", "full_outer").select(
         "partition_key",
         F.greatest(
-            F.coalesce("da_a", F.lit(LONG_MIN_)), F.coalesce("da_b", F.lit(LONG_MIN_))
+            F.coalesce("da_a", F.lit(LONG_MIN)), F.coalesce("da_b", F.lit(LONG_MIN))
         ).alias("deleted_at"),
         F.expr(
             "concat(coalesce(cols_a, array()), coalesce(cols_b, array()))"
         ).alias("all_cols"),
+        # a row truncated in an EARLIER compact stays flagged through every
+        # later merge — hardcoding False here would launder lossy rows
+        (F.coalesce("rtb_a", F.lit(False)) | F.coalesce("rtb_b", F.lit(False)))
+        .alias("row_too_big"),
     )
     # split RT entries out, apply their coverage to the live cells, then
     # decorate/sort/LWW/shadow the survivors exactly as compact() does
@@ -302,9 +312,7 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
         .withColumn("d2", F.expr(lww))
         .withColumn("d3", F.expr(shadow))
         .withColumn("columns", F.expr(f"concat(transform(d3, x -> x.c), {kept_rts})"))
-        .select(
-            "partition_key", "deleted_at", "columns", F.lit(False).alias("row_too_big")
-        )
+        .select("partition_key", "deleted_at", "columns", "row_too_big")
     )
 
 

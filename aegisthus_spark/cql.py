@@ -90,17 +90,46 @@ class CqlSchema:
         return [c for c in self.columns if c.kind == "static"]
 
 
+def _ident(tok: str) -> str:
+    """CQL identifier: quoted = case-sensitive (quotes stripped), unquoted =
+    lowercased — matching Cassandra's identifier rules, so the parsed name
+    equals the raw cell-name bytes on disk."""
+    tok = tok.strip()
+    if len(tok) >= 2 and tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1]
+    return tok.lower()
+
+
 def parse_create_table(ddl: str) -> CqlSchema:
-    """Parse a CREATE TABLE statement (the CFMetadataUtility entry point)."""
+    """Parse a CREATE TABLE statement (the CFMetadataUtility entry point).
+
+    The column-list body is extracted by PAREN MATCHING, not a greedy
+    regex, so a trailing ``WITH`` clause containing parentheses (e.g.
+    ``WITH CLUSTERING ORDER BY (ck DESC)``) parses. Clustering order is
+    accepted and ignored — the reference's CQL export unwraps ReversedType
+    the same way (CQLMapper.java:168-170)."""
+    s = ddl.strip().rstrip(";")
     m = re.search(
-        r"create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\((.*)\)\s*(?:with\b.*)?$",
-        ddl.strip().rstrip(";"),
-        re.I | re.S,
+        r"create\s+table\s+(?:if\s+not\s+exists\s+)?([\w.\"]+)\s*\(", s, re.I
     )
     if not m:
         raise ValueError(f"unparseable CREATE TABLE: {ddl[:120]}")
     table = m.group(1).split(".")[-1].strip('"')
-    body = m.group(2)
+    i = m.end() - 1  # index of the opening paren of the column list
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    else:
+        raise ValueError(f"unbalanced parens in CREATE TABLE: {ddl[:120]}")
+    body = s[i + 1 : j]
+    tail = s[j + 1 :].strip()
+    if tail and not re.match(r"with\b", tail, re.I):
+        raise ValueError(f"unexpected trailing clause: {tail[:80]}")
 
     # split on top-level commas (parens nest for PRIMARY KEY and generics)
     parts, depth, cur = [], 0, []
@@ -125,10 +154,10 @@ def parse_create_table(ddl: str) -> CqlSchema:
         if pk:
             pk_spec = _split_pk(pk.group(1))
             continue
-        cm = re.match(r'"?([\w]+)"?\s+(.+?)(\s+static)?(\s+primary\s+key)?$', p, re.I | re.S)
+        cm = re.match(r'("?[\w]+"?)\s+(.+?)(\s+static)?(\s+primary\s+key)?$', p, re.I | re.S)
         if not cm:
             raise ValueError(f"unparseable column def: {p}")
-        name = cm.group(1).lower()
+        name = _ident(cm.group(1))
         type_str = cm.group(2).strip().lower()
         col = CqlColumn(name, type_str)
         inner = type_str
@@ -164,10 +193,10 @@ def parse_create_table(ddl: str) -> CqlSchema:
     by_name = {c.name: c for c in schema.columns}
     if pk_spec is not None:
         partition, clustering = pk_spec[0], pk_spec[1:]
-        for n in [s.strip().lower() for s in partition.split(",")]:
+        for n in [_ident(x) for x in partition.split(",")]:
             by_name[n].kind = "partition_key"
         for n in clustering:
-            by_name[n.strip().lower()].kind = "clustering"
+            by_name[_ident(n)].kind = "clustering"
     elif inline_pk:
         by_name[inline_pk].kind = "partition_key"
     else:
@@ -367,7 +396,12 @@ def cql_rows(compacted: DataFrame, ddl: str | CqlSchema) -> DataFrame:
         "partition_key",
         "deleted_at",
         F.explode("columns").alias("c"),
-    ).filter(F.col("c.kind").isin("c", "e"))  # live cells only (post-cleanse)
+    ).filter(
+        # live cells only (post-cleanse): columns, expiring columns, and
+        # counters — dropping 'x' would silently NULL every counter column
+        # while CQL_TYPES advertises counter support
+        F.col("c.kind").isin("c", "e", "x")
+    )
 
     comps = F.expr(_split_expr("c.name", max_comps))
     cells = cells.select(
@@ -538,5 +572,9 @@ def cql_rows(compacted: DataFrame, ddl: str | CqlSchema) -> DataFrame:
         else:
             out_cols.append(compose_value(raw, col.cql_type).alias(col.name))
 
+    # in-partition order only: a global orderBy would add a range Exchange
+    # + full sort of the entire export for cosmetic total order the sinks
+    # don't need (the reference mapper emits unordered); callers that want
+    # total order sort the (much smaller) result themselves
     order = [c.name for c in pks] + [c.name for c in schema.clustering]
-    return rows.select(*out_cols).orderBy(*order)
+    return rows.select(*out_cols).sortWithinPartitions(*order)

@@ -115,9 +115,17 @@ def merge_batch(
     new_version = 0 if prev_version is None else prev_version + 1
     out = os.path.join(snapshot_root, f"v{new_version:05d}")
     merged.write.mode("overwrite").parquet(out)
-    # publish: readers follow the marker, never a half-written directory
-    with open(os.path.join(snapshot_root, LATEST_MARKER), "w") as f:
+    # publish: readers follow the marker, never a half-written directory.
+    # The marker flip itself must be atomic too — write-in-place would
+    # expose an empty/partial marker to a concurrent reader (or leave one
+    # behind on a crash); temp file + os.replace is atomic on POSIX.
+    marker = os.path.join(snapshot_root, LATEST_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
         f.write(str(new_version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
     return new_version
 
 

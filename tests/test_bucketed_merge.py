@@ -150,3 +150,26 @@ def test_merge_batch_retains_range_tombstones(spark, tmp_path):
     merge_batch(spark, b2, root)
     cols = {bytes(c.name): c.kind for c in read_snapshot(spark, root).collect()[0].columns}
     assert cols == {b"z": "c", b"b": "t"}  # bb resurrected? no — RT held
+
+
+def test_merge_compacted_preserves_row_too_big(spark):
+    """A row truncated by an earlier compact(max_row_size=...) must stay
+    flagged through later merges — the flag is the only lossy-row signal."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact, merge_compacted
+    from tests.conftest import CELLS_SCHEMA
+
+    def cell(i):
+        return ("f", 1, b"k", -(1 << 63), "c",
+                b"n%03d" % i, None, b"v" * 40, 100 + i, None, None, 0)
+
+    big = spark.createDataFrame([cell(i) for i in range(20)], CELLS_SCHEMA)
+    snap = compact(big, max_row_size=100)  # forces truncation
+    assert snap.collect()[0].row_too_big is True
+
+    batch = compact(spark.createDataFrame([cell(99)], CELLS_SCHEMA))
+    merged = merge_compacted(snap, batch).collect()[0]
+    assert merged.row_too_big is True

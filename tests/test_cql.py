@@ -378,3 +378,47 @@ def test_cql_rows_frozen_empty_and_null(spark):
     assert got[0].fl == []
     assert got[0].fm is None
     assert got[0].v == 5
+
+
+def test_parse_with_clause_and_quoted_identifiers():
+    """Review regressions: a WITH clause containing parens must parse
+    (body extraction is paren-matched, not greedy-regex), and quoted
+    identifiers keep case while unquoted ones lowercase."""
+    from aegisthus_spark.cql import parse_create_table
+
+    s = parse_create_table(
+        'CREATE TABLE t (key blob, ck int, v bigint, PRIMARY KEY (key, ck)) '
+        'WITH CLUSTERING ORDER BY (ck DESC) AND compaction = '
+        "{'class': 'SizeTieredCompactionStrategy'}"
+    )
+    assert [c.name for c in s.partition_keys] == ["key"]
+    assert [c.name for c in s.clustering] == ["ck"]
+
+    q = parse_create_table(
+        'CREATE TABLE t ("Key" blob, "Val" int, other text, PRIMARY KEY ("Key"))'
+    )
+    names = [c.name for c in q.columns]
+    assert names == ["Key", "Val", "other"]  # quoted keep case
+    assert [c.name for c in q.partition_keys] == ["Key"]
+
+
+def test_cql_rows_counter_cells(spark):
+    """Counter cells (kind 'x') are live data: a counter column must
+    surface its 8-byte total, not silently NULL."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.cql import cql_rows
+    from tests.conftest import CELLS_SCHEMA
+    from aegisthus_spark.compact import compact
+
+    name = struct.pack(">H", 4) + b"hits" + b"\x00"  # 1-component composite
+    cells = spark.createDataFrame(
+        [("f", 1, b"7", -(1 << 63), "x", name, None,
+          struct.pack(">q", 42), 100, None, None, 0)],
+        CELLS_SCHEMA,
+    )
+    out = cql_rows(compact(cells), "CREATE TABLE t (key blob PRIMARY KEY, hits counter)")
+    row = out.collect()[0]
+    assert row.hits == 42
