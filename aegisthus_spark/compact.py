@@ -59,6 +59,94 @@ CELLS_COLUMNS = [
 ]
 
 
+def _resolve_sort_keys(cells: DataFrame, name_sort_key, name_max_sort_key):
+    """Shared comparator plumbing for compact()/compact_salted().
+
+    Returns (cells, sort_key, max_sort_key, raw_names). Corrupt-file
+    sentinels ('!', null key) are filtered — they must never form a merge
+    group. Custom sort keys may be Python UDFs, which cannot be evaluated
+    inside aggregate expressions, so they materialize as projections first.
+    """
+    cells = cells.filter(F.col("partition_key").isNotNull())
+    if name_sort_key is not None and not isinstance(name_sort_key, Column):
+        # callable form: derive both bound encodings from one definition
+        name_max_sort_key = name_sort_key(F.col("cell_name_max"))
+        name_sort_key = name_sort_key(F.col("cell_name"))
+    if name_sort_key is not None:
+        cells = cells.withColumn("_name_sk", name_sort_key)
+        sort_key = F.col("_name_sk")
+        if name_max_sort_key is not None:
+            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
+            max_sort_key = F.col("_name_max_sk")
+        else:
+            # raw max bytes don't compare against an encoded min/cell key;
+            # only safe when the input carries no range tombstones
+            max_sort_key = F.col("cell_name_max")
+    else:
+        sort_key = F.col("cell_name")
+        max_sort_key = F.col("cell_name_max")
+    return cells, sort_key, max_sort_key, name_sort_key is None
+
+
+def _cell_struct(sort_key, raw_names: bool):
+    """The per-cell merge struct: leading fields define the merge sort
+    order — (name sort key, ts, tombstone-rank, value) ascending, so the
+    last struct per name group is the LWW winner under Cassandra's tie
+    rule. For byte-ordered comparators the sort key IS the raw name;
+    carrying both would double the name bytes held in the aggregation
+    buffer, so raw mode stores only ``sk``."""
+    name_fields = [] if raw_names else [F.col("cell_name").alias("name")]
+    return F.struct(
+        sort_key.alias("sk"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
+        F.col("value").alias("value"),
+        *name_fields,
+        F.col("kind").alias("kind"),
+        F.col("ttl").cast("int").alias("ttl"),
+        F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
+        F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
+    )
+
+
+def _truncate_by_size(df: DataFrame, name_of: str, max_row_size: int | None) -> DataFrame:
+    """P3 wide-row guard over the ``cells`` array column: keep the longest
+    prefix whose accumulated serialized size fits, and flag the row
+    (reference: CassSSTableReducer.java:89-96). Size model per cell:
+    len(name) + len(value) + 15 bytes framing, +8 for expiring/counter
+    atoms (close to OnDiskAtom.serializedSizeForSSTable). The fold carries
+    only (size, count, stopped) scalars and the kept prefix comes from one
+    slice() — an array_append fold would copy the growing array per cell,
+    O(n^2) on pathological wide rows."""
+    if max_row_size is None:
+        return df.withColumn("row_too_big", F.lit(False))
+    csize = (
+        f"(length(coalesce({name_of}, x'')) + length(coalesce(x.value, x'')) + 15"
+        " + if(x.kind in ('e', 'x'), 8, 0))"
+    )
+    return (
+        df.withColumn(
+            "trunc",
+            F.expr(
+                "aggregate(cells, "
+                "  struct(cast(0 as long) as sz, cast(0 as int) as k, false as stop), "
+                f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
+                "    struct(acc.sz as sz, acc.k as k, true as stop), "
+                f"   struct(acc.sz + {csize} as sz, acc.k + 1 as k, false as stop)))"
+            ),
+        )
+        .withColumn("row_too_big", F.col("trunc.stop"))
+        .withColumn("cells", F.expr("slice(cells, 1, trunc.k)"))
+        .drop("trunc")
+    )
+
+
+#: A1 LWW: cells sorted asc by (sk, ts, rank, value); keep the LAST of each
+#: sk-group (strictly-newer ts wins; ties -> tombstone, then greater value —
+#: a deterministic superset of the reference's rule)
+_LWW_EXPR = "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
+
+
 def compact(
     cells: DataFrame,
     *,
@@ -91,54 +179,14 @@ def compact(
     older than an already-applied RT. Streaming snapshots set this flag and
     ``rows_to_cells`` turns the entries back into RT records.
     """
-    # corrupt-file sentinels ('!', null key) must never form a merge group
-    cells = cells.filter(F.col("partition_key").isNotNull())
-
-    if name_sort_key is not None and not isinstance(name_sort_key, Column):
-        # callable form: derive both bound encodings from one definition
-        name_max_sort_key = name_sort_key(F.col("cell_name_max"))
-        name_sort_key = name_sort_key(F.col("cell_name"))
-
-    if name_sort_key is not None:
-        # materialize as a projection first: custom sort keys may be Python
-        # UDFs, which cannot be evaluated inside aggregate expressions
-        cells = cells.withColumn("_name_sk", name_sort_key)
-        sort_key = F.col("_name_sk")
-        if name_max_sort_key is not None:
-            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
-            max_sort_key = F.col("_name_max_sk")
-        else:
-            # raw max bytes don't compare against an encoded min/cell key;
-            # only safe when the input carries no range tombstones
-            max_sort_key = F.col("cell_name_max")
-    else:
-        sort_key = F.col("cell_name")
-        max_sort_key = F.col("cell_name_max")
+    cells, sort_key, max_sort_key, raw_names = _resolve_sort_keys(
+        cells, name_sort_key, name_max_sort_key
+    )
 
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"
 
-    # carry one struct per record; leading fields define the merge sort order:
-    # (name sort key, ts, tombstone-rank, value) ascending => last per name
-    # group is the LWW winner with Cassandra's tie rule.
-    #
-    # For byte-ordered comparators the sort key IS the raw name, so carrying
-    # both would double the per-cell name bytes held in the aggregation
-    # buffer — the struct stores only `sk` then and the strip/RT re-emit
-    # expressions read the raw bytes back out of it.
-    raw_names = name_sort_key is None
-    name_fields = [] if raw_names else [F.col("cell_name").alias("name")]
-    cell_struct = F.struct(
-        sort_key.alias("sk"),
-        F.col("ts").alias("ts"),
-        F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
-        F.col("value").alias("value"),
-        *name_fields,
-        F.col("kind").alias("kind"),
-        F.col("ttl").cast("int").alias("ttl"),
-        F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
-        F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
-    )
+    cell_struct = _cell_struct(sort_key, raw_names)
     rt_raw_fields = [] if raw_names else [
         F.col("cell_name").alias("name"),
         F.col("cell_name_max").alias("max_raw"),
@@ -170,12 +218,7 @@ def compact(
         "filter(cells, x -> NOT exists(rts, r -> "
         "r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
     )
-    # A1: cells sorted asc by (sk, ts, rank, value); keep the LAST of each
-    # sk-group == LWW winner (strictly-newer ts wins; ties -> tombstone,
-    # then greater value — deterministic superset of the reference).
-    lww = (
-        "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
-    )
+    lww = _LWW_EXPR
     # P2': drop cells shadowed by the row tombstone (ts <= deleted_at)
     shadow = "filter(c2, x -> x.ts > deleted_at)"
     # A3: strip merge bookkeeping fields
@@ -190,35 +233,9 @@ def compact(
         .withColumn("rts", F.expr("filter(rts, x -> x is not null)"))
     )
 
-    if max_row_size is not None:
-        # P3: the reference stops collecting atoms once the accumulated
-        # serialized size would exceed maxRowSize and flags the row
-        # (CassSSTableReducer.java:89-96) — i.e. it keeps the longest prefix
-        # under the limit, in merge order. Size model per cell:
-        # len(name) + len(value) + 15 bytes framing (close to
-        # OnDiskAtom.serializedSizeForSSTable for regular cells).
-        # The fold carries only (size, count, stopped) scalars and the kept
-        # prefix comes from one slice() — an array_append fold would copy
-        # the growing array per cell, O(n^2) on pathological wide rows.
-        # +8 for expiring/counter atoms (serializedSizeForSSTable framing)
-        csize = (
-            f"(length(coalesce({name_of}, x'')) + length(coalesce(x.value, x'')) + 15"
-            " + if(x.kind in ('e', 'x'), 8, 0))"
-        )
-        out = out.withColumn(
-            "trunc",
-            F.expr(
-                "aggregate(cells, "
-                "  struct(cast(0 as long) as sz, cast(0 as int) as k, false as stop), "
-                f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
-                "    struct(acc.sz as sz, acc.k as k, true as stop), "
-                f"   struct(acc.sz + {csize} as sz, acc.k + 1 as k, false as stop)))"
-            ),
-        ).withColumn("row_too_big", F.col("trunc.stop")).withColumn(
-            "cells", F.expr("slice(cells, 1, trunc.k)")
-        ).drop("trunc")
-    else:
-        out = out.withColumn("row_too_big", F.lit(False))
+    # P3: truncate the RAW merge-order stream (duplicates and RT-covered
+    # cells consume budget before dedup), exactly like the reference reducer
+    out = _truncate_by_size(out, name_of, max_row_size)
 
     out = (
         out.withColumn("c1", F.expr(rt_filtered))
@@ -460,26 +477,9 @@ def compact_salted(
     from ``compact()`` when duplicates or covered cells exist — so
     ``max_row_size`` is excluded from the equality contract.
     """
-    cells = cells.filter(F.col("partition_key").isNotNull())
-
-    if name_sort_key is not None and not isinstance(name_sort_key, Column):
-        name_max_sort_key = name_sort_key(F.col("cell_name_max"))
-        name_sort_key = name_sort_key(F.col("cell_name"))
-
-    if name_sort_key is not None:
-        # projection first: custom sort keys may be Python UDFs, which can't
-        # run inside aggregate expressions
-        cells = cells.withColumn("_name_sk", name_sort_key)
-        sort_key = F.col("_name_sk")
-        if name_max_sort_key is not None:
-            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
-            max_sort_key = F.col("_name_max_sk")
-        else:
-            max_sort_key = F.col("cell_name_max")
-    else:
-        sort_key = F.col("cell_name")
-        max_sort_key = F.col("cell_name_max")
-    raw_names = name_sort_key is None
+    cells, sort_key, max_sort_key, raw_names = _resolve_sort_keys(
+        cells, name_sort_key, name_max_sort_key
+    )
 
     is_cell = F.col("kind").isin("c", "d", "e", "x")
     is_rt = F.col("kind") == "t"
@@ -500,18 +500,7 @@ def compact_salted(
     )
     salted = salted.filter(~is_rt).unionByName(rts_everywhere)
 
-    name_fields = [] if raw_names else [F.col("cell_name").alias("name")]
-    cell_struct = F.struct(
-        sort_key.alias("sk"),
-        F.col("ts").alias("ts"),
-        F.when(F.col("kind") == "d", F.lit(1)).otherwise(F.lit(0)).alias("rank"),
-        F.col("value").alias("value"),
-        *name_fields,
-        F.col("kind").alias("kind"),
-        F.col("ttl").cast("int").alias("ttl"),
-        F.col("local_deletion_time").cast("int").alias("local_deletion_time"),
-        F.col("ts_of_last_delete").cast("long").alias("ts_of_last_delete"),
-    )
+    cell_struct = _cell_struct(sort_key, raw_names)
     rt_struct = F.struct(
         sort_key.alias("min_sk"),
         max_sort_key.alias("max_sk"),
@@ -527,10 +516,9 @@ def compact_salted(
         "filter(cells, x -> x is not null AND NOT exists(rts, r -> "
         "r is not null AND r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
     )
-    lww = "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
     stage1 = (
         stage1.withColumn("c1", F.expr(rt_filtered))
-        .withColumn("bucket_cols", F.expr(lww))
+        .withColumn("bucket_cols", F.expr(_LWW_EXPR))
         .select("partition_key", "da_b", "bucket_cols")
     )
 
@@ -543,27 +531,9 @@ def compact_salted(
 
     name_of = "x.sk" if raw_names else "x.name"
 
-    if max_row_size is not None:
-        # survivor-stream truncation — see the docstring caveat; the size
-        # model (raw name + value + framing) matches compact()'s
-        csize = (
-            f"(length(coalesce({name_of}, x'')) + length(coalesce(x.value, x'')) + 15"
-            " + if(x.kind in ('e', 'x'), 8, 0))"
-        )
-        merged = merged.withColumn(
-            "trunc",
-            F.expr(
-                "aggregate(cells, "
-                "  struct(cast(0 as long) as sz, cast(0 as int) as k, false as stop), "
-                f" (acc, x) -> if(acc.stop OR acc.sz + {csize} > {int(max_row_size)}, "
-                "    struct(acc.sz as sz, acc.k as k, true as stop), "
-                f"   struct(acc.sz + {csize} as sz, acc.k + 1 as k, false as stop)))"
-            ),
-        ).withColumn("row_too_big", F.col("trunc.stop")).withColumn(
-            "cells", F.expr("slice(cells, 1, trunc.k)")
-        ).drop("trunc")
-    else:
-        merged = merged.withColumn("row_too_big", F.lit(False))
+    # survivor-stream truncation — see the docstring caveat; same size
+    # model and fold as compact()'s raw-stream guard
+    merged = _truncate_by_size(merged, name_of, max_row_size)
 
     strip = (
         "transform(filter(cells, x -> x.ts > deleted_at), "
