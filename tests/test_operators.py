@@ -533,3 +533,25 @@ def test_interval_join_matches_brute_theta(spark):
              for (pk, pt, pid) in pts
              if pk == k and s <= pt < e}
     assert got == brute and len(brute) > 50
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """Review regression: a NULL left timestamp must yield no match in
+    either direction (desc null-ordering would otherwise hand forward-mode
+    nulls the smallest-ts right row), and a NULL right timestamp must
+    never be a match candidate."""
+    import datetime as dt
+
+    from aegisthus_spark.operators.temporal import asof_join
+
+    TS = lambda x: dt.datetime(2024, 1, 1, 0, 0, x)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, TS(10), "L10"), (1, None, "LN")], "k int, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, TS(5), 1, 1.0), (1, None, 2, 9.9)], "k int, ts timestamp, seq int, v double")
+    for direction in ("backward", "forward"):
+        got = {r.lbl: r.asof_v for r in asof_join(
+            left, right, on="k", ts_col="ts", right_cols=["v"], seq_col="seq",
+            direction=direction).collect()}
+        assert got["LN"] is None, direction
+        assert 9.9 not in got.values(), direction
