@@ -2236,6 +2236,60 @@ def doc_curate_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_canonical_best",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    {_PAIRS_CTE},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    reach(v, w) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.w),
+    comp AS (SELECT v AS doc_id, MIN(w) AS component FROM reach GROUP BY v),
+    q AS (
+      SELECT doc_id,
+             least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.5 AS quality
+      FROM documents),
+    ranked AS (
+      SELECT comp.component, comp.doc_id AS canonical_id,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.quality DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id))
+    SELECT c.doc_id, c.component, b.canonical_id
+    FROM comp c JOIN (SELECT component, canonical_id FROM ranked WHERE rn = 1) b
+      USING (component)
+    ORDER BY c.doc_id
+    """,
+    doc="policy-based canonical selection: within each near-dup cluster keep "
+        "the HIGHEST-QUALITY document (ties -> lowest id), not the min id — "
+        "the curation rule real pipelines apply after clustering",
+)
+def dedup_canonical_best(spark, sf_dir):
+    """Cluster membership from connected_components, canonical via one
+    per-component max_by over the quality score — cluster-cardinality
+    groups, never a global funnel."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    comp = _dd.connected_components(pairs, docs)
+    q = _tx.quality_score(docs).select("doc_id", "quality")
+    joined = comp.join(q, "doc_id")
+    best = joined.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("canonical_id")
+    )
+    return (
+        comp.join(best, "component")
+        .select("doc_id", "component", "canonical_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2291,10 +2345,10 @@ GATE_TAIL = (
     "text_langid",
     "q6_revenue_forecast",
     "sim_cosine_topk",
-    # composed dataflow whose every stage is an in-window gated operator
-    # (length stats, minhash LSH + components, split_assign,
-    # pack_sequences); verified by driver_sim + pytest like the rest
+    # composed dataflows whose every stage is an in-window gated operator;
+    # verified by driver_sim + pytest like the rest
     "doc_curate_pipeline",
+    "dedup_canonical_best",
 )
 
 

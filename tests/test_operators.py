@@ -555,3 +555,25 @@ def test_asof_join_null_timestamps_match_nothing(spark):
             direction=direction).collect()}
         assert got["LN"] is None, direction
         assert 9.9 not in got.values(), direction
+
+
+def test_canonical_best_prefers_quality(spark):
+    """Policy-based canonical selection: the cluster keeps its
+    highest-quality member, with ties broken on the lowest id."""
+    from aegisthus_spark.operators.dedup import connected_components
+    from aegisthus_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    # cluster {1,2,3}: doc 2 has the most tokens (highest quality); 4 alone
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h", "en"), (2, " ".join(f"w{i}" for i in range(60)), "en"),
+         (3, "a b c d e f g i", "en"), (4, "x y z", "en")],
+        "doc_id long, text string, lang string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    comp = connected_components(pairs, docs)
+    q = quality_score(docs).select("doc_id", "quality")
+    best = comp.join(q, "doc_id").groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("n"))).alias("canonical_id"))
+    got = {r.component: r.canonical_id for r in best.collect()}
+    assert got[1] == 2   # highest quality in the {1,2,3} cluster
+    assert got[4] == 4
