@@ -343,3 +343,32 @@ def embedding_nn_in_block(
     return best.select(
         F.col("a").alias("vec_id"), F.col("nn.nn_id").alias("nn_id"), F.col("nn.nn_cos").alias("nn_cos")
     ).orderBy("vec_id")
+
+
+def ngram_duplication(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-n-gram fraction (the substring-duplication
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", at shingle granularity): for each doc, the share of its
+    DISTINCT word n-grams that also occur in at least one other document.
+
+    Scale shape: one explode into distinct shingles, one shingle-keyed
+    aggregate for document frequency (map-side combinable), one equi-join
+    back on shingle, one doc-keyed aggregate — never a doc-pair join. The
+    shingle df table is the corpus vocabulary; at 100 TB both shuffles key
+    on high-cardinality values (no skew pile-up; a stop-gram cap can
+    truncate pathological shingles the same way minhash banding does).
+
+    Docs shorter than n tokens emit no shingles and are dropped (both
+    engines agree; see word_shingles).
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_shingles"), 6))
+    )

@@ -302,3 +302,97 @@ def cosine_topk_quantized(
         .orderBy(F.desc("qcos"), id_col)
         .limit(k)
     )
+
+
+def _l2_float(a: str, b: str) -> str:
+    """SQL expr: squared L2 distance as a strict left fold in doubles (same
+    determinism argument as _dot_float: fixed element order + identical
+    IEEE-754 ops => bit-identical in any left-folding engine)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _lit_double_array(vals: list[float]) -> str:
+    return "array(" + ",".join(f"cast({float(v)!r} as double)" for v in vals) + ")"
+
+
+def _kmeans_assign_once(
+    emb: DataFrame, clusters: list[tuple[int, list[float]]], *, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cluster, d2): nearest centroid per row — a pure per-row
+    expression over centroid literals (no join, no shuffle; ties on d2
+    break to the lowest cluster id via struct ordering)."""
+    structs = ", ".join(
+        f"named_struct('d', {_l2_float(vec_col, _lit_double_array(c))}, 'j', {cid})"
+        for cid, c in clusters
+    )
+    return emb.select(
+        id_col,
+        vec_col,
+        F.expr(f"array_min(array({structs}))").alias("_m"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_m.j").alias("cluster"),
+        F.col("_m.d").alias("d2"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, seeded with the vectors of
+    the ``k`` lowest ids (deterministic, engine-reproducible).
+
+    Scale shape (the MLlib pattern): each iteration is ONE scan — the
+    assignment is a per-row expression over k*dim centroid literals
+    broadcast in the plan (no join) — plus one (cluster, dim)-keyed
+    aggregate whose k*dim result is collected to the driver (tiny:
+    8 clusters x 64 dims = 512 doubles) and re-embedded as literals for
+    the next iteration. Distances fold in doubles (fast, codegen);
+    centroid MEANS sum in DECIMAL(27,15) so they are order-independent —
+    any partitioning, any engine produces identical centroids, hence
+    identical assignments. A cluster that loses all members keeps its
+    previous centroid.
+
+    Returns (id, cluster, dist) after the final assignment, dist = L2
+    rounded to 6.
+    """
+    seed_rows = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    clusters = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    assigned = None
+    for it in range(iters):
+        assigned = _kmeans_assign_once(emb, clusters, id_col=id_col, vec_col=vec_col)
+        if it == iters - 1:
+            break
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(27,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = float(r["c"])
+        clusters = [
+            (cid, [by_cluster[cid][i] for i in range(len(prev))]) if cid in by_cluster else (cid, prev)
+            for cid, prev in clusters
+        ]
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+    )

@@ -2290,6 +2290,140 @@ def dedup_canonical_best(spark, sf_dir):
     )
 
 
+from .operators import sketch as _sk  # noqa: E402
+
+
+@register(
+    "ev_distinct_sketch",
+    f"""
+    WITH {_sk.distinct_sketch_oracle_cte("events", ["event_type"], "user_id")},
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY event_type)
+    SELECT s.event_type, s.distinct_est, exact.exact_users
+    FROM sketch s JOIN exact USING (event_type) ORDER BY s.event_type
+    """,
+    doc="FM/KMV distinct-count sketch (32 registers, md5-split bucket+value "
+        "bits, decimal register sum): deterministic estimate vs exact "
+        "COUNT(DISTINCT) per event_type — the sketch state is 32 doubles "
+        "per group vs a full distinct shuffle",
+)
+def ev_distinct_sketch(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sk = _sk.distinct_sketch(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "distinct_est", "exact_users")
+        .orderBy("event_type")
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8) -> str:
+    l2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+    assign = """
+    {out} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT s.vec_id, s.cluster, s.d2,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.d2, s.cluster) AS rn
+        FROM (SELECT e.vec_id, c.cluster, {dist} AS d2
+              FROM embeddings e CROSS JOIN {cents} c) s)
+      WHERE rn = 1)"""
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
+      FROM embeddings WHERE vec_id < {k}),
+    {assign.format(out="a1", cents="c0", dist=l2.format(a="e.embedding", b="c.cent"))},
+    dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x
+             FROM embeddings),
+    c1d AS (SELECT a1.cluster, d.i,
+                   CAST(SUM(CAST(d.x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS c
+            FROM dims d JOIN a1 USING (vec_id) GROUP BY a1.cluster, d.i),
+    c1 AS (SELECT cluster, list(c ORDER BY i) AS cent FROM c1d GROUP BY cluster),
+    {assign.format(out="a2", cents="c1", dist=l2.format(a="e.embedding", b="c.cent"))}
+    SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist
+    FROM a2 ORDER BY vec_id
+    """
+
+
+@register(
+    "sim_kmeans_assign",
+    _kmeans_oracle_sql(),
+    doc="2-iteration Lloyd k-means (k=8, seeded with the 8 lowest vec_ids): "
+        "float left-fold distances, DECIMAL-exact centroid means (order-"
+        "independent) — the unrolled oracle reproduces both iterations "
+        "bit-for-bit",
+)
+def sim_kmeans_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
+
+
+@register(
+    "dedup_ngram_coverage",
+    f"""
+    WITH {_SHINGLES_CTE},
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS dup_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+    doc="per-doc duplicated-n-gram fraction (Lee et al. 2022 substring-dup "
+        "signal at shingle granularity): share of a doc's distinct 3-grams "
+        "occurring in >=2 docs — df aggregate + join back, never a pair join",
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.ngram_duplication(docs, n=3).orderBy("doc_id")
+
+
+@register(
+    "ev_json_extract",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             / COUNT(*) AS k_avg,
+           MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="semi-structured extraction: parse the props JSON column with an "
+        "explicit schema (from_json — JVM-side, no Python) and aggregate "
+        "the extracted field per event_type",
+)
+def ev_json_extract(spark, sf_dir):
+    """Schema-on-read over a JSON string column. from_json with an explicit
+    schema keeps parsing inside codegen and lets Catalyst prune unparsed
+    fields; at 100 TB the parse cost is the scan itself (no shuffle added),
+    and malformed rows surface as NULLs rather than task failures."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k") / F.count(F.lit(1))).alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2349,6 +2483,18 @@ GATE_TAIL = (
     # verified by driver_sim + pytest like the rest
     "doc_curate_pipeline",
     "dedup_canonical_best",
+    # demoted to make window room for the round-4 additions (sketch, kmeans,
+    # ngram coverage, JSON extract) — never-gated queries outrank these:
+    "q4_order_priority",  # EXISTS semijoin; gated via q18's IN-subquery +
+    #                       group-having; green r1-r3
+    "q10_returned_items",  # 4-way join + topk, machinery of gated q3 +
+    #                        q18; green r1-r3
+    "dedup_embedding_nn",  # block-join decimal-dot pair scoring executes
+    #                        inside gated sim_knn_join + sim_cosine_ivf;
+    #                        green r2-r3
+    "mm_media_stats",  # plain agg over binary metadata; the mm decode path
+    #                    stays gated via mm_features + mm_thumbnail_plan;
+    #                    green r2-r3
 )
 
 

@@ -577,3 +577,88 @@ def test_canonical_best_prefers_quality(spark):
     got = {r.component: r.canonical_id for r in best.collect()}
     assert got[1] == 2   # highest quality in the {1,2,3} cluster
     assert got[4] == 4
+
+
+def test_distinct_sketch_accuracy_and_partition_invariance(spark):
+    from aegisthus_spark.operators.sketch import distinct_sketch
+
+    # 2000 distinct values, each seen 3x -> within the ~6% (1 sigma) band
+    # x3 (m=256 registers); duplicates must not move the estimate at all
+    base = spark.range(2000).selectExpr("'g' AS grp", "id AS v")
+    df = base.unionAll(base).unionAll(base)
+    est = distinct_sketch(df, ["grp"], "v").collect()[0].distinct_est
+    assert abs(est - 2000) / 2000 < 0.2, est
+
+    # the estimate is a pure function of the value SET: any partitioning
+    # (hence any aggregation order) yields the identical double
+    est2 = distinct_sketch(df.repartition(17, "v"), ["grp"], "v").collect()[0].distinct_est
+    assert est == est2
+
+
+def test_distinct_sketch_separate_groups(spark):
+    from aegisthus_spark.operators.sketch import distinct_sketch
+
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp", "id AS v"
+    )
+    rows = {r.grp: r.distinct_est for r in distinct_sketch(df, ["grp"], "v").collect()}
+    assert set(rows) == {"a", "b"}
+    for est in rows.values():
+        # 500 < 2.5*m -> the linear-counting regime, which is tight
+        assert abs(est - 500) / 500 < 0.15, rows
+
+
+def test_kmeans_assign_self_consistent_and_improving(emb):
+    from aegisthus_spark.operators.similarity import kmeans_assign
+
+    a1 = kmeans_assign(emb, k=8, iters=1)
+    a2 = kmeans_assign(emb, k=8, iters=2)
+    assert a2.count() == emb.count()
+    assert a2.select("cluster").distinct().count() <= 8
+
+    # Lloyd monotonicity: total within-cluster distance never increases
+    # (assignment argmin + centroid mean are both optimal steps)
+    d1 = a1.agg(F.sum("dist")).collect()[0][0]
+    d2 = a2.agg(F.sum("dist")).collect()[0][0]
+    assert d2 <= d1 + 1e-6, (d1, d2)
+
+    # partitioning must not change assignments (decimal-exact centroids)
+    a2b = kmeans_assign(emb.repartition(13), k=8, iters=2)
+    assert a2.exceptAll(a2b).count() == 0
+
+
+def test_ngram_duplication_exact_counts(spark):
+    from aegisthus_spark.operators.dedup import ngram_duplication
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles: "a b c", "b c d"
+            (2, "a b c x"),      # shingles: "a b c", "b c x"
+            (3, "p q r s"),      # shingles: "p q r", "q r s" (unique)
+            (4, "x"),            # too short -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_duplication(docs, n=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_shingles == 2 and rows[1].n_dup == 1
+    assert rows[2].n_shingles == 2 and rows[2].n_dup == 1
+    assert rows[3].n_shingles == 2 and rows[3].n_dup == 0
+    assert rows[1].dup_frac == 0.5 and rows[3].dup_frac == 0.0
+
+
+def test_json_extract_malformed_rows_are_null(spark):
+    # from_json with an explicit schema must degrade malformed rows to
+    # NULL (skipped by the aggregates), not fail the task
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", "not json"), ("a", None), ("b", '{"k": 7}')],
+        "event_type string, props string",
+    )
+    out = (
+        df.select("event_type", F.from_json("props", "k INT")["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [(r.event_type, r.s, r.n) for r in out] == [("a", 3, 3), ("b", 7, 1)]
