@@ -141,3 +141,43 @@ def sample_balanced(
         )
         .select(F.col(id_col), F.col(stratum_col), F.col("_bucket").cast("int").alias("bucket"))
     )
+
+
+def sample_weighted(
+    scored: DataFrame,
+    *,
+    k: int = 100,
+    weight_col: str = "quality",
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): draw ``k`` rows with probability proportional to
+    ``weight_col`` by ranking on key = u^(1/w), u a content-derived
+    uniform in (0, 1].
+
+    The classic algorithm draws u from an RNG; here u is the md5-prefix
+    hash of (salt, id) — so the "random" draw is a pure per-row
+    expression: reruns, engines, and any partitioning pick the identical
+    sample, and re-sampling with a new salt gives an independent draw.
+    Selection is ORDER BY key DESC LIMIT k — Spark executes that as
+    per-partition partial top-k (TakeOrderedAndProject) + a k-row driver
+    merge, never a global sort, so the cost at 100 TB is one scan.
+    Weights must be > 0 (u^(1/w) -> u^inf -> 0 as w -> 0+, so nonpositive
+    weights would be undefined; quality scores here are in (0, 1]).
+    """
+    from .dedup import H32
+
+    u = (
+        f"(cast({H32.format(col=f'concat(%r, cast({id_col} as string))' % salt)} "
+        "as double) + 1.0) / 4294967296.0"
+    )
+    return (
+        scored.select(
+            id_col,
+            F.col(weight_col).alias("w"),
+            F.expr(f"power({u}, 1.0 / {weight_col})").alias("skey"),
+        )
+        .orderBy(F.desc("skey"), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,78 @@
+"""Graph analytics over candidate-pair edge sets (near-dup graphs).
+
+Connected components lives in ``dedup.connected_components`` (min-label
+propagation, LSH-fed). This module adds weighted propagation — PageRank —
+in the same distributed shape: edges are a DataFrame, each iteration is
+one join + one aggregate, lineage is cut per round, and all floating-point
+accumulation happens in DECIMAL so the result is independent of
+partitioning (and engine — the unrolled oracle reproduces it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    iters: int = 2,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(id, pr): PageRank after ``iters`` synchronous iterations on the
+    UNDIRECTED graph given by (a, b) pairs, uniform start 1/N.
+
+    pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u) / deg(u)
+
+    Scale shape: per iteration ONE equi-join of the edge list against the
+    rank vector plus one dst-keyed aggregate (map-side combinable); the
+    degree table joins once up front. Per-edge contributions are rounded
+    into DECIMAL(27,15) before summing, so ranks are bit-identical under
+    any partitioning or engine. Dangling mass is NOT redistributed
+    (isolated vertices keep the (1-d)/N floor) — documented deviation from
+    the random-surfer model, irrelevant for near-dup graphs where edges
+    are symmetric so every edge-touched vertex has out-degree >= 1.
+
+    N is the vertex count — fetched once as a query parameter (one scalar
+    driver aggregate, like an LSH query vector).
+    """
+    n = vertices.count()
+    base = (1.0 - damping) / n
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = vertices.select(F.col(id_col).alias("v")).withColumn(
+        "pr", F.lit(1.0 / n)
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.select(F.col("v").alias("src"), "pr"), "src")
+            .select(
+                F.col("dst"),
+                (F.col("pr") / F.col("deg")).cast("decimal(27,15)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.v == contrib.dst, "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("v").alias(id_col), "pr")

@@ -1366,13 +1366,47 @@ pairs AS (
   WHERE CAST(c.common AS DOUBLE) / (na.n + nb.n - c.common) >= 0.1)
 """
 
+# LSH-mirror pairs: the EXACT pair set minhash_lsh_dedup emits (banded
+# candidates, true-Jaccard verified), reproduced in SQL over the `sh`
+# relation. Oracles for queries that CONSUME near-dup pairs (components,
+# pagerank, curation pipelines) use this instead of the brute _PAIRS_CTE so
+# implementation and oracle agree by construction at every scale — LSH
+# recall < 1 on borderline-Jaccard pairs (observed at sf0.1: 255 of 260
+# exact pairs) must show up in the dedicated recall checks
+# (dedup_ngram_jaccard vs dedup_minhash_lsh, pytest subset test), not as a
+# spurious red row in every downstream consumer.
+_LSH_PAIRS_CTE = f"""
+lhh AS (SELECT doc_id, {_H32_SQL.format(col='shingle')} AS h FROM sh),
+lmh AS (SELECT doc_id, i,
+               MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
+        FROM lhh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
+        GROUP BY doc_id, i),
+lbands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
+                  string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+           FROM lmh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
+lcand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM lbands l JOIN lbands r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+lhn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+lcommon AS (
+  SELECT c.a, c.b, COUNT(*) AS common
+  FROM lcand c JOIN sh sa ON sa.doc_id = c.a
+               JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b),
+pairs AS (
+  SELECT lcommon.a, lcommon.b
+  FROM lcommon JOIN lhn na ON na.doc_id = lcommon.a
+               JOIN lhn nb ON nb.doc_id = lcommon.b
+  WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.1)
+"""
+
 
 @register(
     "dedup_components",
     f"""
     WITH RECURSIVE
     {_SHINGLES_CTE},
-    {_PAIRS_CTE},
+    {_LSH_PAIRS_CTE},
     edges AS (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
@@ -1388,9 +1422,10 @@ pairs AS (
 def dedup_components(spark, sf_dir):
     """Components consume LSH-verified pairs — banded equi-join candidates,
     never the brute shingle self-join (which explodes O(df^2) on hot
-    shingles). The oracle's closure is over exact Jaccard>=0.1 pairs; LSH
-    recall at this threshold is total on near-dup corpora (verified pairs
-    are identical), so the cluster labels agree."""
+    shingles). The oracle's closure runs over the SQL mirror of the same
+    LSH pair set (_LSH_PAIRS_CTE), so implementation and oracle agree by
+    construction at every scale; LSH-vs-exact recall is checked separately
+    (dedup_ngram_jaccard, test_minhash_lsh_is_subset_of_truth)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, persist_shingles=True)
     return _dd.connected_components(pairs, docs)
@@ -2173,7 +2208,7 @@ def doc_decontaminate(spark, sf_dir):
     q AS (SELECT doc_id, text, lang FROM documents
           WHERE len(string_split(text, ' ')) >= 30),
     {_shingles_cte("q")},
-    {_PAIRS_CTE},
+    {_LSH_PAIRS_CTE},
     edges AS (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
@@ -2241,7 +2276,7 @@ def doc_curate_pipeline(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {_SHINGLES_CTE},
-    {_PAIRS_CTE},
+    {_LSH_PAIRS_CTE},
     edges AS (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
@@ -2424,6 +2459,168 @@ def ev_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "ev_retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT f.cohort_day,
+           CAST((epoch_us(d.day) - epoch_us(f.cohort_day)) // 86400000000 AS INT)
+             AS day_offset,
+           COUNT(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN firsts f USING (user_id)
+    WHERE (epoch_us(d.day) - epoch_us(f.cohort_day)) // 86400000000 <= 7
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="cohort retention matrix: users grouped by first-active day, "
+        "distinct-user counts at day offsets 0..7 (long format) — the "
+        "classic product-analytics query",
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Two aggregates and one equi-join on user_id: the (user, day)
+    distinct activity set is the only shuffle that scales with the data;
+    cohort offsets are pure micros arithmetic (TZ-independent)."""
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = (
+        (F.unix_micros("day") - F.unix_micros("cohort_day"))
+        / F.lit(86400000000)
+    ).cast("int")
+    return (
+        days.join(firsts, "user_id")
+        .withColumn("day_offset", off)
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "ev_moving_avg",
+    """
+    SELECT event_id, user_id, ts, value,
+           round(CAST(SUM(CAST(value AS DECIMAL(27,15))) OVER w AS DOUBLE)
+                 / (COUNT(*) OVER w), 6) AS avg_30m,
+           COUNT(*) OVER w AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="trailing 30-minute moving average per user: a RANGE-interval "
+        "window frame (value-based, so ts ties share one frame) with "
+        "DECIMAL-exact frame sums",
+)
+def ev_moving_avg(spark, sf_dir):
+    """Time-range window frames are the idiomatic Spark form for trailing
+    aggregates — one shuffle on the partition key, frame bounds resolved
+    per row against the sorted run (no self-join, no interval explosion).
+    Frame sums run in DECIMAL so peer-row order inside a frame can't
+    perturb the double."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,15)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ).alias("avg_30m"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "doc_sample_weighted",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.5 AS quality
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, quality,
+             power((CAST({_H32_SQL.format(col="'wsample-v1' || CAST(doc_id AS VARCHAR)")}
+                        AS DOUBLE) + 1.0) / 4294967296.0,
+                   1.0 / quality) AS skey
+      FROM q)
+    SELECT doc_id, round(quality, 6) AS quality, round(skey, 6) AS skey
+    FROM keyed ORDER BY skey DESC, doc_id LIMIT 100
+    """,
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+        "Spirakis): quality-proportional top-100 by u^(1/w) with a "
+        "content-derived uniform u — rerun/engine/partitioning stable",
+)
+def doc_sample_weighted(spark, sf_dir):
+    from .operators.curation import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    q = _tx.quality_score(docs).select("doc_id", "quality")
+    return (
+        sample_weighted(q, k=100, weight_col="quality")
+        .select(
+            "doc_id",
+            F.round("w", 6).alias("quality"),
+            F.round("skey", 6).alias("skey"),
+        )
+    )
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    {_LSH_PAIRS_CTE},
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    pr0 AS (SELECT doc_id AS v, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+    c1 AS (SELECT e.dst, CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(27,15))) AS DOUBLE)
+                    AS inflow
+           FROM edges e JOIN deg d USING (src) JOIN pr0 p ON p.v = e.src
+           GROUP BY e.dst),
+    pr1 AS (SELECT v, (1.0 - 0.85) / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(inflow, 0.0) AS pr
+            FROM pr0 LEFT JOIN c1 ON c1.dst = pr0.v),
+    c2 AS (SELECT e.dst, CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(27,15))) AS DOUBLE)
+                    AS inflow
+           FROM edges e JOIN deg d USING (src) JOIN pr1 p ON p.v = e.src
+           GROUP BY e.dst),
+    pr2 AS (SELECT v, (1.0 - 0.85) / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(inflow, 0.0) AS pr
+            FROM pr1 LEFT JOIN c2 ON c2.dst = pr1.v)
+    SELECT v AS doc_id, round(pr, 9) AS pr FROM pr2 ORDER BY v
+    """,
+    doc="2-iteration PageRank (d=0.85, uniform start) over the near-dup "
+        "LSH graph: per-iteration one edge-rank join + one dst aggregate, "
+        "DECIMAL-exact contribution sums — the unrolled oracle matches "
+        "bit-for-bit",
+)
+def graph_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pr = pagerank(pairs, docs, iters=2)
+    return pr.select("doc_id", F.round("pr", 9).alias("pr")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2495,6 +2692,18 @@ GATE_TAIL = (
     "mm_media_stats",  # plain agg over binary metadata; the mm decode path
     #                    stays gated via mm_features + mm_thumbnail_plan;
     #                    green r2-r3
+    # round-4 batch 2: two in-window (retention cohorts, RANGE-interval
+    # moving average — machinery nowhere else in the registry) paid for by
+    # two more demotions; the other two land in the tail because their
+    # machinery siblings stay gated:
+    "text_token_stats",  # plain scan+groupBy agg; machinery gated via q1 +
+    #                      the per-row text family (text_quality); green r2-r3
+    "q18_large_volume_customers",  # group-having subquery + 3-way join;
+    #                      gated q3 covers join+agg+topk; green r1-r3
+    "doc_sample_weighted",  # hash-derived per-row priority + top-k, the
+    #                      machinery family of gated doc_sample_balanced
+    "graph_pagerank",  # iterative join+agg loop over the LSH graph, the
+    #                      machinery family of gated dedup_components
 )
 
 

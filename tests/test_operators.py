@@ -662,3 +662,87 @@ def test_json_extract_malformed_rows_are_null(spark):
         .collect()
     )
     assert [(r.event_type, r.s, r.n) for r in out] == [("a", 3, 3), ("b", 7, 1)]
+
+
+def test_pagerank_hand_graph(spark):
+    from aegisthus_spark.operators.graph import pagerank
+
+    # path graph 1-2-3 plus isolated vertex 4 (N=4, d=0.85, 2 iters)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    got = {r.doc_id: r.pr for r in pagerank(pairs, verts, iters=2).collect()}
+
+    # hand-rolled reference (same decimal rounding is immaterial at this size)
+    n, d = 4, 0.85
+    pr = {v: 1.0 / n for v in (1, 2, 3, 4)}
+    deg = {1: 1, 2: 2, 3: 1}
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    for _ in range(2):
+        inflow = {v: 0.0 for v in pr}
+        for s, t in edges:
+            inflow[t] += pr[s] / deg[s]
+        pr = {v: (1 - d) / n + d * inflow[v] for v in pr}
+    for v in (1, 2, 3, 4):
+        assert abs(got[v] - pr[v]) < 1e-12, (v, got[v], pr[v])
+    # isolated vertex sits at the floor
+    assert abs(got[4] - (1 - d) / n) < 1e-15
+
+
+def test_pagerank_partition_invariance(docs):
+    from aegisthus_spark.operators.dedup import minhash_lsh_dedup
+    from aegisthus_spark.operators.graph import pagerank
+
+    pairs = minhash_lsh_dedup(docs, threshold=0.1)
+    a = pagerank(pairs, docs, iters=2)
+    b = pagerank(pairs.repartition(7), docs.repartition(5), iters=2)
+    assert a.exceptAll(b).count() == 0  # decimal sums -> identical doubles
+
+
+def test_sample_weighted_properties(spark):
+    from aegisthus_spark.operators.curation import sample_weighted
+
+    scored = spark.range(1000).selectExpr(
+        "id AS doc_id", "0.1 + (id % 10) / 10.0 AS quality"
+    )
+    out = sample_weighted(scored, k=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert len({r.doc_id for r in rows}) == 50  # without replacement
+    # determinism under partitioning
+    out2 = sample_weighted(scored.repartition(13), k=50)
+    assert [r.doc_id for r in out2.collect()] == [r.doc_id for r in rows]
+    # weight monotonicity in expectation: the high-weight half should
+    # dominate the sample for this weight profile (deterministic given hash)
+    high = sum(1 for r in rows if r.w >= 0.6)
+    assert high > 25, high
+    # k > N returns everything
+    assert sample_weighted(scored, k=5000).count() == 1000
+
+
+def test_moving_avg_frame_semantics(spark):
+    from aegisthus_spark.queries import REGISTRY
+    import pandas as pd
+
+    out = REGISTRY["ev_moving_avg"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    # brute-check 30 random rows against the definition
+    ev["us"] = ev.ts.astype("int64") // 1000 if ev.ts.dtype.kind == "i" else (
+        ev.ts.values.astype("datetime64[us]").astype("int64"))
+    sample = out.sample(30, random_state=7)
+    for _, r in sample.iterrows():
+        us = ev.loc[ev.event_id == r.event_id, "us"].iloc[0]
+        frame = ev[(ev.user_id == r.user_id) & (ev.us <= us) & (ev.us >= us - 1_800_000_000)]
+        assert len(frame) == r.n_window, (r.event_id, len(frame), r.n_window)
+        assert abs(frame.value.mean() - r.avg_30m) < 1e-4
+
+
+def test_retention_cohort_invariants(spark):
+    from aegisthus_spark.queries import REGISTRY
+
+    out = REGISTRY["ev_retention_cohorts"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out.day_offset >= 0).all() and (out.day_offset <= 7).all()
+    # day-0 cohort size is the number of users whose first day that is;
+    # retention at any offset never exceeds the day-0 count
+    d0 = out[out.day_offset == 0].set_index("cohort_day").n_users
+    for _, r in out.iterrows():
+        assert r.n_users <= d0[r.cohort_day]

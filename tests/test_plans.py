@@ -237,3 +237,87 @@ def test_decontaminate_broadcasts_benchmark(spark, queries):
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies
     assert "SortMergeJoin" not in strategies
+
+
+def test_distinct_sketch_two_hash_aggregates_no_expand(spark, queries):
+    """The sketch must stay two hash-aggregates (register min, register
+    sum) with partial map-side combine — no distinct-style Expand node,
+    which would defeat the point of sketching."""
+    from aegisthus_spark.plans import physical_plan
+
+    from aegisthus_spark.operators.sketch import distinct_sketch
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = distinct_sketch(ev, ["event_type"], "user_id")
+    plan = physical_plan(df, "simple")
+    assert "Expand" not in plan, plan
+    assert plan.lower().count("partial") >= 1, plan
+
+
+def test_kmeans_assignment_is_expression_only(spark):
+    """One k-means assignment pass must be a pure per-row projection:
+    no join, no Exchange (the centroids ride the plan as literals)."""
+    from aegisthus_spark.operators.similarity import _kmeans_assign_once
+    from aegisthus_spark.plans import count_exchanges, join_strategies
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seed = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect())]
+    df = _kmeans_assign_once(emb, seed, id_col="vec_id", vec_col="embedding")
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_sample_weighted_partial_topk_no_global_sort(spark, queries):
+    """Selection must be TakeOrdered (per-partition partial top-k merged
+    on the driver), never a full Exchange+Sort of the corpus."""
+    from aegisthus_spark.plans import physical_plan
+
+    df = queries["doc_sample_weighted"](spark, SF_DIR)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_moving_avg_single_shuffle(spark, queries):
+    """The trailing window wants exactly one hash Exchange on user_id
+    (plus the output range sort) — a frame-per-row self-join would
+    explode at scale."""
+    from aegisthus_spark.plans import count_exchanges, join_strategies
+
+    df = queries["ev_moving_avg"](spark, SF_DIR)
+    assert join_strategies(df) == []
+    assert count_exchanges(df) <= 2  # window hash + output range sort
+
+
+def test_retention_single_fact_shuffle(spark, queries):
+    """Retention reuses the (user, day) distinct set for both the cohort
+    min and the join; no cartesian, no nested loop."""
+    from aegisthus_spark.plans import join_strategies
+
+    strategies = join_strategies(queries["ev_retention_cohorts"](spark, SF_DIR))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_json_extract_stays_jvm_side(spark, queries):
+    """from_json parses inside codegen: no Python workers in the plan."""
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(queries["ev_json_extract"](spark, SF_DIR), "simple")
+    assert "Python" not in plan, plan
+    assert "from_json" in plan
+
+
+def test_ngram_coverage_no_pair_join(spark, queries):
+    """The duplication score joins shingles to the df table on the
+    SHINGLE key — a doc-pair join (O(n^2) on hot shingles) must not
+    appear: every join key in the plan is the shingle, never (a, b)."""
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(queries["dedup_ngram_coverage"](spark, SF_DIR), "formatted")
+    assert "CartesianProduct" not in plan
+    # the only equi-join keys are on the shingle column
+    import re
+    for cond in re.findall(r"(?:SortMergeJoin|BroadcastHashJoin) \[([^\]]*)\]", plan):
+        assert "shingle" in cond, cond
