@@ -178,6 +178,84 @@ def temporal_bench(cpus: int, n_rows: int, n_keys: int) -> None:
           f"rows full-corpus (vs {2 * n_rows:,} for union+window)")
 
 
+def dedup_bench(cpus: int, n_docs: int) -> None:
+    """Near-dup pipeline scaling: run MinHash+LSH+components on a synthetic
+    corpus at N and 2N docs and report wall-clock ratio (linear shape =>
+    ~2x) plus the hottest LSH band bucket (the skew bound on the candidate
+    join: pairs-per-bucket grows with bucket_size^2, so this number is the
+    one to watch at 100 TB).
+
+    The corpus is generated DISTRIBUTED (spark.range + per-id hash word
+    sampling, no driver loops): 60-word docs over a 400-word vocabulary;
+    every 10th doc is a near-dup of its predecessor with the first 3 words
+    mutated (planted positives the pipeline must find)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators import dedup as dd
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-dedup", cpus=cpus)
+    vocab = "array(" + ",".join(f"'w{i}'" for i in range(400)) + ")"
+
+    def corpus(n):
+        base = F.expr("if(id % 10 = 1, id - 1, id)")
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 60), i -> "
+                    f"element_at({vocab}, 1 + pmod(hash("
+                    "if(id % 10 = 1 and i <= 3, id, if(id % 10 = 1, id - 1, id))"
+                    " * 1000 + i), 400))))"
+                ).alias("text"),
+            )
+        )
+
+    results = []
+    for n in (n_docs, 2 * n_docs):
+        docs = corpus(n).localCheckpoint()  # exclude generation from timing
+        t0 = time.time()
+        # materialize pairs so the components timing measures ONLY the
+        # label-propagation loop, not a lazy recompute of the LSH pipeline
+        pairs = dd.minhash_lsh_dedup(docs, threshold=0.5).localCheckpoint()
+        npairs = pairs.count()
+        t1 = time.time()
+        ncomp = (
+            dd.connected_components(pairs, docs)
+            .filter(F.col("doc_id") != F.col("component"))
+            .count()
+        )
+        t2 = time.time()
+        sig = dd.minhash_signatures(dd.word_shingles(docs))
+        # hottest band bucket: max docs sharing one (band, key)
+        bands = sig.select(
+            F.explode(
+                F.array(*[
+                    F.concat_ws("_", F.lit(b), *[
+                        F.col(f"mh_{b * dd.LSH_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(dd.LSH_ROWS_PER_BAND)
+                    ])
+                    for b in range(dd.MINHASH_K // dd.LSH_ROWS_PER_BAND)
+                ])
+            ).alias("bk")
+        )
+        hot = bands.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
+        planted = n // 10 - (1 if n % 10 == 0 else 0)
+        results.append((n, t1 - t0, t2 - t1, npairs, ncomp, hot))
+        print(
+            f"docs={n}: lsh_pairs={npairs} (planted~{planted}) in {t1-t0:.1f}s, "
+            f"components(+{ncomp} dup docs) in {t2-t1:.1f}s, hottest_bucket={hot}"
+        )
+    (n1, p1, c1, *_), (n2, p2, c2, *_) = results
+    print(
+        f"scaling N->2N: pairs-stage x{p2/p1:.2f}, components x{c2/c1:.2f} "
+        "(linear shape => ~2x; superlinear means a bucket blew up)"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -189,6 +267,9 @@ def main() -> None:
                     help="run the compact vs compact_salted skew benchmark instead")
     ap.add_argument("--temporal", action="store_true",
                     help="run the asof/interval join scale benchmark instead")
+    ap.add_argument("--dedup", action="store_true",
+                    help="run the MinHash+LSH+components scaling benchmark instead")
+    ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
     ap.add_argument("--cold-keys", type=int, default=1_000_000)
@@ -198,6 +279,9 @@ def main() -> None:
         return
     if args.temporal:
         temporal_bench(args.cpus, args.rows, args.keys)
+        return
+    if args.dedup:
+        dedup_bench(args.cpus, args.docs)
         return
 
     from aegisthus_spark.session import get_spark
