@@ -2621,6 +2621,193 @@ def graph_pagerank(spark, sf_dir):
     return pr.select("doc_id", F.round("pr", 9).alias("pr")).orderBy("doc_id")
 
 
+@register(
+    "ev_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+             COUNT(*) OVER w AS cnt
+      FROM daily WINDOW w AS (PARTITION BY event_type))
+    SELECT event_type, day, n,
+           CASE WHEN cnt * s2 - s1 * s1 > 0 THEN
+             round((n - CAST(s1 AS DOUBLE) / cnt)
+                   / sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * cnt)), 6)
+           END AS z
+    FROM st ORDER BY event_type, day
+    """,
+    doc="daily-count anomaly z-scores per event_type: population mean/"
+        "stddev from EXACT integer moments (sum, sum-of-squares), so the "
+        "score is partitioning- and engine-invariant with no decimal cost",
+)
+def ev_daily_anomaly(spark, sf_dir):
+    """The two-pass z-score collapsed into one window over the daily
+    rollup (dimension-scale input: types x days). Variance from exact
+    bigint moments — n*cnt arithmetic stays integral until the final
+    double division, so no float accumulation order exists to disagree
+    about."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    numer = F.col("cnt") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(
+        (F.col("n") - F.col("s1").cast("double") / F.col("cnt"))
+        / F.sqrt(numer.cast("double") / (F.col("cnt") * F.col("cnt"))),
+        6,
+    )
+    return (
+        st.select(
+            "event_type", "day", "n", F.when(numer > 0, z).alias("z")
+        ).orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ev_rollup_dense",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT t.event_type, unnest(generate_series(b.lo, b.hi,
+                                                  INTERVAL 1 DAY)) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds b)
+    SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    ORDER BY s.event_type, s.day
+    """,
+    doc="gap-filled daily rollup: a generated (type x day) spine LEFT-"
+        "joined to the observed counts, zeros for silent days — spine "
+        "generation as relational expansion, no driver loop",
+)
+def ev_rollup_dense(spark, sf_dir):
+    """The spine is sequence()-explode over the corpus day bounds (one
+    1-row aggregate broadcast into the expansion) cross the distinct
+    type dimension — both sides dimension-scale, so the only data-sized
+    operation remains the daily rollup itself."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ev_value_quantile_binned",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             CAST(least(floor((value - b.lo) / ((b.hi - b.lo) / 200.0)),
+                        199) AS INT) AS bin,
+             COUNT(*) AS n
+      FROM events, b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM binned),
+    hits AS (
+      SELECT event_type,
+             MIN(CASE WHEN c >= 0.5 * total THEN bin END) AS b50,
+             MIN(CASE WHEN c >= 0.9 * total THEN bin END) AS b90,
+             MIN(CASE WHEN c >= 0.99 * total THEN bin END) AS b99
+      FROM cum GROUP BY event_type)
+    SELECT h.event_type,
+           round(b.lo + (h.b50 + 1) * ((b.hi - b.lo) / 200.0), 6) AS p50_est,
+           round(b.lo + (h.b90 + 1) * ((b.hi - b.lo) / 200.0), 6) AS p90_est,
+           round(b.lo + (h.b99 + 1) * ((b.hi - b.lo) / 200.0), 6) AS p99_est
+    FROM hits h, b ORDER BY h.event_type
+    """,
+    doc="histogram-based quantile estimation (200 fixed bins, cumulative "
+        "counts, right-edge estimate): the one-aggregate scale path next "
+        "to ev_value_quantiles' exact sort-based answer",
+)
+def ev_value_quantile_binned(spark, sf_dir):
+    """Exact per-group quantiles need a sort (ev_value_quantiles); at
+    100 TB the standard move is a fixed-bin histogram: ONE map-side-
+    combinable aggregate over (group, bin), then quantiles off the
+    (dimension-scale) cumulative histogram. Bin ids derive from one
+    broadcast min/max row; the estimate error is bounded by bin width."""
+    ev = _events(spark, sf_dir)
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(200.0)
+    binned = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width), F.lit(199)
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    hits = cum.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("c") >= F.lit(q) * F.col("total"), F.col("bin"))
+            ).alias(f"b{tag}")
+            for q, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99"))
+        ]
+    )
+    est = lambda bcol: F.round(  # noqa: E731
+        F.col("lo") + (F.col(bcol) + 1) * width, 6
+    )
+    return (
+        hits.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            est("b50").alias("p50_est"),
+            est("b90").alias("p90_est"),
+            est("b99").alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2704,6 +2891,13 @@ GATE_TAIL = (
     #                      machinery family of gated doc_sample_balanced
     "graph_pagerank",  # iterative join+agg loop over the LSH graph, the
     #                      machinery family of gated dedup_components
+    # round-4 batch 3 — tail by construction (machinery siblings gated):
+    "ev_daily_anomaly",  # window agg over a dimension-scale rollup
+    #                      (gated: ev_moving_avg, q_supplier_revenue_rank)
+    "ev_rollup_dense",  # sequence-explode spine + left join (gated:
+    #                      mm_thumbnail_plan's relational expansion)
+    "ev_value_quantile_binned",  # cumulative-histogram quantiles (gated:
+    #                      ev_value_quantiles exact, ev_value_rank windows)
 )
 
 

@@ -746,3 +746,57 @@ def test_retention_cohort_invariants(spark):
     d0 = out[out.day_offset == 0].set_index("cohort_day").n_users
     for _, r in out.iterrows():
         assert r.n_users <= d0[r.cohort_day]
+
+
+def test_daily_anomaly_zscore_math(spark):
+    from aegisthus_spark.queries import REGISTRY
+    import math
+
+    out = REGISTRY["ev_daily_anomaly"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    for et, g in out.groupby("event_type"):
+        n = g.n.astype(float)
+        mu, var = n.mean(), n.var(ddof=0)  # population variance
+        for _, r in g.iterrows():
+            want = (r.n - mu) / math.sqrt(var)
+            assert abs(r.z - want) < 1e-5, (et, r.day, r.z, want)
+        # z-scores of a full partition sum to ~0 (each z rounded to 6dp)
+        assert abs(g.z.sum()) < 5e-7 * len(g) + 1e-9
+
+
+def test_rollup_dense_spine_complete(spark):
+    from aegisthus_spark.queries import REGISTRY
+    import pandas as pd
+
+    out = REGISTRY["ev_rollup_dense"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    types = out.event_type.nunique()
+    days = out.day.nunique()
+    assert len(out) == types * days  # dense: every (type, day) present
+    # the spine adds zeros, never counts
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    assert out.n_events.sum() == len(ev)
+    # consecutive days, no gaps
+    span = (out.day.max() - out.day.min()).days + 1
+    assert days == span
+
+
+def test_quantile_binned_within_bin_width(spark):
+    from aegisthus_spark.queries import REGISTRY
+    import pandas as pd
+
+    out = REGISTRY["ev_value_quantile_binned"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas().set_index("event_type")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    width = (ev.value.max() - ev.value.min()) / 200.0
+    import math
+
+    for et, g in ev.groupby("event_type"):
+        vals = g.value.sort_values().to_numpy()
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            # the histogram rule (first bin whose cumulative count reaches
+            # q*total, right edge) brackets the ceil(q*n)-th smallest
+            # value: that value sits inside the crossing bin, whose right
+            # edge is at most one bin width above it
+            ref = vals[math.ceil(q * len(vals)) - 1]
+            est = out.loc[et, col]
+            assert ref - 1e-9 <= est <= ref + width + 1e-9, (et, col, est, ref)

@@ -44,11 +44,24 @@ def test_gate_window_fit():
         "ev_funnel_signup_purchase": "ev_latest_per_user",
         "mm_frame_plan": "mm_thumbnail_plan",
         "q5_local_supplier_volume": "q3_shipping_priority",
-        "q14_promo_revenue": "q4_order_priority",
+        "q14_promo_revenue": "q1_pricing_summary",
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
         "text_langid": "text_quality",
         "q6_revenue_forecast": "q1_pricing_summary",
         "sim_cosine_topk": "sim_cosine_ivf",
+        # round-4 batch demotions (window room for sketch/kmeans/coverage/
+        # json + retention/moving-avg)
+        "q4_order_priority": "q3_shipping_priority",
+        "q10_returned_items": "q3_shipping_priority",
+        "dedup_embedding_nn": "sim_knn_join",
+        "mm_media_stats": "mm_features",
+        "text_token_stats": "text_quality",
+        "q18_large_volume_customers": "q3_shipping_priority",
+        "doc_sample_weighted": "doc_sample_balanced",
+        "graph_pagerank": "dedup_components",
+        "ev_daily_anomaly": "ev_moving_avg",
+        "ev_rollup_dense": "mm_thumbnail_plan",
+        "ev_value_quantile_binned": "ev_value_quantiles",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
