@@ -294,3 +294,54 @@ def decontaminate(
         .otherwise(F.col("n_hit") / F.col("n_grams"))
         .alias("contam_ratio"),
     ).orderBy(id_col)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "doc_id",
+    right_id: str = "probe_id",
+    left_col: str = "title",
+    right_col: str = "probe",
+    max_dist: int = 8,
+) -> DataFrame:
+    """Approximate string join: best left match per right row by edit
+    distance, with shared-word-token blocking.
+
+    The naive form is a cross join with levenshtein() in the predicate —
+    a nested loop that dies at scale. Here both sides explode to distinct
+    word tokens and candidates come from ONE equi-join on the token (two
+    strings within small edit distance of each other share at least one
+    unedited word); the exact distance then runs only on candidates, and
+    the per-probe argmin is a bounded window. The token join is the only
+    data-sized shuffle; a hot-token df cap can bound fan-out the same way
+    ngram_jaccard_pairs caps shingles.
+
+    Ties on distance break to the lowest left id. Rows with no candidate
+    within ``max_dist`` are dropped (inner semantics).
+    """
+    from pyspark.sql import Window
+
+    lw = left.select(
+        left_id,
+        left_col,
+        F.explode(F.array_distinct(F.split(F.col(left_col), " "))).alias("_w"),
+    )
+    rw = right.select(
+        right_id,
+        right_col,
+        F.explode(F.array_distinct(F.split(F.col(right_col), " "))).alias("_w"),
+    )
+    cand = lw.join(rw, "_w").select(left_id, left_col, right_id, right_col).distinct()
+    scored = cand.select(
+        right_id,
+        left_id,
+        F.levenshtein(F.col(left_col), F.col(right_col)).cast("int").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy(right_id).orderBy("dist", left_id)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

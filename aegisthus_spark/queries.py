@@ -2808,6 +2808,60 @@ def ev_value_quantile_binned(spark, sf_dir):
     )
 
 
+@register(
+    "text_fuzzy_join",
+    """
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+               AS title
+      FROM documents),
+    probes AS (
+      SELECT doc_id + 10000 AS probe_id,
+             array_to_string([string_split(text, ' ')[1],
+                              string_split(text, ' ')[3],
+                              string_split(text, ' ')[4]], ' ') AS probe
+      FROM documents WHERE doc_id < 20),
+    lw AS (SELECT doc_id, title,
+                  unnest(list_distinct(string_split(title, ' '))) AS w
+           FROM titles),
+    rw AS (SELECT probe_id, probe,
+                  unnest(list_distinct(string_split(probe, ' '))) AS w
+           FROM probes),
+    cand AS (SELECT DISTINCT l.doc_id, l.title, r.probe_id, r.probe
+             FROM lw l JOIN rw r USING (w)),
+    scored AS (
+      SELECT probe_id, doc_id,
+             CAST(levenshtein(title, probe) AS INT) AS dist
+      FROM cand WHERE levenshtein(title, probe) <= 8),
+    best AS (
+      SELECT probe_id, doc_id, dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY dist, doc_id) AS rn
+      FROM scored)
+    SELECT probe_id, doc_id, dist FROM best WHERE rn = 1 ORDER BY probe_id
+    """,
+    doc="blocked fuzzy string join: dirty probe strings (titles with the "
+        "2nd word dropped) match their source doc by edit distance, with "
+        "shared-word blocking replacing the cross join — levenshtein is "
+        "integer-exact in both engines",
+)
+def text_fuzzy_join(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id",
+        F.expr("concat_ws(' ', slice(split(text, ' '), 1, 4))").alias("title"),
+    )
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("probe_id"),
+        F.expr(
+            "concat_ws(' ', array(split(text, ' ')[0], split(text, ' ')[2], "
+            "split(text, ' ')[3]))"
+        ).alias("probe"),
+    )
+    return _tx.fuzzy_join(titles, probes).orderBy("probe_id")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2898,6 +2952,8 @@ GATE_TAIL = (
     #                      mm_thumbnail_plan's relational expansion)
     "ev_value_quantile_binned",  # cumulative-histogram quantiles (gated:
     #                      ev_value_quantiles exact, ev_value_rank windows)
+    "text_fuzzy_join",  # token-blocked candidate join + windowed argmin
+    #                      (gated: sim_knn_join's blocked-join machinery)
 )
 
 

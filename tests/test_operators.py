@@ -800,3 +800,58 @@ def test_quantile_binned_within_bin_width(spark):
             ref = vals[math.ceil(q * len(vals)) - 1]
             est = out.loc[et, col]
             assert ref - 1e-9 <= est <= ref + width + 1e-9, (et, col, est, ref)
+
+
+def test_fuzzy_join_semantics(spark):
+    from aegisthus_spark.operators.text import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "zeta eta theta")],
+        "doc_id long, title string",
+    )
+    right = spark.createDataFrame(
+        [(100, "alpha gamma"),    # beta dropped from 1 -> dist 5
+         (101, "zeta eta thetaX"),  # 1 edit from 3
+         (102, "omicron pi rho")],  # shares no word -> no candidates
+        "probe_id long, probe string",
+    )
+    rows = {r.probe_id: r for r in fuzzy_join(left, right, max_dist=8).collect()}
+    assert rows[100].doc_id == 1 and rows[100].dist == 5
+    assert rows[101].doc_id == 3 and rows[101].dist == 1
+    assert 102 not in rows  # blocking correctly yields no candidates
+
+
+def test_fuzzy_join_recovers_sources(spark):
+    from aegisthus_spark.queries import REGISTRY
+
+    out = REGISTRY["text_fuzzy_join"].fn(spark, "/root/testdata/sf0.001").toPandas()
+    # every probe (derived from doc k by dropping word 2) should resolve,
+    # and overwhelmingly back to its own source document
+    assert len(out) == 20
+    back = (out.doc_id == out.probe_id - 10000).mean()
+    assert back >= 0.9, out
+
+
+def test_kmeans_matches_numpy_lloyd(emb):
+    import numpy as np
+
+    from aegisthus_spark.operators.similarity import kmeans_assign
+
+    got = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=8, iters=2).collect()}
+
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([[float(v) for v in r.embedding] for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    C = X[:8].copy()
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # numpy argmin ties -> lowest index, same rule
+        new_c = C.copy()
+        for j in range(8):
+            if (assign == j).any():
+                new_c[j] = X[assign == j].mean(axis=0)
+        C, final = new_c, assign
+    # note: the loop order above recomputes centroids after the 2nd assign
+    # too, but `final` captures the 2nd assignment, matching iters=2
+    for i, vid in enumerate(ids):
+        assert got[vid] == final[i], (vid, got[vid], final[i])
