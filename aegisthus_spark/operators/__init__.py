@@ -1,8 +1,18 @@
 """Large-scale training-data pipeline operators (beyond the reference's own
 surface): deduplication, similarity search, text analysis, multimodal
-plumbing, corpus curation, and temporal joins. All hot paths are JVM
+plumbing, corpus curation, temporal joins, graph analytics, and
+cardinality sketches. All hot paths are JVM
 expressions (no Python UDFs); hashes are md5-derived so a DuckDB oracle can
 reproduce them bit-for-bit.
 """
 
-from . import curation, dedup, ranking, similarity, temporal, text  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    dedup,
+    graph,
+    ranking,
+    similarity,
+    sketch,
+    temporal,
+    text,
+)

@@ -158,8 +158,14 @@ def sample_weighted(
 
     The classic algorithm draws u from an RNG; here u is the md5-prefix
     hash of (salt, id) — so the "random" draw is a pure per-row
-    expression: reruns, engines, and any partitioning pick the identical
-    sample, and re-sampling with a new salt gives an independent draw.
+    expression: reruns and any partitioning pick the identical sample,
+    and re-sampling with a new salt gives an independent draw. One
+    cross-engine caveat: pow() is a transcendental with no bit-identity
+    guarantee between libm implementations (<= 1 ulp each), unlike the
+    decimal-protected sums used elsewhere — a pair of keys within 1 ulp
+    of each other at the top-k boundary (probability ~ k * 2^-45 per
+    draw) could select differently in another engine; ties and boundary
+    rounding are otherwise pinned by the (skey, id) order.
     Selection is ORDER BY key DESC LIMIT k — Spark executes that as
     per-partition partial top-k (TakeOrderedAndProject) + a k-row driver
     merge, never a global sort, so the cost at 100 TB is one scan.

