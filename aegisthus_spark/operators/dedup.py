@@ -49,8 +49,17 @@ def exact_dedup_map(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def word_shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document (whitespace tokens)."""
+def word_shingles(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document (whitespace tokens), de-duplicated
+    per doc by default. ``distinct=False`` skips that shuffle for consumers
+    whose aggregate is multiset-invariant (MIN for MinHash signatures)."""
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     # guard: Spark's sequence(0, k) runs DESCENDING for k < 0 (short docs),
     # so emit no shingles when the doc has fewer than n tokens — matching
@@ -65,7 +74,7 @@ def word_shingles(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_c
             )
         ).alias("shingle"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(shingles: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
@@ -150,7 +159,14 @@ def minhash_lsh_dedup(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh)
+        sig_src = sh  # scan dominates: reuse the one materialized table
+    else:
+        # MIN is multiset-invariant, so signatures can skip the distinct()
+        # shuffle entirely: raw shingles flow into 16 map-side partial MINs
+        # and only (doc, 16 mins) rows ever shuffle — at corpus scale this
+        # removes one full shuffle of the shingle stream
+        sig_src = word_shingles(docs, n=n, distinct=False)
+    sig = minhash_signatures(sig_src)
     cand = lsh_candidate_pairs(sig)
     jac = jaccard_of_pairs(sh, cand)
     return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
