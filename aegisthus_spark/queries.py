@@ -2856,6 +2856,48 @@ def text_fuzzy_join(spark, sf_dir):
     return _tx.fuzzy_join(titles, probes).orderBy("probe_id")
 
 
+@register(
+    "ev_stream_join",
+    """
+    SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+           c.event_id AS c_id, c.ts AS c_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY p_id, c_id
+    """,
+    doc="watermarked stream-stream inner join (purchase x preceding clicks "
+        "within 30 min, per user) drained availableNow == the batch theta "
+        "join — state bounded by watermark + gap via the derivable "
+        "time-range condition",
+)
+def ev_stream_join(spark, sf_dir):
+    """Stream-stream joins are the hardest Structured Streaming feature
+    (both sides buffer state, eviction derived from the join condition);
+    this runs the REAL one under the correctness gate against the batch
+    theta-join oracle on the same bounded input."""
+    import uuid
+
+    from .streaming.events import read_events_stream, stream_stream_join
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nanos = dict(raw.dtypes)["ts"] == "bigint"
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet", nanos_ts=nanos)
+    qname = f"stream_join_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            stream_stream_join(ev)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(qname).orderBy("p_id", "c_id")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering
 # ---------------------------------------------------------------------------
@@ -2866,8 +2908,9 @@ def text_fuzzy_join(spark, sf_dir):
 # redundant — never-gated queries take window priority over queries that
 # already hold green rows from earlier rounds. Each demoted query is an
 # oracle- or machinery-duplicate of a query that stays in the window, is
-# additionally pytest-gated, and is verified locally by the same
-# Spark-vs-DuckDB comparison the driver runs (tools/driver_sim.py):
+# additionally pytest-gated, and is value-checked against its DuckDB
+# oracle on EVERY test run (tests/test_tail_oracles.py, using the same
+# comparison as tools/driver_sim.py):
 #   sst_decode_staged  — byte-identical twin of sst_decode_randomtable
 #                        (same oracle; identity asserted in test_source.py)
 #   aeg_compact_salted — same oracle as aeg_compact (salted two-stage path
@@ -2948,6 +2991,9 @@ GATE_TAIL = (
     #                      ev_value_quantiles exact, ev_value_rank windows)
     "text_fuzzy_join",  # token-blocked candidate join + windowed argmin
     #                      (gated: sim_knn_join's blocked-join machinery)
+    "ev_stream_join",  # stream-stream join; the streaming drain machinery
+    #                      is gated 4x (rollup/sessionize/latest/dedup) and
+    #                      the join semantics by the batch ev_interval_join
 )
 
 

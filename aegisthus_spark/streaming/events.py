@@ -158,3 +158,46 @@ def stream_latest_per_user(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase pairs with every
+    click by the same user in the preceding ``gap``.
+
+    The hard part of stream-stream joins is state eviction, and the join
+    condition here is written so Spark can derive it: the time-range
+    predicate (c_ts in [p_ts - gap, p_ts]) plus watermarks on BOTH sides
+    lets the engine drop buffered clicks once the purchase-side watermark
+    passes p_ts, and buffered purchases once the click-side watermark
+    passes p_ts + gap — state is bounded by watermark + gap, not by the
+    stream length. Append output mode (the only mode stream-stream joins
+    support); interval arithmetic is fixed-duration, so results are
+    TZ-independent.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts <= purchases.p_ts)
+        & (clicks.c_ts >= purchases.p_ts - F.expr(f"interval {gap}")),
+        "inner",
+    ).select("p_id", "user_id", "p_ts", "c_id", "c_ts")

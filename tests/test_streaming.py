@@ -213,3 +213,54 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert removed > 0, "watermark never evicted dedup state"
+
+
+def test_stream_stream_join_matches_batch_and_evicts(spark, tmp_path):
+    """Stream-stream purchase x click join: (a) equals the batch theta
+    join on bounded input, (b) the time-range condition + watermarks
+    actually EVICT buffered join state as the watermark advances — the
+    property that bounds memory on an unbounded ingest."""
+    from aegisthus_spark.queries import _events
+    from aegisthus_spark.streaming import read_events_stream
+    from aegisthus_spark.streaming.events import stream_stream_join
+
+    events = _events(spark, SF_DIR).cache()
+    mid = int(events.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0].p)
+    in_dir = str(tmp_path / "events_in")
+    events.filter(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(f"{in_dir}/b0.parquet")
+    events.filter(F.unix_micros("ts") > mid).coalesce(1).write.parquet(f"{in_dir}/b1.parquet")
+
+    stream = read_events_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_stream_join(stream)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+
+    got = {tuple(r) for r in spark.sql("select p_id, c_id from ssj").collect()}
+    p = events.filter("event_type = 'purchase'").selectExpr(
+        "event_id p_id", "user_id", "ts p_ts")
+    c = events.filter("event_type = 'click'").selectExpr(
+        "event_id c_id", "user_id c_user", "ts c_ts")
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts <= p.p_ts)
+            & (c.c_ts >= p.p_ts - F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+    )
+    assert removed > 0, "watermark never evicted join state"
