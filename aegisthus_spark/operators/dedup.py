@@ -266,6 +266,14 @@ def connected_components(
     iteration count — the standard Spark shape for iterative algorithms
     (no GraphX dependency).
     """
+    # Materialize the pair set ONCE before fanning it into the two union
+    # branches: the upstream plan is typically the whole LSH pipeline
+    # (corpus scan -> shingles -> signatures -> band join -> Jaccard
+    # verify), and a 2-branch union would otherwise evaluate it twice
+    # wherever Catalyst's exchange reuse doesn't cover the full plan. The
+    # pair set itself is the SMALL end of the funnel (candidates, not the
+    # corpus), so this checkpoint is cheap at any scale.
+    pairs = pairs.select("a", "b").localCheckpoint()
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -43,6 +43,10 @@ def pagerank(
     """
     n = vertices.count()
     base = (1.0 - damping) / n
+    # One evaluation of the (expensive) upstream pair plan: checkpoint the
+    # small candidate-pair set before the 2-branch direction union — same
+    # rationale as dedup.connected_components.
+    pairs = pairs.select("a", "b").localCheckpoint()
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
