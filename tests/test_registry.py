@@ -33,7 +33,10 @@ def test_gate_window_fit():
                       "doc_pack_sequences", "sim_knn_join",
                       "ev_asof_join", "text_repetition",
                       "doc_sample_balanced", "sim_quantized_topk",
-                      "ev_interval_join", "doc_decontaminate"):
+                      "ev_interval_join", "doc_decontaminate",
+                      # round-4 TPC-H surface batch: machinery nowhere else
+                      "q13_customer_distribution", "q17_small_qty_revenue",
+                      "q21_waiting_supplier", "q22_global_sales"):
         assert must_gate in window, must_gate
     # each tail query's oracle story is covered by an in-window sibling
     siblings = {
@@ -44,10 +47,10 @@ def test_gate_window_fit():
         "ev_funnel_signup_purchase": "ev_latest_per_user",
         "mm_frame_plan": "mm_thumbnail_plan",
         "q5_local_supplier_volume": "q3_shipping_priority",
-        "q14_promo_revenue": "q1_pricing_summary",
+        "q14_promo_revenue": "q_rollup_revenue",
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
         "text_langid": "text_quality",
-        "q6_revenue_forecast": "q1_pricing_summary",
+        "q6_revenue_forecast": "q_rollup_revenue",
         "sim_cosine_topk": "sim_cosine_ivf",
         # round-4 batch demotions (window room for sketch/kmeans/coverage/
         # json + retention/moving-avg)
@@ -62,6 +65,13 @@ def test_gate_window_fit():
         "ev_daily_anomaly": "ev_moving_avg",
         "ev_rollup_dense": "mm_thumbnail_plan",
         "ev_value_quantile_binned": "ev_value_quantiles",
+        # round-4 TPC-H batch tail + demotions
+        "q7_volume_shipping": "q3_shipping_priority",
+        "q19_disjunctive_pred": "q3_shipping_priority",
+        "q1_pricing_summary": "q_rollup_revenue",
+        "doc_fingerprint": "text_bpe_pretokenize",
+        "dedup_exact": "dedup_minhash_lsh",
+        "dedup_simhash": "dedup_minhash_lsh",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
