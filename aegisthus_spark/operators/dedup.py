@@ -426,3 +426,65 @@ def ngram_duplication(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", te
         )
         .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_shingles"), 6))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, component, is_kept): SemDeDup-style semantic
+    deduplication (Abbas et al. 2023): k-means the embedding space, find
+    near-duplicate pairs WITHIN each cluster (cosine >= tau), connect them
+    into components, keep one canonical representative (min id) per
+    component.
+
+    Scale shape: the cluster assignment bounds the pair space exactly like
+    an IVF cell or LSH band — the pair join is an equi-join on cluster id,
+    never all-pairs over the corpus. Pair cosine folds in doubles (strict
+    left fold, engine-reproducible; rounded to 6 before the threshold) —
+    the decimal formulation is reserved for oracles that need bit-parity
+    on the SCORE, which a >= threshold does not.
+    """
+    from .similarity import kmeans_assign, _dot_float
+
+    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    withvec = emb.select(id_col, vec_col).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+    a = withvec.select(
+        F.col(id_col).alias("a"), F.col("cluster").alias("blk"), F.col(vec_col).alias("va")
+    )
+    b = withvec.select(
+        F.col(id_col).alias("b"), F.col("cluster").alias("blk"), F.col(vec_col).alias("vb")
+    )
+    cos = F.round(
+        F.expr(_dot_float("va", "vb"))
+        / (
+            F.sqrt(F.expr(_dot_float("va", "va")))
+            * F.sqrt(F.expr(_dot_float("vb", "vb")))
+        ),
+        6,
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= F.lit(tau))
+        .select("a", "b")
+    )
+    comp = connected_components(pairs, emb.select(id_col), id_col=id_col)
+    return (
+        assigned.select(id_col, "cluster")
+        .join(comp, id_col)
+        .select(
+            id_col,
+            "cluster",
+            "component",
+            (F.col(id_col) == F.col("component")).alias("is_kept"),
+        )
+        .orderBy(id_col)
+    )

@@ -396,3 +396,48 @@ def kmeans_assign(
         "cluster",
         F.round(F.sqrt("d2"), 6).alias("dist"),
     )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    dense: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """(id, lex_rank, dense_rank, rrf): reciprocal-rank fusion of a lexical
+    (BM25) and a dense (embedding-cosine) ranking — the standard hybrid
+    retrieval combiner (Cormack et al. 2009): rrf = 1/(c+r_lex) + 1/(c+r_dense).
+
+    Inputs are (id, score) frames; each is ranked independently (score
+    desc, id asc for determinism) and fused with a FULL OUTER join so a
+    document surfaced by only one retriever still scores on that arm.
+    Both rankings are top-of-funnel result lists — thousands of rows at
+    most, never corpus-scale — so the single-partition rank windows and
+    the join are dimension-sized by construction; the corpus-scale work
+    (scoring) happens upstream in the retrievers.
+    """
+    from pyspark.sql import Window
+
+    wl = Window.orderBy(F.desc("score"), F.asc(id_col))
+    lex = lexical.select(id_col, "score").withColumn(
+        "lex_rank", F.row_number().over(wl).cast("int")
+    ).select(id_col, "lex_rank")
+    dn = dense.select(id_col, "score").withColumn(
+        "dense_rank", F.row_number().over(wl).cast("int")
+    ).select(F.col(id_col).alias("_did"), "dense_rank")
+    fused = lex.join(dn, lex[id_col] == F.col("_did"), "full_outer").select(
+        F.coalesce(F.col(id_col), F.col("_did")).alias(id_col),
+        "lex_rank",
+        "dense_rank",
+    )
+    rrf = (
+        F.when(F.col("lex_rank").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("lex_rank"))).otherwise(F.lit(0.0))
+        + F.when(F.col("dense_rank").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("dense_rank"))).otherwise(F.lit(0.0))
+    )
+    return (
+        fused.withColumn("rrf", F.round(rrf, 9))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )

@@ -100,3 +100,94 @@ def distinct_sketch_oracle_cte(
                    2) AS distinct_est
       FROM regs GROUP BY {keys})
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+
+#: depth (independent hash rows) x width (buckets per row). State per
+#: sketch: d*w counters — 2048 longs here — mergeable by plain addition.
+CMS_D = 4
+CMS_W = 512
+
+
+def _cms_bucket(j: int, key_expr: str, w: int) -> str:
+    """Spark SQL expr: bucket of ``key_expr`` under hash row ``j`` — the
+    row index is mixed into the md5 input, giving d independent 32-bit
+    hash functions from the one digest family used repo-wide (dedup.H32)."""
+    return H32.format(col=f"concat('{j}|', cast({key_expr} as string))") + f" % {w}"
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = 20,
+) -> DataFrame:
+    """(key, est_count): top-``k`` keys by count-min-sketch estimate
+    (Cormode & Muthukrishnan 2005).
+
+    Build: every row lands in one bucket per hash row — an explode to
+    (row j, bucket) followed by ONE hash-aggregate whose map-side partial
+    state is at most d*w counters per task, so the shuffle carries sketch
+    fragments, not the key stream. That bounded-state merge is the whole
+    point at 100 TB: counting exact per-key frequencies shuffles every
+    key; the sketch shuffles d*w longs per partition regardless of
+    cardinality.
+
+    Estimate: est(x) = min_j sketch[j][h_j(x)] — an overestimate, never
+    under (each counter only ever adds collisions). The candidate keys
+    here are the distinct keys themselves (at scale: per-partition local
+    heavy hitters); the d*w sketch broadcasts to the candidate join.
+
+    Everything is integer arithmetic on the md5-prefix hash, so a DuckDB
+    oracle reproduces the estimates exactly.
+    """
+    coords = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, key_col, w)).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb"),
+    ).select("_k", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    sketch = coords.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    cand = coords.distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("_k")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(F.col("_k").alias(key_col), "est_count")
+        .orderBy(F.desc("est_count"), key_col)
+        .limit(k)
+    )
+
+
+def cms_oracle_cte(table: str, key_col: str, *, d: int = CMS_D, w: int = CMS_W) -> str:
+    """DuckDB CTE fragment ending in an ``est`` relation with the identical
+    count-min estimates. Compose as ``WITH {cte} SELECT ... FROM est``."""
+    h = (
+        f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(j AS VARCHAR), '|', "
+        f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+    return f"""
+    coords AS (
+      SELECT {key_col} AS k, j, {h} % {w} AS b
+      FROM {table}, (SELECT unnest(range({d})) AS j)),
+    sketch AS (SELECT j, b, COUNT(*) AS c FROM coords GROUP BY j, b),
+    cand AS (SELECT DISTINCT k, j, b FROM coords),
+    est AS (
+      SELECT k, MIN(c) AS est_count
+      FROM cand JOIN sketch USING (j, b) GROUP BY k)
+    """

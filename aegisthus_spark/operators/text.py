@@ -345,3 +345,47 @@ def fuzzy_join(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def bm25_query_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, score): BM25 relevance of every matching document for a
+    bag-of-terms query — the lexical half of a hybrid retrieval stack.
+
+    Identical formula and shuffle shape to :func:`bm25_top_terms`, but the
+    term table is filtered to the (tiny, broadcast-literal) query term set
+    BEFORE the doc-frequency join, so only query-term postings ever
+    shuffle — the inverted-index access pattern, expressed relationally.
+    Documents containing none of the terms drop out (score undefined, not
+    zero), matching what a posting-list union returns.
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf_all = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats.n), float(stats.avgdl)
+    tf = tf_all.filter(F.col("term").isin(list(terms)))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("s").cast("decimal(27,15)")).cast("double"), 6).alias("score"))
+    )

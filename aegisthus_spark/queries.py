@@ -2647,7 +2647,10 @@ def ev_distinct_sketch(spark, sf_dir):
     )
 
 
-def _kmeans_oracle_sql(k: int = 8) -> str:
+def _kmeans_cte(k: int = 8) -> str:
+    """CTE chain (compose after ``WITH``) ending in ``a2`` — the
+    iteration-2 k-means assignment (vec_id, cluster, d2) — shared by the
+    kmeans oracle and the SemDeDup oracle."""
     l2 = (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(list_zip({a}, {b}), "
@@ -2663,8 +2666,7 @@ def _kmeans_oracle_sql(k: int = 8) -> str:
         FROM (SELECT e.vec_id, c.cluster, {dist} AS d2
               FROM embeddings e CROSS JOIN {cents} c) s)
       WHERE rn = 1)"""
-    return f"""
-    WITH c0 AS (
+    cte = f"""c0 AS (
       SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
       FROM embeddings WHERE vec_id < {k}),
     {assign.format(out="a1", cents="c0", dist=l2.format(a="e.embedding", b="c.cent"))},
@@ -2680,7 +2682,13 @@ def _kmeans_oracle_sql(k: int = 8) -> str:
              COALESCE(c1m.cent,
                       list_transform(c0.cent, x -> CAST(x AS DOUBLE))) AS cent
       FROM c0 LEFT JOIN c1m USING (cluster)),
-    {assign.format(out="a2", cents="c1", dist=l2.format(a="e.embedding", b="c.cent"))}
+    {assign.format(out="a2", cents="c1", dist=l2.format(a="e.embedding", b="c.cent"))}"""
+    return cte
+
+
+def _kmeans_oracle_sql(k: int = 8) -> str:
+    return f"""
+    WITH {_kmeans_cte(k)}
     SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist
     FROM a2 ORDER BY vec_id
     """
@@ -2718,6 +2726,132 @@ def sim_kmeans_assign(spark, sf_dir):
 def dedup_ngram_coverage(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _dd.ngram_duplication(docs, n=3).orderBy("doc_id")
+
+
+@register(
+    "ev_topk_cms",
+    f"""
+    WITH {_sk.cms_oracle_cte("events", "user_id")}
+    SELECT CAST(k AS BIGINT) AS user_id, est_count
+    FROM est ORDER BY est_count DESC, user_id LIMIT 20
+    """,
+    doc="count-min-sketch heavy hitters (d=4 rows x w=512 buckets, "
+        "md5-prefix row hashes): top-20 users by CMS frequency estimate — "
+        "sketch state is d*w mergeable counters vs a full per-key shuffle; "
+        "estimates are exact-integer arithmetic, reproduced by the oracle",
+)
+def ev_topk_cms(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return _sk.cms_heavy_hitters(ev, "user_id", k=20)
+
+
+@register(
+    "sim_hybrid_rrf",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ('table', 'join', 'spark') GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+    scored AS (
+      SELECT tfq.doc_id,
+             ln((CAST(stats.n AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                + 1.0)
+               * tfq.tf * 2.2
+               / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+    lex AS (SELECT doc_id,
+                   round(CAST(SUM(CAST(s AS DECIMAL(27,15))) AS DOUBLE), 6)
+                     AS score
+            FROM scored GROUP BY doc_id),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS INT) AS lex_rank
+             FROM lex),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (SELECT e.vec_id AS doc_id,
+                     round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                           / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                              * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6)
+                       AS score
+              FROM embeddings e, q WHERE e.vec_id <> 0),
+    denser AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS INT) AS dense_rank
+               FROM dense),
+    fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                     l.lex_rank, d.dense_rank
+              FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+    SELECT doc_id, lex_rank, dense_rank,
+           round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0), 9)
+             AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="hybrid retrieval: BM25 bag-of-terms arm + embedding-cosine arm "
+        "fused with reciprocal-rank fusion (c=60), full-outer so a doc "
+        "surfaced by one retriever still scores; top-10 by fused score",
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """Each arm runs at its own natural scale (postings-filtered BM25 scan;
+    brute cosine here, IVF/LSH at corpus scale) and only the RESULT LISTS
+    meet in the fusion join — retrievers never co-shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = _tx.bm25_query_scores(docs, ["table", "join", "spark"])
+    qv = _query_vec(spark, sf_dir)
+    qlit = _sim._query_lit(qv)
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_dd._dot_decimal("embedding", qlit))
+                / (
+                    F.sqrt(F.expr(_dd._dot_decimal("embedding", "embedding")))
+                    * F.sqrt(F.expr(_dd._dot_decimal(qlit, qlit)))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return _sim.hybrid_rrf(lex, dense, id_col="doc_id", k=10, c=60)
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH RECURSIVE {_kmeans_cte(8)},
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           JOIN embeddings ea ON ea.vec_id = x.vec_id
+           JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE round({_DOT_F_SQL.format(a='ea.embedding', b='eb.embedding')}
+                  / (sqrt({_DOT_F_SQL.format(a='ea.embedding', b='ea.embedding')})
+                     * sqrt({_DOT_F_SQL.format(a='eb.embedding', b='eb.embedding')})),
+                  6) >= 0.4),
+    sedges AS (SELECT a AS src, b AS dst FROM pairs
+               UNION SELECT b, a FROM pairs),
+    sreach(v, w) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.v, e.dst FROM sreach r JOIN sedges e ON e.src = r.w),
+    scomp AS (SELECT v AS vec_id, MIN(w) AS component FROM sreach GROUP BY v)
+    SELECT a2.vec_id, a2.cluster, scomp.component,
+           a2.vec_id = scomp.component AS is_kept
+    FROM a2 JOIN scomp USING (vec_id) ORDER BY a2.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: k-means (k=8, 2 iters) bounds the "
+        "pair space per cluster, cosine>=0.4 pairs connect into components "
+        "(min-label propagation), keep the min-id representative — "
+        "cluster-blocked pairs, never all-pairs over the corpus",
+)
+def dedup_semantic(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _dd.semantic_dedup(emb, k=8, iters=2, tau=0.4)
 
 
 @register(
@@ -3317,6 +3451,14 @@ GATE_TAIL = (
     #                      dedup_minhash_lsh pipeline; green r1-r3
     "dedup_simhash",  # conditional-sum bit majority; agg machinery shared
     #                      with gated dedup_minhash_lsh signatures
+    # round-4 batch 5 — LLM-pipeline additions, tail by construction
+    # (each composes machinery an in-window sibling already gates):
+    "ev_topk_cms",  # count-min sketch; mergeable-sketch machinery gated
+    #                      via ev_distinct_sketch (FM/KMV)
+    "sim_hybrid_rrf",  # RRF fusion of the gated text_bm25_topk scoring and
+    #                      sim_cosine_ivf/lsh decimal-dot machinery
+    "dedup_semantic",  # SemDeDup = gated sim_kmeans_assign blocking + gated
+    #                      dedup_components propagation over cosine pairs
 )
 
 

@@ -888,3 +888,88 @@ def test_kmeans_empty_cluster_keeps_stale_centroid(spark, tmp_path):
         (int(a), int(b)) for a, b, _ in con.sql(_kmeans_oracle_sql(k=2)).fetchall()
     }
     assert oracle == got
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: CMS heavy hitters, hybrid RRF, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates(spark):
+    from aegisthus_spark.operators.sketch import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = cms_heavy_hitters(ev, "user_id", k=10_000).collect()
+    assert len(est) == len(exact)  # every key estimated
+    for r in est:
+        assert r.est_count >= exact[r.user_id], (
+            f"CMS underestimated {r.user_id}: {r.est_count} < {exact[r.user_id]}"
+        )
+    # the true heaviest key's estimate is at least the true max count
+    assert max(r.est_count for r in est) >= max(exact.values())
+
+
+def test_bm25_query_scores_only_matching_docs(docs):
+    from aegisthus_spark.operators.text import bm25_query_scores
+
+    terms = ["table", "join"]
+    scored = bm25_query_scores(docs, terms)
+    got = {r.doc_id for r in scored.collect()}
+    want = {
+        r.doc_id
+        for r in docs.filter(
+            F.arrays_overlap(F.split("text", " "), F.array(*[F.lit(t) for t in terms]))
+        ).collect()
+    }
+    assert got == want
+    assert scored.filter(F.col("score") <= 0).count() == 0
+
+
+def test_hybrid_rrf_agreement_wins(spark):
+    from aegisthus_spark.operators.similarity import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(1, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    out = hybrid_rrf(lex, dense, k=4).collect()
+    # doc 1 is rank 1 on both arms -> must fuse first
+    assert out[0].doc_id == 1
+    assert out[0].lex_rank == 1 and out[0].dense_rank == 1
+    # docs present on one arm only still score on that arm
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[4].lex_rank is None and by_id[4].dense_rank == 2
+    assert by_id[3].dense_rank is None and by_id[3].lex_rank == 3
+    # rrf value = sum of the present arms
+    assert abs(by_id[4].rrf - 1.0 / 62) < 1e-9
+
+
+def test_semantic_dedup_components_stay_in_cluster(emb):
+    from aegisthus_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(emb, k=8, iters=2, tau=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    # canonical representative of each component is its min member id
+    comp_min = {}
+    for r in rows:
+        comp_min.setdefault(r.component, []).append(r.vec_id)
+    for comp, members in comp_min.items():
+        assert comp == min(members)
+    # pairs are cluster-blocked, so a component never spans clusters
+    comp_clusters = {}
+    for r in rows:
+        comp_clusters.setdefault(r.component, set()).add(r.cluster)
+    multi = {c for c, cl in comp_clusters.items() if len(cl) > 1}
+    assert multi == set()
+    # is_kept marks exactly the representatives
+    for r in rows:
+        assert r.is_kept == (r.vec_id == r.component)
+    # the threshold actually bites at sf0.001: some duplicates pruned
+    assert any(not r.is_kept for r in rows)

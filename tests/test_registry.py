@@ -72,6 +72,10 @@ def test_gate_window_fit():
         "doc_fingerprint": "text_bpe_pretokenize",
         "dedup_exact": "dedup_minhash_lsh",
         "dedup_simhash": "dedup_minhash_lsh",
+        # round-4 LLM-pipeline additions
+        "ev_topk_cms": "ev_distinct_sketch",
+        "sim_hybrid_rrf": "text_bm25_topk",
+        "dedup_semantic": "sim_kmeans_assign",
     }
     for tail, kept in siblings.items():
         if tail in REGISTRY:
