@@ -80,3 +80,42 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("v").alias(id_col), "pr")
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_triangles): triangles through each vertex of the undirected
+    pair graph — the standard near-dup-graph density signal (a clique of
+    k mutual near-dups contributes C(k-1,2) per member).
+
+    Scale shape: triangles enumerate once in canonical a < b < c order —
+    two equi-joins on the (small) candidate-pair set, the first keyed on
+    the shared middle vertex, the second verifying the closing edge. No
+    direction union, no post-hoc dedup: the ordering makes each triangle
+    appear exactly once. The per-vertex count is one explode + hash-agg.
+    """
+    e = pairs.select("a", "b").localCheckpoint()  # one eval of the upstream
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])  # closing edge: x < y < z holds transitively
+        .select("x", "y", "z")
+    )
+    member = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    ids = vertices.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(member, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy(id_col)
+    )

@@ -441,3 +441,65 @@ def hybrid_rrf(
         .orderBy(F.desc("rrf"), id_col)
         .limit(k)
     )
+
+
+def cosine_topk_matryoshka(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Coarse-to-fine ANN over nested (matryoshka) embeddings: shortlist by
+    cosine on the first ``prefix_dim`` dimensions, re-rank the shortlist by
+    full-dimension cosine (Kusupati et al. 2022).
+
+    Scale shape: the coarse pass reads prefix_dim/dim of the vector bytes
+    (with a column layout that stores the prefix separately, that is a
+    proportional scan-byte reduction) and keeps only ``shortlist`` rows —
+    partial top-k per partition, single small merge; the expensive
+    full-dimension scoring touches ``shortlist`` rows, not the corpus.
+    Coarse scores use the float left-fold (engine-reproducible), the final
+    re-rank the exact-decimal dot; both round to 6 with id tiebreaks, so
+    shortlist membership and final order are deterministic in any engine.
+    """
+    from .dedup import _dot_decimal
+
+    qfull = _query_lit(query_vec)
+    qpref = _query_lit(query_vec[:prefix_dim])
+    pref = f"slice({vec_col}, 1, {prefix_dim})"
+    scored = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(
+            F.expr(_dot_float(pref, qpref))
+            / (
+                F.sqrt(F.expr(_dot_float(pref, pref)))
+                * F.sqrt(F.expr(_dot_float(qpref, qpref)))
+            ),
+            6,
+        ).alias("coarse"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    short = scored.orderBy(F.desc("coarse"), id_col).limit(shortlist)
+    return (
+        short.select(
+            id_col,
+            "coarse",
+            F.round(
+                F.expr(_dot_decimal(vec_col, qfull))
+                / (
+                    F.sqrt(F.expr(_dot_decimal(vec_col, vec_col)))
+                    * F.sqrt(F.expr(_dot_decimal(qfull, qfull)))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )

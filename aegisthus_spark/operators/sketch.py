@@ -54,6 +54,19 @@ def distinct_sketch(
     sum + estimate. Both have map-side partial aggregation; state is m
     doubles per group at every stage.
     """
+    regs = sketch_registers(df, key_cols, value_col, m=m)
+    return sketch_estimate(regs, key_cols, m=m)
+
+
+def sketch_registers(
+    df: DataFrame, key_cols: list[str], value_col: str, *, m: int = M_REGISTERS
+) -> DataFrame:
+    """Stage 1 — (key..., _reg, _umin): per-register minimum normalized
+    hash. This IS the sketch state: a plain MIN aggregate, mergeable by
+    further MIN, so it runs identically as a batch groupBy or a streaming
+    cumulative aggregate (state bounded at m doubles per group by
+    construction — no watermark needed, which is the whole point of
+    sketching a stream)."""
     space = float((1 << 32) // m)
     h = H32.format(col=f"cast({value_col} as string)")
     hashed = df.select(
@@ -62,7 +75,13 @@ def distinct_sketch(
         # integer div (exact floor) for the value bits, mirroring DuckDB //
         F.expr(f"(cast({h} div {m} as double) + 1.0) / {space!r}").alias("_u"),
     )
-    regs = hashed.groupBy(*key_cols, "_reg").agg(F.min("_u").alias("_umin"))
+    return hashed.groupBy(*key_cols, "_reg").agg(F.min("_u").alias("_umin"))
+
+
+def sketch_estimate(
+    regs: DataFrame, key_cols: list[str], *, m: int = M_REGISTERS
+) -> DataFrame:
+    """Stage 2 — fold register state into (key..., distinct_est)."""
     # S = sum of present-register minima + 1.0 per EMPTY register; V = empties
     s = (
         F.sum(F.col("_umin").cast("decimal(27,15)"))

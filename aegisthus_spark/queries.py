@@ -2855,6 +2855,105 @@ def dedup_semantic(spark, sf_dir):
 
 
 @register(
+    "graph_triangles",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_PAIRS_CTE},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+           JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+    mem AS (SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+    cnt AS (SELECT v, COUNT(*) AS n FROM mem GROUP BY v)
+    SELECT d.doc_id, COALESCE(cnt.n, 0) AS n_triangles
+    FROM documents d LEFT JOIN cnt ON cnt.v = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="per-document triangle count over the near-dup pair graph "
+        "(canonical a<b<c enumeration: two equi-joins on the candidate "
+        "pair set, each triangle counted once) — clique-density signal "
+        "for duplicate clusters",
+)
+def graph_triangles(spark, sf_dir):
+    from .operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    return triangle_counts(pairs, docs)
+
+
+@register(
+    "sim_matryoshka_rerank",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    coarse AS (
+      SELECT e.vec_id, e.embedding,
+             round({_DOT_F_SQL.format(a='e.embedding[1:16]', b='q.qv[1:16]')}
+                   / (sqrt({_DOT_F_SQL.format(a='e.embedding[1:16]', b='e.embedding[1:16]')})
+                      * sqrt({_DOT_F_SQL.format(a='q.qv[1:16]', b='q.qv[1:16]')})), 6)
+               AS coarse
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    short AS (SELECT * FROM coarse ORDER BY coarse DESC, vec_id LIMIT 50)
+    SELECT s.vec_id, s.coarse,
+           round({_DOT_SQL.format(a='s.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='s.embedding', b='s.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM short s, q ORDER BY cos DESC, s.vec_id LIMIT 10
+    """,
+    doc="matryoshka coarse-to-fine ANN: shortlist 50 by 16-dim prefix "
+        "cosine (float fold), re-rank shortlist by full 64-dim cosine — "
+        "prefix scan bytes + shortlist-sized exact scoring",
+)
+def sim_matryoshka_rerank(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk_matryoshka(
+        emb,
+        _query_vec(spark, sf_dir),
+        prefix_dim=16,
+        shortlist=50,
+        k=10,
+        exclude_id=0,
+    )
+
+
+@register(
+    "ev_stream_distinct_sketch",
+    f"""
+    WITH {_sk.distinct_sketch_oracle_cte("events", ["event_type"], "user_id")}
+    SELECT event_type, distinct_est FROM sketch ORDER BY event_type
+    """,
+    doc="streaming distinct-count sketch: cumulative per-register MIN over "
+        "the event stream (state = 256 doubles per group, bounded WITHOUT "
+        "a watermark — the sketch property), estimate folded at drain; "
+        "equals the batch FM/KMV sketch on the same bounded input",
+)
+def ev_stream_distinct_sketch(spark, sf_dir):
+    """MIN is order- and batching-insensitive, so the drained register
+    state — however the micro-batches sliced the input — folds to the
+    exact batch-sketch estimate; the oracle is the batch CTE."""
+    import uuid
+
+    from .operators.sketch import sketch_estimate
+    from .streaming.events import read_events_stream, stream_distinct_sketch
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    regs = stream_distinct_sketch(ev, ["event_type"], "user_id")
+    qname = f"stream_sketch_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return sketch_estimate(spark.table(qname), ["event_type"]).orderBy("event_type")
+
+
+@register(
     "ev_json_extract",
     """
     SELECT event_type, COUNT(*) AS n,
@@ -3459,6 +3558,12 @@ GATE_TAIL = (
     #                      sim_cosine_ivf/lsh decimal-dot machinery
     "dedup_semantic",  # SemDeDup = gated sim_kmeans_assign blocking + gated
     #                      dedup_components propagation over cosine pairs
+    "graph_triangles",  # 2-hop self-joins on the LSH pair set; pair-set
+    #                      machinery gated via dedup_minhash_lsh/components
+    "sim_matryoshka_rerank",  # coarse-to-fine shortlist+rerank; two-stage
+    #                      retrieval machinery gated via sim_cosine_ivf
+    "ev_stream_distinct_sketch",  # streaming drain gated 4x; sketch math
+    #                      gated via ev_distinct_sketch (same estimator)
 )
 
 

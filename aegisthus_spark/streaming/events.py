@@ -201,3 +201,29 @@ def stream_stream_join(
         & (clicks.c_ts >= purchases.p_ts - F.expr(f"interval {gap}")),
         "inner",
     ).select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+
+
+def stream_distinct_sketch(
+    events: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    m: int = 256,
+) -> DataFrame:
+    """Streaming distinct-count sketch state: cumulative per-register MIN
+    of the normalized value hash (operators.sketch stage 1) over the
+    stream.
+
+    The state per group is exactly ``m`` doubles NO MATTER how many
+    distinct values flow past — the streaming counterpart of the batch
+    FM/KMV sketch, and the reason to sketch at all: a streaming
+    COUNT(DISTINCT) would hold every distinct key in the state store
+    forever, while the register MINs are bounded by construction (so no
+    watermark is required for state health). Drain in complete mode and
+    fold with ``operators.sketch.sketch_estimate`` — the estimates equal
+    the batch sketch on the same (bounded) input bit-for-bit, because MIN
+    is order- and batching-insensitive.
+    """
+    from ..operators.sketch import sketch_registers
+
+    return sketch_registers(events, key_cols, value_col, m=m)

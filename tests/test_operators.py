@@ -973,3 +973,70 @@ def test_semantic_dedup_components_stay_in_cluster(emb):
         assert r.is_kept == (r.vec_id == r.component)
     # the threshold actually bites at sf0.001: some duplicates pruned
     assert any(not r.is_kept for r in rows)
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from aegisthus_spark.operators.graph import triangle_counts
+
+    # 4-clique {1,2,3,4} (4 triangles, 3 through each vertex) + pendant 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a long, b long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {r.doc_id: r.n_triangles for r in triangle_counts(pairs, verts).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+
+
+def test_matryoshka_full_prefix_equals_exact(emb):
+    from aegisthus_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_matryoshka,
+    )
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    # prefix = full dimension -> coarse ranking is the exact ranking, so the
+    # rerank must reproduce the exact top-k
+    full = cosine_topk_matryoshka(
+        emb, q, prefix_dim=len(q), shortlist=50, k=10, exclude_id=0
+    )
+    assert [r.vec_id for r in full.collect()] == exact
+    # a 16-dim prefix shortlist of the whole corpus is also exact
+    all_rows = emb.count()
+    wide = cosine_topk_matryoshka(
+        emb, q, prefix_dim=16, shortlist=all_rows, k=10, exclude_id=0
+    )
+    assert [r.vec_id for r in wide.collect()] == exact
+
+
+def test_stream_sketch_equals_batch_sketch(spark):
+    from aegisthus_spark.operators.sketch import distinct_sketch, sketch_estimate
+    from aegisthus_spark.streaming.events import (
+        read_events_stream,
+        stream_distinct_sketch,
+    )
+    import uuid
+
+    batch = {
+        (r.event_type, r.distinct_est)
+        for r in distinct_sketch(
+            spark.read.parquet(f"{SF}/events.parquet"), ["event_type"], "user_id"
+        ).collect()
+    }
+    ev = read_events_stream(spark, f"{SF}/events.parquet")
+    qname = f"t_sketch_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_distinct_sketch(ev, ["event_type"], "user_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.event_type, r.distinct_est)
+        for r in sketch_estimate(spark.table(qname), ["event_type"]).collect()
+    }
+    assert streamed == batch
