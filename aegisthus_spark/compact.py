@@ -12,7 +12,10 @@ Reproduces the semantics of the reference's reduce phase
 - A1 last-write-wins:      per (key, name) the strictly-greater timestamp
   wins (CassSSTableReducer.java:154-163). On timestamp ties the reference's
   winner is shuffle-order dependent; we use Cassandra's own deterministic
-  rule instead: tombstone beats live, then greater value bytes win.
+  rule instead: tombstone beats live, then greater value bytes win, and
+  any remaining tie falls through to the rest of the merge struct (kind,
+  ttl, deletion times) in ascending field order — a TOTAL order, so
+  equal-timestamp duplicates resolve identically under any partitioning.
 - P2' row-shadow filter:   surviving cells with ts <= deleted_at are removed
   after LWW (CassSSTableReducer.java:183-191). Cell tombstones (kind 'd')
   are NOT removed here — they survive compaction and are only dropped by

@@ -126,16 +126,26 @@ def distinct_sketch_oracle_cte(
 # ---------------------------------------------------------------------------
 
 #: depth (independent hash rows) x width (buckets per row). State per
-#: sketch: d*w counters — 2048 longs here — mergeable by plain addition.
+#: sketch: d*w counters — 8192 longs (64 KB) here — mergeable by plain
+#: addition. Width sets the collision noise floor (~stream_count/w per
+#: bucket before the min-of-d); hitters below it are not recoverable.
 CMS_D = 4
-CMS_W = 512
+CMS_W = 2048
 
 
 def _cms_bucket(j: int, key_expr: str, w: int) -> str:
-    """Spark SQL expr: bucket of ``key_expr`` under hash row ``j`` — the
-    row index is mixed into the md5 input, giving d independent 32-bit
-    hash functions from the one digest family used repo-wide (dedup.H32)."""
-    return H32.format(col=f"concat('{j}|', cast({key_expr} as string))") + f" % {w}"
+    """Spark SQL expr: bucket of ``key_expr`` under hash row ``j``.
+
+    All d <= 4 hash rows come from ONE md5 digest — row j reads hex chars
+    [8j+1, 8j+8] of the 32-char digest as its 32-bit hash. One digest per
+    row instead of d digests: the md5 is the dominant per-row cost of the
+    sketch build (measured 4x on the stress bench), and the four words of
+    a digest are independent for bucketing purposes."""
+    assert 0 <= j < 4, "md5 yields four 32-bit words; d <= 4"
+    return (
+        f"cast(conv(substring(md5(cast({key_expr} as string)), {8 * j + 1}, 8),"
+        f" 16, 10) as bigint) % {w}"
+    )
 
 
 def cms_heavy_hitters(
@@ -165,22 +175,27 @@ def cms_heavy_hitters(
     Everything is integer arithmetic on the md5-prefix hash, so a DuckDB
     oracle reproduces the estimates exactly.
     """
-    coords = df.select(
-        F.col(key_col).alias("_k"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(_cms_bucket(j, key_col, w)).alias("b"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("jb"),
-    ).select("_k", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-    sketch = coords.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
-    cand = coords.distinct()
+    def coords_of(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(key_col).alias("_k"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.expr(_cms_bucket(j, key_col, w)).alias("b"),
+                        )
+                        for j in range(d)
+                    ]
+                )
+            ).alias("jb"),
+        ).select("_k", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+
+    sketch = coords_of(df).groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    # candidates: distinct keys FIRST (one shuffle of keys), then the d
+    # hash coordinates per distinct key — not a distinct over the d-times
+    # larger exploded stream
+    cand = coords_of(df.select(key_col).distinct())
     est = (
         cand.join(F.broadcast(sketch), ["j", "b"])
         .groupBy("_k")
@@ -197,8 +212,8 @@ def cms_oracle_cte(table: str, key_col: str, *, d: int = CMS_D, w: int = CMS_W) 
     """DuckDB CTE fragment ending in an ``est`` relation with the identical
     count-min estimates. Compose as ``WITH {cte} SELECT ... FROM est``."""
     h = (
-        f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(j AS VARCHAR), '|', "
-        f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT)"
+        f"CAST(CONCAT('0x', SUBSTR(md5(CAST({key_col} AS VARCHAR)),"
+        f" CAST(1 + 8 * j AS INT), 8)) AS BIGINT)"
     )
     return f"""
     coords AS (

@@ -47,7 +47,12 @@ def model_compact(cells):
         ]
         winners = {}
         for c in survivors:
-            rank = (c["ts"], 1 if c["kind"] == "d" else 0, c["value"])
+            # full deterministic tie chain (compact._cell_struct order):
+            # ts, tombstone-rank, value, then the remaining struct fields
+            # (kind here; ttl/deletion times are constant in this model) —
+            # a TOTAL order, so equal-ts duplicates resolve identically
+            # under any partitioning
+            rank = (c["ts"], 1 if c["kind"] == "d" else 0, c["value"], c["kind"])
             prev = winners.get(c["name"])
             if prev is None or rank > prev[0]:
                 winners[c["name"]] = (rank, c)

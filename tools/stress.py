@@ -255,6 +255,83 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
     )
 
 
+def sketch_bench(cpus: int, n_rows: int, n_keys: int) -> None:
+    """Sketch-vs-exact scaling: distinct-count (FM/KMV) and count-min
+    heavy hitters against their exact counterparts at N and 2N rows.
+
+    Reports wall ratios, the sketch's relative error (theory: ~1/sqrt(256)
+    ~ 6% for the KMV estimator), CMS top-k overlap with the exact top-k,
+    and the state-size ratio — the number that matters at 100 TB, where
+    the exact plans shuffle every distinct key and the sketches shuffle a
+    fixed number of registers per group."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        M_REGISTERS,
+        cms_heavy_hitters,
+        distinct_sketch,
+    )
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-sketch", cpus=cpus)
+    for n in (n_rows, 2 * n_rows):
+        # skewed keys: 80% of rows over 100 hot ids, 20% over an n_keys
+        # long tail — heavy hitters must sit far above the CMS collision
+        # noise floor (~rows/w per bucket) to be recoverable, which is the
+        # regime the sketch exists for
+        df = (
+            spark.range(n)
+            .select(
+                (F.col("id") % 5).cast("string").alias("grp"),
+                F.expr(
+                    "if(pmod(hash(id), 10) < 8,"
+                    " pmod(cast(hash(id * 7) as bigint), 100),"
+                    f" 100 + pmod(cast(hash(id * 13) as bigint), {n_keys}))"
+                ).alias("key"),
+            )
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        exact = {
+            r.grp: r.n
+            for r in df.groupBy("grp")
+            .agg(F.countDistinct("key").alias("n"))
+            .collect()
+        }
+        t1 = time.time()
+        est = {
+            r.grp: r.distinct_est
+            for r in distinct_sketch(df, ["grp"], "key").collect()
+        }
+        t2 = time.time()
+        err = max(abs(est[g] - exact[g]) / exact[g] for g in exact)
+        t3 = time.time()
+        exact_top = [
+            r.key
+            for r in df.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "key")
+            .limit(20)
+            .collect()
+        ]
+        t4 = time.time()
+        cms_top = [r.key for r in cms_heavy_hitters(df, "key", k=20).collect()]
+        t5 = time.time()
+        overlap = len(set(exact_top) & set(cms_top))
+        n_distinct = sum(exact.values())
+        print(
+            f"rows={n}: kmv exact {t1-t0:.1f}s vs sketch {t2-t1:.1f}s "
+            f"(max rel err {err:.1%}, state {len(exact)*M_REGISTERS} regs vs "
+            f"{n_distinct} distinct keys); cms exact-topk {t4-t3:.1f}s vs "
+            f"sketch {t5-t4:.1f}s (top-20 overlap {overlap}/20, state "
+            f"{CMS_D * CMS_W} counters)"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -268,6 +345,9 @@ def main() -> None:
                     help="run the asof/interval join scale benchmark instead")
     ap.add_argument("--dedup", action="store_true",
                     help="run the MinHash+LSH+components scaling benchmark instead")
+    ap.add_argument("--sketch", action="store_true",
+                    help="run the sketch-vs-exact (KMV distinct + CMS "
+                         "heavy-hitter) scaling benchmark instead")
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
@@ -281,6 +361,9 @@ def main() -> None:
         return
     if args.dedup:
         dedup_bench(args.cpus, args.docs)
+        return
+    if args.sketch:
+        sketch_bench(args.cpus, args.rows, args.keys)
         return
 
     from aegisthus_spark.session import get_spark
