@@ -321,3 +321,59 @@ def test_ngram_coverage_no_pair_join(spark, queries):
     import re
     for cond in re.findall(r"(?:SortMergeJoin|BroadcastHashJoin) \[([^\]]*)\]", plan):
         assert "shingle" in cond, cond
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, queries):
+    """Catalyst must extract each side's projection of the OR-tree and push
+    it into the parquet scan: the quantity hull to lineitem, the
+    brand/size hull to part. Losing this reads the full fact table."""
+    from aegisthus_spark.plans import pushed_filters
+
+    df = queries["q19_disjunctive_pred"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    li = next(v for k, v in pushed.items() if "lineitem" in k)
+    assert "l_quantity" in li and "Or(" in li, li
+    pt = next(v for k, v in pushed.items() if "part.parquet" in k)
+    assert "p_brand" in pt and "Or(" in pt, pt
+
+
+def test_q21_correlations_stay_equi_joins(spark, queries):
+    """EXISTS / NOT EXISTS with the supplier-inequality conjunct must plan
+    as hash joins on the order-key equi condition (extra conjunct as a
+    join filter) — a nested loop here is O(|lineitem|^2)."""
+    from aegisthus_spark.plans import join_strategies
+
+    strategies = join_strategies(queries["q21_waiting_supplier"](spark, SF_DIR))
+    assert strategies, "expected joins"
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_matryoshka_partial_topk_both_stages(spark, queries):
+    """Both the prefix shortlist and the final re-rank must run as
+    TakeOrderedAndProject (per-partition partial top-k + single small
+    merge) — a global Sort here materializes the corpus ordering."""
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(queries["sim_matryoshka_rerank"](spark, SF_DIR), "simple")
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+
+
+def test_cms_sketch_broadcasts_to_candidates(spark, queries):
+    """The d*w-counter sketch must reach the candidate keys as a broadcast
+    (it is fixed-size by construction); no Expand node may sneak in."""
+    from aegisthus_spark.plans import join_strategies, physical_plan
+
+    df = queries["ev_topk_cms"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "Expand" not in physical_plan(df, "simple")
+
+
+def test_triangles_equi_joins_only(spark, queries):
+    """Triangle enumeration must stay two equi-joins on the pair set."""
+    from aegisthus_spark.plans import join_strategies
+
+    strategies = join_strategies(queries["graph_triangles"](spark, SF_DIR))
+    assert strategies, "expected joins"
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert "CartesianProduct" not in strategies
