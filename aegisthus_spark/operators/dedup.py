@@ -23,7 +23,7 @@ mod P with P = 4294967291 (largest 32-bit prime) and fixed a_i/b_i.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 MINHASH_K = 16
@@ -304,17 +304,43 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("label").alias("nmin"))
             )
+            stepped = labels.join(
+                neighbor_min, labels.v == neighbor_min.src, "left"
+            ).select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            # path compression (pointer doubling): follow each label to ITS
+            # label, so chains halve every round — O(log diameter) rounds
+            # instead of O(diameter). Labels only decrease, so the shortcut
+            # preserves monotone convergence to the same fixpoint.
+            via = stepped.select(
+                F.col("v").alias("lv"), F.col("label").alias("llabel")
+            )
             updated = (
-                labels.join(neighbor_min, labels.v == neighbor_min.src, "left")
+                stepped.join(via, stepped.label == via.lv, "left")
                 .select(
                     "v",
                     F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                        F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                     ).alias("new_label"),
-                    F.col("label").alias("old_label"),
                 )
+                .join(
+                    labels.select("v", F.col("label").alias("old_label")), "v"
+                )
+            )
+            # convergence count rides the checkpoint job as an observed
+            # metric: ONE action per round, not checkpoint + count
+            obs = Observation()
+            updated = updated.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
+                ).alias("changed"),
             ).localCheckpoint()
-            changed = updated.filter(F.col("new_label") < F.col("old_label")).count()
+            changed = int(obs.get["changed"] or 0)
             labels = updated.select("v", F.col("new_label").alias("label"))
             if changed == 0:
                 break
@@ -453,22 +479,32 @@ def semantic_dedup(
     from .similarity import kmeans_assign, _dot_float
 
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    withvec = emb.select(id_col, vec_col).join(
-        assigned.select(id_col, "cluster"), id_col
+    # per-vector norm computed ONCE (n rows), not once per pair side
+    # (pair-count x 2 folds); sqrt(fold) then multiply is the identical
+    # expression tree the oracle uses, so bit-parity is preserved
+    # materialize once: the (id, vec, cluster, norm) table feeds BOTH pair
+    # sides; without this the kmeans assignment expression and the id join
+    # evaluate twice, and the planner can't see how small the table is
+    withvec = (
+        emb.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .withColumn("_nrm", F.sqrt(F.expr(_dot_float(vec_col, vec_col))))
+        .localCheckpoint()
     )
     a = withvec.select(
-        F.col(id_col).alias("a"), F.col("cluster").alias("blk"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("a"),
+        F.col("cluster").alias("blk"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = withvec.select(
-        F.col(id_col).alias("b"), F.col("cluster").alias("blk"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("b"),
+        F.col("cluster").alias("blk"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
     cos = F.round(
-        F.expr(_dot_float("va", "vb"))
-        / (
-            F.sqrt(F.expr(_dot_float("va", "va")))
-            * F.sqrt(F.expr(_dot_float("vb", "vb")))
-        ),
-        6,
+        F.expr(_dot_float("va", "vb")) / (F.col("na") * F.col("nb")), 6
     )
     pairs = (
         a.join(b, "blk")
