@@ -524,3 +524,63 @@ def semantic_dedup(
         )
         .orderBy(id_col)
     )
+
+
+def containment_of_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, containment_a, containment_b, jaccard) for LSH candidate
+    pairs where either directed containment |A∩B|/|A| or |A∩B|/|B| meets
+    the threshold.
+
+    Containment is the ASYMMETRIC partial-duplication signal: a short
+    document quoted inside a long one scores near 1.0 on the short side
+    while Jaccard stays small (|A∩B|/|A∪B| is diluted by the long side).
+    Real curation pipelines gate on containment to catch subset/quote
+    duplication that the symmetric measures miss (Broder 1997's
+    resemblance vs containment distinction).
+
+    Same scale shape as the Jaccard verify: LSH candidates only, one
+    common-shingle join, sizes broadcast. Recall caveat: MinHash banding
+    is tuned for RESEMBLANCE, so a subset that is a small fraction of its
+    superset (Jaccard well below the band threshold curve) may not surface
+    as a candidate — for aggressive containment recall, block on the
+    SHORT side's shingles (suffix-array / seed-and-extend territory)
+    instead of symmetric signatures.
+    """
+    sh = word_shingles(docs, n=n)
+    sig = minhash_signatures(word_shingles(docs, n=n, distinct=False))
+    cand = lsh_candidate_pairs(sig)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nn"))
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
+    common = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("nn").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("nn").alias("nb"))
+    scored = common.join(na, "a").join(nb, "b").select(
+        "a",
+        "b",
+        F.round((F.col("common").cast("double") / F.col("na")), 6).alias(
+            "containment_a"
+        ),
+        F.round((F.col("common").cast("double") / F.col("nb")), 6).alias(
+            "containment_b"
+        ),
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+            6,
+        ).alias("jaccard"),
+    )
+    return scored.filter(
+        (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+    ).orderBy("a", "b")

@@ -2855,6 +2855,31 @@ def dedup_semantic(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_PAIRS_CTE}
+    SELECT c.a, c.b,
+           round(CAST(common AS DOUBLE) / na.n, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / nb.n, 6) AS containment_b,
+           round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+    FROM lcommon c JOIN lhn na ON na.doc_id = c.a
+                   JOIN lhn nb ON nb.doc_id = c.b
+    WHERE round(CAST(common AS DOUBLE) / na.n, 6) >= 0.5
+       OR round(CAST(common AS DOUBLE) / nb.n, 6) >= 0.5
+    ORDER BY c.a, c.b
+    """,
+    doc="asymmetric containment scoring over LSH candidates (Broder's "
+        "resemblance-vs-containment): |A∩B|/|A| and |A∩B|/|B| catch "
+        "subset/quote duplication that symmetric Jaccard dilutes; same "
+        "candidate-only scale shape as the Jaccard verify",
+)
+def dedup_containment(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.containment_of_pairs(docs, n=3, threshold=0.5)
+
+
+@register(
     "graph_triangles",
     f"""
     WITH {_SHINGLES_CTE},
@@ -3564,6 +3589,8 @@ GATE_TAIL = (
     #                      retrieval machinery gated via sim_cosine_ivf
     "ev_stream_distinct_sketch",  # streaming drain gated 4x; sketch math
     #                      gated via ev_distinct_sketch (same estimator)
+    "dedup_containment",  # candidate-scoring machinery of the gated
+    #                      dedup_minhash_lsh with an asymmetric numerator
 )
 
 

@@ -1040,3 +1040,26 @@ def test_stream_sketch_equals_batch_sketch(spark):
         for r in sketch_estimate(spark.table(qname), ["event_type"]).collect()
     }
     assert streamed == batch
+
+
+def test_containment_catches_subset_jaccard_misses(spark, docs):
+    from aegisthus_spark.operators.dedup import containment_of_pairs
+
+    # synthesize a shorter doc contained in a long one: the short side's
+    # containment is 1.0 while Jaccard is diluted by the long side. The
+    # subset must still share enough shingles for LSH banding to surface
+    # the candidate (banding is tuned for resemblance), so use 80% of the
+    # words — the containment/Jaccard gap remains.
+    long_row = docs.orderBy(F.desc("n_chars")).limit(1).collect()[0]
+    words = long_row.text.split(" ")
+    short_text = " ".join(words[: max(10, len(words) * 8 // 10)])
+    extra = spark.createDataFrame(
+        [(900000, short_text, "en", "synth", len(short_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = containment_of_pairs(docs.unionByName(extra), threshold=0.9)
+    hit = [r for r in out.collect() if r.b == 900000 and r.a == long_row.doc_id]
+    assert hit, "planted subset pair not found"
+    r = hit[0]
+    assert r.containment_b >= 0.9  # short side fully contained
+    assert r.jaccard < r.containment_b  # Jaccard dilutes the signal

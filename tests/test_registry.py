@@ -77,6 +77,7 @@ def test_gate_window_fit():
         "sim_hybrid_rrf": "text_bm25_topk",
         "dedup_semantic": "sim_kmeans_assign",
         "graph_triangles": "dedup_minhash_lsh",
+        "dedup_containment": "dedup_minhash_lsh",
         "sim_matryoshka_rerank": "sim_cosine_ivf",
         "ev_stream_distinct_sketch": "ev_distinct_sketch",
     }
