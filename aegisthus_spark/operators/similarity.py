@@ -503,3 +503,47 @@ def cosine_topk_matryoshka(
         .orderBy(F.desc("cos"), id_col)
         .limit(k)
     )
+
+
+def semantic_match_flags(
+    emb: DataFrame,
+    bench: list[tuple[int, list[float]]],
+    *,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, best_bench, best_cos, flagged): nearest benchmark item per
+    corpus vector by cosine, flagged when >= tau — SEMANTIC benchmark
+    decontamination (the n-gram `text.decontaminate` catches verbatim
+    leakage; this catches paraphrases that re-embed close to an eval item).
+
+    Scale shape: the benchmark set rides the plan as literals — a pure
+    per-row expression over |bench| * dim constants, no join and no
+    shuffle, exactly the k-means assignment pattern. Every cosine is the
+    float left fold (engine-reproducible); ties break to the lowest
+    benchmark id. Benchmark norms are re-folded per row for oracle
+    bit-parity — at production |bench| sizes, precompute them into the
+    literal instead.
+    """
+    structs = ", ".join(
+        "named_struct('c', round({dot} / (sqrt({nv}) * sqrt({nb})), 6), 'b', {bid})".format(
+            dot=_dot_float(vec_col, _query_lit(v)),
+            nv=_dot_float(vec_col, vec_col),
+            nb=_dot_float(_query_lit(v), _query_lit(v)),
+            bid=bid,
+        )
+        for bid, v in bench
+    )
+    best = F.expr(
+        f"array_max(transform(array({structs}), s -> named_struct('c', s.c, 'nb', -s.b)))"
+    )
+    return emb.select(
+        id_col,
+        best.alias("_m"),
+    ).select(
+        id_col,
+        (-F.col("_m.nb")).cast("bigint").alias("best_bench"),
+        F.col("_m.c").alias("best_cos"),
+        (F.col("_m.c") >= F.lit(tau)).alias("flagged"),
+    ).orderBy(id_col)

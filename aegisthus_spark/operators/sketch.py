@@ -175,27 +175,47 @@ def cms_heavy_hitters(
     Everything is integer arithmetic on the md5-prefix hash, so a DuckDB
     oracle reproduces the estimates exactly.
     """
-    def coords_of(src: DataFrame) -> DataFrame:
-        return src.select(
-            F.col(key_col).alias("_k"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            F.expr(_cms_bucket(j, key_col, w)).alias("b"),
-                        )
-                        for j in range(d)
-                    ]
-                )
-            ).alias("jb"),
-        ).select("_k", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    sketch = (
+        _cms_coords(df, key_col, d=d, w=w)
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cms_estimate_topk(sketch, df, key_col, d=d, w=w, k=k)
 
-    sketch = coords_of(df).groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+
+def _cms_coords(src: DataFrame, key_col: str, *, d: int, w: int) -> DataFrame:
+    """(key, j, b): the d sketch coordinates of every row's key."""
+    return src.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, key_col, w)).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb"),
+    ).select("_k", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+
+
+def cms_estimate_topk(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    *,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = 20,
+) -> DataFrame:
+    """Fold a (j, b, c) sketch — batch-built or drained from a stream —
+    into top-``k`` (key, est_count) for the candidate keys."""
     # candidates: distinct keys FIRST (one shuffle of keys), then the d
     # hash coordinates per distinct key — not a distinct over the d-times
     # larger exploded stream
-    cand = coords_of(df.select(key_col).distinct())
+    cand = _cms_coords(candidates.select(key_col).distinct(), key_col, d=d, w=w)
     est = (
         cand.join(F.broadcast(sketch), ["j", "b"])
         .groupBy("_k")

@@ -2880,6 +2880,81 @@ def dedup_containment(spark, sf_dir):
 
 
 @register(
+    "doc_decontaminate_semantic",
+    f"""
+    WITH bench AS (SELECT vec_id AS b, embedding AS bv
+                   FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT e.vec_id, bench.b,
+             round({_DOT_F_SQL.format(a='e.embedding', b='bench.bv')}
+                   / (sqrt({_DOT_F_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_F_SQL.format(a='bench.bv', b='bench.bv')})), 6)
+               AS c
+      FROM embeddings e, bench WHERE e.vec_id >= 5),
+    best AS (
+      SELECT vec_id, b AS best_bench, c AS best_cos
+      FROM (SELECT vec_id, b, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, b) AS rn
+            FROM scored)
+      WHERE rn = 1)
+    SELECT vec_id, best_bench, best_cos, best_cos >= 0.4 AS flagged
+    FROM best ORDER BY vec_id
+    """,
+    doc="semantic benchmark decontamination: nearest eval-set embedding per "
+        "corpus vector (cosine, ties to lowest bench id), flagged at "
+        ">= 0.4 — catches paraphrase leakage the n-gram decontaminate "
+        "misses; bench vectors ride the plan as literals (no join)",
+)
+def doc_decontaminate_semantic(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return _sim.semantic_match_flags(
+        emb.filter(F.col("vec_id") >= 5), bench, tau=0.4
+    )
+
+
+@register(
+    "ev_stream_topk_cms",
+    f"""
+    WITH {_sk.cms_oracle_cte("events", "user_id")}
+    SELECT CAST(k AS BIGINT) AS user_id, est_count
+    FROM est ORDER BY est_count DESC, user_id LIMIT 20
+    """,
+    doc="streaming count-min sketch: cumulative (row, bucket) COUNT over "
+        "the event stream (d*w bounded counters, no watermark needed), "
+        "heavy hitters folded from the drained state — equals the batch "
+        "CMS because COUNT is batching-insensitive",
+)
+def ev_stream_topk_cms(spark, sf_dir):
+    import uuid
+
+    from .operators.sketch import cms_estimate_topk
+    from .streaming.events import read_events_stream, stream_cms_sketch
+
+    ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    sk = stream_cms_sketch(ev, "user_id")
+    qname = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return cms_estimate_topk(
+        spark.table(qname), _events(spark, sf_dir), "user_id", k=20
+    )
+
+
+@register(
     "graph_triangles",
     f"""
     WITH {_SHINGLES_CTE},
@@ -3591,6 +3666,11 @@ GATE_TAIL = (
     #                      gated via ev_distinct_sketch (same estimator)
     "dedup_containment",  # candidate-scoring machinery of the gated
     #                      dedup_minhash_lsh with an asymmetric numerator
+    "doc_decontaminate_semantic",  # literal-expression scoring of gated
+    #                      sim_kmeans_assign; dense arm of gated
+    #                      doc_decontaminate's purpose
+    "ev_stream_topk_cms",  # streaming drain gated 4x; CMS math shared with
+    #                      tail ev_topk_cms / gated ev_distinct_sketch
 )
 
 

@@ -227,3 +227,35 @@ def stream_distinct_sketch(
     from ..operators.sketch import sketch_registers
 
     return sketch_registers(events, key_cols, value_col, m=m)
+
+
+def stream_cms_sketch(
+    events: DataFrame,
+    key_col: str,
+    *,
+    d: int = 4,
+    w: int = 2048,
+) -> DataFrame:
+    """Streaming count-min sketch state: cumulative COUNT per (hash row,
+    bucket) over the stream — d*w bounded counters per sketch, the same
+    no-watermark-needed state argument as :func:`stream_distinct_sketch`
+    (COUNT, like MIN, is batching- and order-insensitive, so the drained
+    state equals the batch sketch). Estimate by joining candidate keys
+    against the drained state and taking the per-key MIN across rows.
+    """
+    from ..operators.sketch import _cms_bucket
+
+    coords = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cms_bucket(j, key_col, w)).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb")
+    ).select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    return coords.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))

@@ -1063,3 +1063,58 @@ def test_containment_catches_subset_jaccard_misses(spark, docs):
     r = hit[0]
     assert r.containment_b >= 0.9  # short side fully contained
     assert r.jaccard < r.containment_b  # Jaccard dilutes the signal
+
+
+def test_semantic_decontamination_flags_planted_paraphrase(emb):
+    from aegisthus_spark.operators.similarity import semantic_match_flags
+
+    rows = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding").collect()
+    bench = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    # plant a near-copy of bench item 1 (tiny perturbation on one dim)
+    v = list(bench[1][1])
+    v[0] += 1e-3
+    planted = emb.sparkSession.createDataFrame(
+        [(900001, v, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 2).unionByName(planted)
+    out = {r.vec_id: r for r in semantic_match_flags(corpus, bench, tau=0.9).collect()}
+    hit = out[900001]
+    assert hit.flagged and hit.best_bench == 1 and hit.best_cos > 0.99
+    # the corpus background sits far below the paraphrase threshold
+    others = [r for i, r in out.items() if i != 900001]
+    assert all(not r.flagged for r in others)
+
+
+def test_stream_cms_equals_batch_cms(spark):
+    import uuid
+
+    from aegisthus_spark.operators.sketch import cms_estimate_topk, cms_heavy_hitters
+    from aegisthus_spark.streaming.events import read_events_stream, stream_cms_sketch
+
+    batch = [
+        (r.user_id, r.est_count)
+        for r in cms_heavy_hitters(
+            spark.read.parquet(f"{SF}/events.parquet"), "user_id", k=50
+        ).collect()
+    ]
+    ev = read_events_stream(spark, f"{SF}/events.parquet")
+    qname = f"t_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_cms_sketch(ev, "user_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = [
+        (r.user_id, r.est_count)
+        for r in cms_estimate_topk(
+            spark.table(qname),
+            spark.read.parquet(f"{SF}/events.parquet"),
+            "user_id",
+            k=50,
+        ).collect()
+    ]
+    assert streamed == batch
