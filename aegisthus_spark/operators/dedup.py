@@ -120,8 +120,10 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> Dat
     )
 
 
-def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    """True Jaccard similarity for given (a, b) pairs from the shingle sets."""
+def _pair_overlap(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(a, b, common, na, nb): shared-shingle count and set sizes for the
+    given candidate pairs — the one common-shingle join every pair-scoring
+    measure (Jaccard, containment) is derived from."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
     sb = shingles.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
@@ -132,13 +134,15 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "do
     )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
-    return (
-        common.join(na, "a").join(nb, "b")
-        .select(
-            "a",
-            "b",
-            (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
-        )
+    return common.join(na, "a").join(nb, "b")
+
+
+def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """True Jaccard similarity for given (a, b) pairs from the shingle sets."""
+    return _pair_overlap(shingles, pairs, id_col=id_col).select(
+        "a",
+        "b",
+        (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
     )
 
 
@@ -514,7 +518,7 @@ def semantic_dedup(
     )
     comp = connected_components(pairs, emb.select(id_col), id_col=id_col)
     return (
-        assigned.select(id_col, "cluster")
+        withvec.select(id_col, "cluster")  # checkpointed; no k-means re-eval
         .join(comp, id_col)
         .select(
             id_col,
@@ -532,6 +536,7 @@ def containment_of_pairs(
     n: int = 3,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """(a, b, containment_a, containment_b, jaccard) for LSH candidate
     pairs where either directed containment |A∩B|/|A| or |A∩B|/|B| meets
@@ -552,21 +557,16 @@ def containment_of_pairs(
     SHORT side's shingles (suffix-array / seed-and-extend territory)
     instead of symmetric signatures.
     """
-    sh = word_shingles(docs, n=n)
-    sig = minhash_signatures(word_shingles(docs, n=n, distinct=False))
-    cand = lsh_candidate_pairs(sig)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nn"))
-    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
-    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
-    common = (
-        cand.join(sa, "a")
-        .join(sb, ["b", "s"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("nn").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("nn").alias("nb"))
-    scored = common.join(na, "a").join(nb, "b").select(
+    sh = word_shingles(docs, n=n, id_col=id_col)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sig_src = sh
+    else:
+        sig_src = word_shingles(docs, n=n, id_col=id_col, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sig_src, id_col=id_col), id_col=id_col)
+    scored = _pair_overlap(sh, cand, id_col=id_col).select(
         "a",
         "b",
         F.round((F.col("common").cast("double") / F.col("na")), 6).alias(

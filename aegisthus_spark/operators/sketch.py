@@ -214,12 +214,15 @@ def cms_estimate_topk(
     into top-``k`` (key, est_count) for the candidate keys."""
     # candidates: distinct keys FIRST (one shuffle of keys), then the d
     # hash coordinates per distinct key — not a distinct over the d-times
-    # larger exploded stream
+    # larger exploded stream. LEFT join + coalesce(0): a candidate bucket
+    # no stream row ever touched is a ZERO counter (true CMS semantics) —
+    # an inner join would inflate or drop candidates absent from the
+    # sketched stream (e.g. a watchlist key that never occurred).
     cand = _cms_coords(candidates.select(key_col).distinct(), key_col, d=d, w=w)
     est = (
-        cand.join(F.broadcast(sketch), ["j", "b"])
+        cand.join(F.broadcast(sketch), ["j", "b"], "left")
         .groupBy("_k")
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
     return (
         est.select(F.col("_k").alias(key_col), "est_count")
@@ -242,6 +245,6 @@ def cms_oracle_cte(table: str, key_col: str, *, d: int = CMS_D, w: int = CMS_W) 
     sketch AS (SELECT j, b, COUNT(*) AS c FROM coords GROUP BY j, b),
     cand AS (SELECT DISTINCT k, j, b FROM coords),
     est AS (
-      SELECT k, MIN(c) AS est_count
-      FROM cand JOIN sketch USING (j, b) GROUP BY k)
+      SELECT k, MIN(COALESCE(c, 0)) AS est_count
+      FROM cand LEFT JOIN sketch USING (j, b) GROUP BY k)
     """

@@ -114,6 +114,55 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
     )
 
 
+def _bm25_term_scores(
+    docs: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, term, s): raw BM25 score per (doc, term) — the ONE
+    implementation of the formula (Lucene +1 idf, k1/b length norm) shared
+    by :func:`bm25_top_terms` and :func:`bm25_query_scores`.
+
+    ``terms`` restricts the postings to a query term set BEFORE the
+    doc-frequency join (the inverted-index access pattern); the resulting
+    df table is tiny and broadcast. Without ``terms`` the df table is
+    vocabulary-sized and must shuffle-join. An empty corpus yields an
+    empty frame (avgdl defaults harmlessly; no rows flow).
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs = int(stats.n)
+    avgdl = float(stats.avgdl) if stats.avgdl is not None else 1.0
+    if terms is not None:
+        tf = tf.filter(F.col("term").isin(list(terms)))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if terms is not None:
+        df_tbl = F.broadcast(df_tbl)
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
+        )
+    )
+
+
 def bm25_top_terms(
     docs: DataFrame, *, k: int = 3, k1: float = 1.2, b: float = 0.75
 ) -> DataFrame:
@@ -125,30 +174,8 @@ def bm25_top_terms(
     length aggregate that joins back broadcast-style. N and avgdl are
     scalar aggregates fetched once (query parameters, not data).
     """
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats.n), float(stats.avgdl)
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
-    )
-    scored = (
-        tf.join(df_tbl, "term")
-        .join(F.broadcast(dl), "doc_id")
-        .select(
-            "doc_id",
-            "term",
-            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6).alias("bm25"),
-        )
+    scored = _bm25_term_scores(docs, k1=k1, b=b).select(
+        "doc_id", "term", F.round(F.col("s"), 6).alias("bm25")
     )
     from pyspark.sql import Window
 
@@ -364,28 +391,8 @@ def bm25_query_scores(
     Documents containing none of the terms drop out (score undefined, not
     zero), matching what a posting-list union returns.
     """
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf_all = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats.n), float(stats.avgdl)
-    tf = tf_all.filter(F.col("term").isin(list(terms)))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
-    )
     return (
-        tf.join(F.broadcast(df_tbl), "term")
-        .join(F.broadcast(dl), "doc_id")
-        .select(
-            "doc_id",
-            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("s"),
-        )
+        _bm25_term_scores(docs, k1=k1, b=b, terms=terms)
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("s").cast("decimal(27,15)")).cast("double"), 6).alias("score"))
     )

@@ -2735,7 +2735,7 @@ def dedup_ngram_coverage(spark, sf_dir):
     SELECT CAST(k AS BIGINT) AS user_id, est_count
     FROM est ORDER BY est_count DESC, user_id LIMIT 20
     """,
-    doc="count-min-sketch heavy hitters (d=4 rows x w=512 buckets, "
+    doc="count-min-sketch heavy hitters (d=4 rows x w=2048 buckets, "
         "md5-prefix row hashes): top-20 users by CMS frequency estimate — "
         "sketch state is d*w mergeable counters vs a full per-key shuffle; "
         "estimates are exact-integer arithmetic, reproduced by the oracle",

@@ -208,7 +208,7 @@ def stream_distinct_sketch(
     key_cols: list[str],
     value_col: str,
     *,
-    m: int = 256,
+    m: int | None = None,
 ) -> DataFrame:
     """Streaming distinct-count sketch state: cumulative per-register MIN
     of the normalized value hash (operators.sketch stage 1) over the
@@ -224,38 +224,36 @@ def stream_distinct_sketch(
     the batch sketch on the same (bounded) input bit-for-bit, because MIN
     is order- and batching-insensitive.
     """
-    from ..operators.sketch import sketch_registers
+    from ..operators.sketch import M_REGISTERS, sketch_registers
 
-    return sketch_registers(events, key_cols, value_col, m=m)
+    return sketch_registers(
+        events, key_cols, value_col, m=M_REGISTERS if m is None else m
+    )
 
 
 def stream_cms_sketch(
     events: DataFrame,
     key_col: str,
     *,
-    d: int = 4,
-    w: int = 2048,
+    d: int | None = None,
+    w: int | None = None,
 ) -> DataFrame:
     """Streaming count-min sketch state: cumulative COUNT per (hash row,
     bucket) over the stream — d*w bounded counters per sketch, the same
     no-watermark-needed state argument as :func:`stream_distinct_sketch`
     (COUNT, like MIN, is batching- and order-insensitive, so the drained
-    state equals the batch sketch). Estimate by joining candidate keys
-    against the drained state and taking the per-key MIN across rows.
+    state equals the batch sketch). Fold the drained state with
+    :func:`operators.sketch.cms_estimate_topk`; defaults come from the
+    sketch module's CMS_D/CMS_W so stream build and batch fold can never
+    disagree on the bucket space.
     """
-    from ..operators.sketch import _cms_bucket
+    from ..operators.sketch import CMS_D, CMS_W, _cms_coords
 
-    coords = events.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(_cms_bucket(j, key_col, w)).alias("b"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("jb")
-    ).select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-    return coords.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    d = CMS_D if d is None else d
+    w = CMS_W if w is None else w
+    return (
+        _cms_coords(events, key_col, d=d, w=w)
+        .select("j", "b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
