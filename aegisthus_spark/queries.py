@@ -2880,6 +2880,30 @@ def dedup_containment(spark, sf_dir):
 
 
 @register(
+    "doc_export_shards",
+    """
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(ceil(COUNT(*) / 64.0) AS BIGINT) AS n_files
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="training-shard export: hive-partitioned parquet by lang, file "
+        "splits bounded at 64 rows, rows sorted within shards — the "
+        "manifest is read back FROM THE WRITTEN FILES and must equal the "
+        "oracle's ceil(n/64) prediction, verifying the write really "
+        "produced the deterministic layout",
+)
+def doc_export_shards(spark, sf_dir):
+    import tempfile
+
+    from .operators.curation import export_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="aeg_shards_")
+    return export_shards(docs, out, max_rows_per_file=64)
+
+
+@register(
     "doc_decontaminate_semantic",
     f"""
     WITH bench AS (SELECT vec_id AS b, embedding AS bv
@@ -3671,6 +3695,8 @@ GATE_TAIL = (
     #                      doc_decontaminate's purpose
     "ev_stream_topk_cms",  # streaming drain gated 4x; CMS math shared with
     #                      tail ev_topk_cms / gated ev_distinct_sketch
+    "doc_export_shards",  # partitioned-write machinery gated via the
+    #                      roundtrip sinks; manifest math is a plain agg
 )
 
 

@@ -1118,3 +1118,31 @@ def test_stream_cms_equals_batch_cms(spark):
         ).collect()
     ]
     assert streamed == batch
+
+
+def test_export_shards_deterministic_layout(spark, docs, tmp_path):
+    from aegisthus_spark.operators.curation import export_shards
+
+    out = str(tmp_path / "shards")
+    m = {r.lang: (r.n_rows, r.n_files) for r in
+         export_shards(docs, out, max_rows_per_file=64).collect()}
+    exact = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(m) == set(exact)
+    for lang, (n_rows, n_files) in m.items():
+        assert n_rows == exact[lang]
+        assert n_files == -(-exact[lang] // 64)  # ceil
+    # shard contents are byte-reproducible: same write twice -> same files
+    out2 = str(tmp_path / "shards2")
+    export_shards(docs, out2, max_rows_per_file=64).collect()
+    import pathlib
+
+    def digest(root):
+        import hashlib
+
+        h = hashlib.md5()
+        for p in sorted(pathlib.Path(root).rglob("*.parquet")):
+            h.update(p.read_bytes())
+        return h.hexdigest()
+
+    assert digest(out) == digest(out2)

@@ -79,6 +79,7 @@ def test_gate_window_fit():
         "graph_triangles": "dedup_minhash_lsh",
         "dedup_containment": "dedup_minhash_lsh",
         "doc_decontaminate_semantic": "sim_kmeans_assign",
+        "doc_export_shards": "doc_split_assign",
         "ev_stream_topk_cms": "ev_distinct_sketch",
         "sim_matryoshka_rerank": "sim_cosine_ivf",
         "ev_stream_distinct_sketch": "ev_distinct_sketch",
