@@ -456,6 +456,86 @@ def q7_volume_shipping(spark, sf_dir):
 
 
 @register(
+    "q8_market_share",
+    """
+    SELECT yr,
+           round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                    THEN volume END) AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE) AS DOUBLE), 6)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_sales
+    GROUP BY yr ORDER BY yr
+    """,
+    doc="TPC-H Q8-style: 8-way join through both dimension chains "
+        "(customer->nation->region, supplier->nation) with a conditional "
+        "numerator — one nation's share of regional volume per year",
+)
+def q8_market_share(spark, sf_dir):
+    """The full dimension snowflake broadcasts (part filtered by type,
+    supplier, both nation copies, region); only fact-fact joins shuffle.
+    The share ratio divides two exact-decimal sums AFTER casting each to
+    double, so both engines perform the identical float division."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    sales = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_reg") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
     "q13_customer_distribution",
     """
     WITH co AS (
@@ -3697,6 +3777,8 @@ GATE_TAIL = (
     #                      tail ev_topk_cms / gated ev_distinct_sketch
     "doc_export_shards",  # partitioned-write machinery gated via the
     #                      roundtrip sinks; manifest math is a plain agg
+    "q8_market_share",  # dimension-snowflake join machinery gated via
+    #                      q3/q13/q17; conditional agg via aeg_cql_pivot
 )
 
 

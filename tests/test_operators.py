@@ -1146,3 +1146,17 @@ def test_export_shards_deterministic_layout(spark, docs, tmp_path):
         return h.hexdigest()
 
     assert digest(out) == digest(out2)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-vertex path graph has diameter 199: plain min-label
+    propagation cannot converge within max_iterations=20, so this test
+    holds ONLY because each round also follows labels one extra hop
+    (pointer doubling, O(log diameter) rounds)."""
+    from aegisthus_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
+    assert got == {i: 0 for i in range(n)}

@@ -80,6 +80,7 @@ def test_gate_window_fit():
         "dedup_containment": "dedup_minhash_lsh",
         "doc_decontaminate_semantic": "sim_kmeans_assign",
         "doc_export_shards": "doc_split_assign",
+        "q8_market_share": "q13_customer_distribution",
         "ev_stream_topk_cms": "ev_distinct_sketch",
         "sim_matryoshka_rerank": "sim_cosine_ivf",
         "ev_stream_distinct_sketch": "ev_distinct_sketch",
