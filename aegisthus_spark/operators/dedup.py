@@ -158,22 +158,37 @@ def minhash_lsh_dedup(
     storage); at small scale the persist barrier costs more than the three
     cheap re-scans, so it defaults off and callers choose.
     """
-    sh = word_shingles(docs, n=n)
+    sh, cand = _lsh_shingles_and_candidates(
+        docs, n=n, id_col="doc_id", persist_shingles=persist_shingles
+    )
+    jac = jaccard_of_pairs(sh, cand)
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
+def _lsh_shingles_and_candidates(
+    docs: DataFrame, *, n: int, id_col: str, persist_shingles: bool
+):
+    """(distinct shingles, LSH candidate pairs) — the ONE place the
+    candidate pipeline (and its subtle signature-source choice) lives.
+
+    Without persist, the signature branch reads RAW shingles
+    (distinct=False): MIN is multiset-invariant, so signatures can skip
+    the distinct() shuffle entirely — raw shingles flow into K map-side
+    partial MINs and only (doc, K mins) rows ever shuffle. With persist,
+    the one materialized distinct table feeds every consumer (right when
+    the corpus scan dominates: cluster scale / remote storage)."""
+    sh = word_shingles(docs, n=n, id_col=id_col)
     if persist_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        sig_src = sh  # scan dominates: reuse the one materialized table
+        sig_src = sh
     else:
-        # MIN is multiset-invariant, so signatures can skip the distinct()
-        # shuffle entirely: raw shingles flow into 16 map-side partial MINs
-        # and only (doc, 16 mins) rows ever shuffle — at corpus scale this
-        # removes one full shuffle of the shingle stream
-        sig_src = word_shingles(docs, n=n, distinct=False)
-    sig = minhash_signatures(sig_src)
-    cand = lsh_candidate_pairs(sig)
-    jac = jaccard_of_pairs(sh, cand)
-    return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+        sig_src = word_shingles(docs, n=n, id_col=id_col, distinct=False)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sig_src, id_col=id_col), id_col=id_col
+    )
+    return sh, cand
 
 
 def ngram_jaccard_pairs(
@@ -315,6 +330,9 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                # carried through for the convergence check — avoids a
+                # third per-round join back to the previous label set
+                F.col("label").alias("old_label"),
             )
             # path compression (pointer doubling): follow each label to ITS
             # label, so chains halve every round — O(log diameter) rounds
@@ -323,17 +341,12 @@ def connected_components(
             via = stepped.select(
                 F.col("v").alias("lv"), F.col("label").alias("llabel")
             )
-            updated = (
-                stepped.join(via, stepped.label == via.lv, "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
-                    ).alias("new_label"),
-                )
-                .join(
-                    labels.select("v", F.col("label").alias("old_label")), "v"
-                )
+            updated = stepped.join(via, stepped.label == via.lv, "left").select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                ).alias("new_label"),
+                "old_label",
             )
             # convergence count rides the checkpoint job as an observed
             # metric: ONE action per round, not checkpoint + count
@@ -557,15 +570,9 @@ def containment_of_pairs(
     SHORT side's shingles (suffix-array / seed-and-extend territory)
     instead of symmetric signatures.
     """
-    sh = word_shingles(docs, n=n, id_col=id_col)
-    if persist_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        sig_src = sh
-    else:
-        sig_src = word_shingles(docs, n=n, id_col=id_col, distinct=False)
-    cand = lsh_candidate_pairs(minhash_signatures(sig_src, id_col=id_col), id_col=id_col)
+    sh, cand = _lsh_shingles_and_candidates(
+        docs, n=n, id_col=id_col, persist_shingles=persist_shingles
+    )
     scored = _pair_overlap(sh, cand, id_col=id_col).select(
         "a",
         "b",

@@ -526,6 +526,15 @@ def semantic_match_flags(
     bit-parity — at production |bench| sizes, precompute them into the
     literal instead.
     """
+    if not bench:
+        # an upstream filter that matched no benchmark items flags nothing
+        # (NULL best) rather than dying on an untyped empty array expression
+        return emb.select(
+            id_col,
+            F.lit(None).cast("bigint").alias("best_bench"),
+            F.lit(None).cast("double").alias("best_cos"),
+            F.lit(False).alias("flagged"),
+        ).orderBy(id_col)
     structs = ", ".join(
         "named_struct('c', round({dot} / (sqrt({nv}) * sqrt({nb})), 6), 'b', {bid})".format(
             dot=_dot_float(vec_col, _query_lit(v)),
