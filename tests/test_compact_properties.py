@@ -174,3 +174,66 @@ def test_salted_noninjective_comparator_matches_compact(spark, cells_schema):
     # and the survivors are the newer-ts values (LWW resolved across names)
     flat = {k: cols for k, cols in got}
     assert [(v, ts) for _, v, ts in flat[b"k1"]] == [(b"new", 20), (b"v", 5)]
+
+
+# ---------------------------------------------------------------------------
+# property guards for the iterative/graph operators (random structures vs
+# independent Python models)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """Min-label propagation with pointer doubling vs a plain union-find
+    over random graphs (self-loops and duplicates included)."""
+    from aegisthus_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    n = 31
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+
+    pairs = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    if not edges:
+        pairs = pairs.filter("a != a")  # empty frame, typed
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, verts).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=120))
+def test_cms_never_underestimates_random_streams(spark, keys):
+    """CMS estimates >= true counts on arbitrary (skewed, tiny-domain)
+    streams — the one-sided error bound that makes the sketch usable."""
+    from collections import Counter
+
+    from aegisthus_spark.operators.sketch import cms_heavy_hitters
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    est = {r.k: r.est_count for r in cms_heavy_hitters(df, "k", k=1000).collect()}
+    assert set(est) == set(truth)
+    for key, true_n in truth.items():
+        assert est[key] >= true_n
