@@ -396,3 +396,37 @@ def bm25_query_scores(
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("s").cast("decimal(27,15)")).cast("double"), 6).alias("score"))
     )
+
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """(doc_id, avg_nll, n_tokens): average unigram negative log-likelihood
+    per document under the corpus's own unigram distribution — the
+    perplexity-proxy quality signal (CCNet-style: documents whose tokens
+    are improbable under the corpus LM are outliers worth inspecting or
+    dropping; here the LM is the corpus itself, no external model).
+
+    Scale shape: one vocabulary-keyed aggregate (map-side combinable) for
+    the frequencies, one join of the token stream back against it (at
+    real-corpus vocabulary sizes this is a shuffle join on the term; a
+    capped/truncated vocabulary would broadcast), one per-document
+    aggregate. Per-token nll sums in DECIMAL(27,15) so the per-doc means
+    are partitioning- and engine-independent.
+    """
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    total = toks.count()
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nll = -F.log(F.col("c").cast("double") / F.lit(float(total)))
+    return (
+        toks.join(freq, "term")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("nll").cast("decimal(27,15)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2960,6 +2960,31 @@ def dedup_containment(spark, sf_dir):
 
 
 @register(
+    "text_unigram_logppl",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    freq AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    scored AS (
+      SELECT t.doc_id, -ln(CAST(f.c AS DOUBLE) / tot.n) AS nll
+      FROM toks t JOIN freq f USING (term), tot)
+    SELECT doc_id,
+           round(CAST(SUM(CAST(nll AS DECIMAL(27,15))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="perplexity-proxy quality scoring (CCNet-style): per-document "
+        "average unigram negative log-likelihood under the corpus's own "
+        "unigram distribution — vocabulary aggregate + token-stream join "
+        "+ per-doc decimal-exact mean",
+)
+def text_unigram_logppl(spark, sf_dir):
+    return _tx.unigram_logppl(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_export_shards",
     """
     SELECT lang,
@@ -3779,6 +3804,8 @@ GATE_TAIL = (
     #                      roundtrip sinks; manifest math is a plain agg
     "q8_market_share",  # dimension-snowflake join machinery gated via
     #                      q3/q13/q17; conditional agg via aeg_cql_pivot
+    "text_unigram_logppl",  # freq-table join + per-doc agg; machinery of
+    #                      gated text_bm25_topk with a different score
 )
 
 

@@ -1160,3 +1160,20 @@ def test_connected_components_long_chain_converges(spark):
     verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = {r.doc_id: r.component for r in connected_components(pairs, verts).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_unigram_logppl_rare_tokens_score_higher(spark):
+    from aegisthus_spark.operators.text import unigram_logppl
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common common rare unique")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logppl(docs).collect()}
+    # doc 2 contains improbable tokens -> higher average NLL than doc 1
+    assert out[2].avg_nll > out[1].avg_nll
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    # doc 1 is all 'common' (p = 6/8): avg_nll = -ln(0.75)
+    import math
+
+    assert abs(out[1].avg_nll - (-math.log(6 / 8))) < 1e-5
