@@ -2903,7 +2903,7 @@ def sim_hybrid_rrf(spark, sf_dir):
 @register(
     "dedup_semantic",
     f"""
-    WITH RECURSIVE {_kmeans_cte(8)},
+    WITH RECURSIVE {_kmeans_cte(32)},
     pairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b
       FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -2924,14 +2924,15 @@ def sim_hybrid_rrf(spark, sf_dir):
            a2.vec_id = scomp.component AS is_kept
     FROM a2 JOIN scomp USING (vec_id) ORDER BY a2.vec_id
     """,
-    doc="SemDeDup-style semantic dedup: k-means (k=8, 2 iters) bounds the "
+    doc="SemDeDup-style semantic dedup: k-means (k=32, 2 iters) bounds the "
         "pair space per cluster, cosine>=0.4 pairs connect into components "
         "(min-label propagation), keep the min-id representative — "
-        "cluster-blocked pairs, never all-pairs over the corpus",
+        "cluster-blocked pairs, never all-pairs; in the real algorithm k "
+        "GROWS with the corpus so per-cluster pair counts stay bounded",
 )
 def dedup_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return _dd.semantic_dedup(emb, k=8, iters=2, tau=0.4)
+    return _dd.semantic_dedup(emb, k=32, iters=2, tau=0.4)
 
 
 @register(
