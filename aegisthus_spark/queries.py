@@ -1981,6 +1981,40 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q_cube_orders",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    doc="full CUBE over (priority, status): all four grouping sets in one "
+        "Expand pass — the cross-dimensional completion of the "
+        "hierarchical ROLLUP (q_rollup_revenue)",
+)
+def q_cube_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("priority", "status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SSTable decode path (S1-S10, K1) under the correctness gate
 # ---------------------------------------------------------------------------
@@ -3807,6 +3841,8 @@ GATE_TAIL = (
     #                      q3/q13/q17; conditional agg via aeg_cql_pivot
     "text_unigram_logppl",  # freq-table join + per-doc agg; machinery of
     #                      gated text_bm25_topk with a different score
+    "q_cube_orders",  # CUBE = the grouping-set Expand of the gated
+    #                      q_rollup_revenue over one table
 )
 
 
