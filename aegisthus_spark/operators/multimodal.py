@@ -171,3 +171,68 @@ def thumbnail_plan(media: DataFrame, *, box: int = 256) -> DataFrame:
         F.floor(th).cast("int").alias("target_height"),
         (long_side > box).alias("needs_resize"),
     ).orderBy("media_id")
+
+
+def phash_near_dupes(
+    feats: DataFrame,
+    *,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(a, b, hamming): near-duplicate media pairs by perceptual-hash-style
+    signatures over the decoded feature vectors — the image-dedup stage of
+    a multimodal pipeline (pHash/aHash family: bit i = feature i above the
+    item's own mean, so the signature is invariant to global
+    brightness/gain shifts).
+
+    Scale shape: identical to text MinHash-LSH — signatures band into
+    ``FEATURE_DIM / band_bits`` keys, candidates come from ONE equi-join
+    on (band, key), and only candidates pay the Hamming verify
+    (bit_count(xor) — a two-instruction codegen expression, no Python).
+    The mean fold and comparisons are strict left folds over doubles, so
+    a SQL oracle reproduces every signature bit.
+    """
+    dim = FEATURE_DIM
+    mean = f"aggregate(feature, cast(0 as double), (a, x) -> a + x) / {float(dim)!r}"
+    bits = " + ".join(
+        f"(case when element_at(feature, {i + 1}) > _m then {1 << i} else 0 end)"
+        for i in range(dim)
+    )
+    sigs = feats.withColumn("_m", F.expr(mean)).select(
+        "media_id", F.expr(bits).alias("sig")
+    )
+    n_bands = dim // band_bits
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        "media_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(sig, {b * band_bits}) & {mask}").alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col("media_id").alias("a"), F.col("sig").alias("sa"), "band", "key"
+    )
+    right = bands.select(
+        F.col("media_id").alias("b"), F.col("sig").alias("sb"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )

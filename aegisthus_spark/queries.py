@@ -1981,6 +1981,44 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+_PHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN f[{i + 1}] > m THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+
+@register(
+    "mm_phash_dedup",
+    f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id,
+             [CAST(CONCAT('0x', SUBSTR(md5(text), 2*i - 1, 2)) AS INT) / 255.0
+              FOR i IN range(1, 17)] AS f
+      FROM documents),
+    wm AS (SELECT media_id, f,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), f),
+                              (a, x) -> a + x) / 16.0 AS m
+           FROM feats),
+    sigs AS (SELECT media_id, {_PHASH_BITS_SQL} AS sig FROM wm),
+    bands AS (SELECT media_id, sig, b, (sig >> (b * 4)) & 15 AS key
+              FROM sigs, (SELECT unnest(range(4)) AS b)),
+    cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+                    l.sig AS sa, r.sig AS sb
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.key = r.key AND l.media_id < r.media_id)
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 2 ORDER BY a, b
+    """,
+    doc="multimodal near-dup detection: perceptual-hash signatures over "
+        "the decoded feature vectors (bit i = feature above the item "
+        "mean), 4x4-bit LSH bands for candidates, Hamming<=2 verify — "
+        "image-dedup machinery on the Arrow decode path",
+)
+def mm_phash_dedup(spark, sf_dir):
+    media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
+    feats = _mm.extract_features(media, decode_backend="fake")
+    return _mm.phash_near_dupes(feats, band_bits=4, max_hamming=2)
+
+
 @register(
     "q_cube_orders",
     """
@@ -3843,6 +3881,8 @@ GATE_TAIL = (
     #                      gated text_bm25_topk with a different score
     "q_cube_orders",  # CUBE = the grouping-set Expand of the gated
     #                      q_rollup_revenue over one table
+    "mm_phash_dedup",  # banding+hamming machinery of gated dedup_simhash/
+    #                      minhash over the gated mm_features decode path
 )
 
 

@@ -1177,3 +1177,21 @@ def test_unigram_logppl_rare_tokens_score_higher(spark):
     import math
 
     assert abs(out[1].avg_nll - (-math.log(6 / 8))) < 1e-5
+
+
+def test_phash_flags_brightness_shifted_copy(spark):
+    """pHash bit i = feature above the ITEM's own mean: a global gain shift
+    leaves every bit unchanged, so a brightness-shifted copy collides at
+    hamming 0 while unrelated items stay far apart."""
+    from aegisthus_spark.operators.multimodal import phash_near_dupes
+
+    base = [0.1, 0.9, 0.2, 0.8] * 4
+    shifted = [x * 1.5 + 0.05 for x in base]  # gain+offset: bits identical
+    other = [0.9, 0.1, 0.8, 0.2] * 4  # inverted pattern
+    feats = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)],
+        "media_id long, feature array<double>",
+    )
+    pairs = {(r.a, r.b): r.hamming for r in phash_near_dupes(feats).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

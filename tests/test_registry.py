@@ -83,6 +83,7 @@ def test_gate_window_fit():
         "q8_market_share": "q13_customer_distribution",
         "text_unigram_logppl": "text_bm25_topk",
         "q_cube_orders": "q_rollup_revenue",
+        "mm_phash_dedup": "mm_features",
         "ev_stream_topk_cms": "ev_distinct_sketch",
         "sim_matryoshka_rerank": "sim_cosine_ivf",
         "ev_stream_distinct_sketch": "ev_distinct_sketch",
