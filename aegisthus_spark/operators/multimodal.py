@@ -224,15 +224,16 @@ def phash_near_dupes(
     right = bands.select(
         F.col("media_id").alias("b"), F.col("sig").alias("sb"), "band", "key"
     )
-    cand = (
+    # Hamming verify BEFORE the distinct: the filter is a pure function of
+    # the distinct key (sa, sb ride with a, b), so only surviving pairs pay
+    # the dedup shuffle — at corpus scale most band collisions fail the
+    # verify and never shuffle
+    return (
         left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
         .orderBy("a", "b")
     )

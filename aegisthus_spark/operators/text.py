@@ -413,11 +413,14 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     are partitioning- and engine-independent.
     """
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    total = toks.count()
+    # lazy 1-row total cross-joined in (the oracle's tot CTE shape): no
+    # eager corpus scan at plan-construction time, one plan end-to-end
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    nll = -F.log(F.col("c").cast("double") / F.lit(float(total)))
+    nll = -F.log(F.col("c").cast("double") / F.col("_tot"))
     return (
         toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(

@@ -1981,8 +1981,14 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+# pHash geometry derived from the ONE feature-dimension constant so the
+# oracle can never silently diverge from the operator (operator derives
+# its bands/mask from the same numbers)
+_PHASH_DIM = _mm.FEATURE_DIM
+_PHASH_BAND_BITS = 4
 _PHASH_BITS_SQL = " + ".join(
-    f"(CASE WHEN f[{i + 1}] > m THEN {1 << i} ELSE 0 END)" for i in range(16)
+    f"(CASE WHEN f[{i + 1}] > m THEN {1 << i} ELSE 0 END)"
+    for i in range(_PHASH_DIM)
 )
 
 
@@ -1992,15 +1998,19 @@ _PHASH_BITS_SQL = " + ".join(
     WITH feats AS (
       SELECT doc_id AS media_id,
              [CAST(CONCAT('0x', SUBSTR(md5(text), 2*i - 1, 2)) AS INT) / 255.0
-              FOR i IN range(1, 17)] AS f
+              FOR i IN range(1, {_PHASH_DIM + 1})] AS f
       FROM documents),
     wm AS (SELECT media_id, f,
                   list_reduce(list_prepend(CAST(0 AS DOUBLE), f),
-                              (a, x) -> a + x) / 16.0 AS m
+                              (a, x) -> a + x) / {float(_PHASH_DIM)!r} AS m
            FROM feats),
     sigs AS (SELECT media_id, {_PHASH_BITS_SQL} AS sig FROM wm),
-    bands AS (SELECT media_id, sig, b, (sig >> (b * 4)) & 15 AS key
-              FROM sigs, (SELECT unnest(range(4)) AS b)),
+    bands AS (SELECT media_id, sig, b,
+                     (sig >> (b * {_PHASH_BAND_BITS}))
+                       & {(1 << _PHASH_BAND_BITS) - 1} AS key
+              FROM sigs,
+                   (SELECT unnest(range({_PHASH_DIM // _PHASH_BAND_BITS}))
+                    AS b)),
     cand AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b,
                     l.sig AS sa, r.sig AS sb
              FROM bands l JOIN bands r
@@ -2016,7 +2026,7 @@ _PHASH_BITS_SQL = " + ".join(
 def mm_phash_dedup(spark, sf_dir):
     media = _mm.attach_fake_media(_t(spark, sf_dir, "documents"))
     feats = _mm.extract_features(media, decode_backend="fake")
-    return _mm.phash_near_dupes(feats, band_bits=4, max_hamming=2)
+    return _mm.phash_near_dupes(feats, band_bits=_PHASH_BAND_BITS, max_hamming=2)
 
 
 @register(
@@ -2024,32 +2034,39 @@ def mm_phash_dedup(spark, sf_dir):
     """
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS gp,
+           CAST(GROUPING(o_orderstatus) AS INT) AS gs,
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
-    ORDER BY priority, status
+    ORDER BY priority, status, gp, gs
     """,
     doc="full CUBE over (priority, status): all four grouping sets in one "
-        "Expand pass — the cross-dimensional completion of the "
-        "hierarchical ROLLUP (q_rollup_revenue)",
+        "Expand pass, with GROUPING() flags so subtotal rows stay "
+        "distinguishable from genuine NULL dimension values — the "
+        "cross-dimensional completion of q_rollup_revenue's ROLLUP",
 )
 def q_cube_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
+            F.grouping("o_orderpriority").cast("int").alias("gp"),
+            F.grouping("o_orderstatus").cast("int").alias("gs"),
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gp",
+            "gs",
             "n_orders",
             "total_price",
         )
-        .orderBy("priority", "status")
+        .orderBy("priority", "status", "gp", "gs")
     )
 
 
