@@ -1,8 +1,15 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT final JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N,
+   "queries": {...top-5 slowest...}}
+
+Per-query timings for all registered queries go to stderr (one `# name:
+t` line each) AND to the sidecar file BENCH_DETAIL.json next to this
+script. Rationale: the driver captures only the tail of stdout (~2 KB);
+round 4's 97-query inline JSON (~3.5 KB) overflowed that window and the
+round recorded "parsed": null. The final stdout line must stay small.
 """
 
 from __future__ import annotations
@@ -45,14 +52,35 @@ def main():
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    detail = {
+        "metric": "bench_total_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# per-query detail written to {detail_path}", file=sys.stderr)
+
+    # Final stdout line: keep it SMALL (driver tail-captures ~2 KB of
+    # stdout). Only the totals plus the 5 slowest queries ride inline.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total_query_time",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
             }
         )
     )
