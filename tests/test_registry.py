@@ -13,84 +13,52 @@ queries and supplies its OWN SparkSession (configured solely through
   of relying on session conf alone.
 """
 
+import os
+import sys
+
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_gate_window_fit():
-    from aegisthus_spark.queries import GATE_TAIL, GATE_WINDOW, REGISTRY
+def test_gate_window_rotation():
+    """The window must hold exactly the GATE_WINDOW stalest queries:
+    never-driver-gated first, then oldest green round, ties by name —
+    so every query earns a driver correctness row every ~2 rounds and a
+    red query stays in the window until it re-earns green."""
+    from aegisthus_spark.queries import (
+        GATE_TAIL, GATE_WINDOW, REGISTRY, _LAST_GREEN, _gate_rank,
+    )
 
     names = list(REGISTRY)
     assert len(names) - len(GATE_TAIL) <= GATE_WINDOW
     # the demoted queries sit at the very end, in GATE_TAIL order
     assert tuple(names[-len(GATE_TAIL):]) == GATE_TAIL
-    # queries that were never driver-gated before round 4 are in the window
-    window = set(names[:GATE_WINDOW])
-    for must_gate in ("ev_value_rank", "text_bpe_pretokenize",
-                      "mm_thumbnail_plan", "ev_stream_latest",
-                      "ev_stream_dedup", "doc_split_assign",
-                      "doc_pack_sequences", "sim_knn_join",
-                      "ev_asof_join", "text_repetition",
-                      "doc_sample_balanced", "sim_quantized_topk",
-                      "ev_interval_join", "doc_decontaminate",
-                      # round-4 TPC-H surface batch: machinery nowhere else
-                      "q13_customer_distribution", "q17_small_qty_revenue",
-                      "q21_waiting_supplier", "q22_global_sales"):
-        assert must_gate in window, must_gate
-    # each tail query's oracle story is covered by an in-window sibling
-    siblings = {
-        "sst_decode_staged": "sst_decode_randomtable",
-        "aeg_compact_salted": "aeg_compact",
-        "text_tfidf_topk": "text_bm25_topk",
-        "ev_daily_rollup": "ev_stream_rollup",
-        "ev_funnel_signup_purchase": "ev_latest_per_user",
-        "mm_frame_plan": "mm_thumbnail_plan",
-        "q5_local_supplier_volume": "q3_shipping_priority",
-        "q14_promo_revenue": "q_rollup_revenue",
-        "dedup_ngram_jaccard": "dedup_minhash_lsh",
-        "text_langid": "text_quality",
-        "q6_revenue_forecast": "q_rollup_revenue",
-        "sim_cosine_topk": "sim_cosine_ivf",
-        # round-4 batch demotions (window room for sketch/kmeans/coverage/
-        # json + retention/moving-avg)
-        "q4_order_priority": "q3_shipping_priority",
-        "q10_returned_items": "q3_shipping_priority",
-        "dedup_embedding_nn": "sim_knn_join",
-        "mm_media_stats": "mm_features",
-        "text_token_stats": "text_quality",
-        "q18_large_volume_customers": "q3_shipping_priority",
-        "doc_sample_weighted": "doc_sample_balanced",
-        "graph_pagerank": "dedup_components",
-        "ev_daily_anomaly": "ev_moving_avg",
-        "ev_rollup_dense": "mm_thumbnail_plan",
-        "ev_value_quantile_binned": "ev_value_quantiles",
-        # round-4 TPC-H batch tail + demotions
-        "q7_volume_shipping": "q3_shipping_priority",
-        "q19_disjunctive_pred": "q3_shipping_priority",
-        "q1_pricing_summary": "q_rollup_revenue",
-        "doc_fingerprint": "text_bpe_pretokenize",
-        "dedup_exact": "dedup_minhash_lsh",
-        "dedup_simhash": "dedup_minhash_lsh",
-        # round-4 LLM-pipeline additions
-        "ev_topk_cms": "ev_distinct_sketch",
-        "sim_hybrid_rrf": "text_bm25_topk",
-        "dedup_semantic": "sim_kmeans_assign",
-        "graph_triangles": "dedup_minhash_lsh",
-        "dedup_containment": "dedup_minhash_lsh",
-        "doc_decontaminate_semantic": "sim_kmeans_assign",
-        "doc_export_shards": "doc_split_assign",
-        "q8_market_share": "q13_customer_distribution",
-        "text_unigram_logppl": "text_bm25_topk",
-        "q_cube_orders": "q_rollup_revenue",
-        "mm_phash_dedup": "mm_features",
-        "ev_stream_topk_cms": "ev_distinct_sketch",
-        "sim_matryoshka_rerank": "sim_cosine_ivf",
-        "ev_stream_distinct_sketch": "ev_distinct_sketch",
-    }
-    for tail, kept in siblings.items():
-        if tail in REGISTRY:
-            assert kept in window, f"{tail} demoted but {kept} not gated"
+
+    window = names[:len(names) - len(GATE_TAIL)]
+    expected_window = sorted(REGISTRY, key=_gate_rank)[:GATE_WINDOW]
+    assert sorted(window) == sorted(expected_window)
+
+    # every query with no green driver row ever is in the window
+    never_green = [n for n in names if n not in _LAST_GREEN]
+    assert len(never_green) <= GATE_WINDOW, (
+        "more never-gated queries than window seats — new registrations "
+        "must not outpace the rotation"
+    )
+    for n in never_green:
+        assert n in window, f"{n} has no driver row ever but sits in the tail"
+
+    # no in-window query is fresher than any tail query (pure staleness)
+    max_window_rank = max(_gate_rank(n) for n in window)
+    min_tail_rank = min(_gate_rank(n) for n in GATE_TAIL)
+    assert max_window_rank < min_tail_rank
+
+    # _LAST_GREEN matches the checked-in driver artifacts (refresh with
+    # tools/gate_rotation.py when a new CORRECTNESS_r*.json lands)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gate_rotation
+
+    assert gate_rotation.collect_last_green() == _LAST_GREEN
 
 
 def test_every_query_has_oracle_sql():
