@@ -98,7 +98,17 @@ def triangle_counts(
     direction union, no post-hoc dedup: the ordering makes each triangle
     appear exactly once. The per-vertex count is one explode + hash-agg.
     """
-    e = pairs.select("a", "b").localCheckpoint()  # one eval of the upstream
+    # normalize defensively: this is a public operator, not just the LSH
+    # funnel — reversed or duplicate edges would overcount triangles.
+    # least/greatest + distinct is a no-op on already-canonical input.
+    e = (
+        pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # one eval of the upstream
+    )
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))

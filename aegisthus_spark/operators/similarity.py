@@ -535,8 +535,13 @@ def semantic_match_flags(
             F.lit(None).cast("double").alias("best_cos"),
             F.lit(False).alias("flagged"),
         ).orderBy(id_col)
+    # zero-norm guard: nullif the denominator so a degenerate (all-zero)
+    # corpus or benchmark vector yields NULL cosine, not NaN — NaN orders
+    # differently between Spark's array_max and the DuckDB row_number
+    # oracle. NULL cosines sort below every real one (ck = -Infinity),
+    # surface as NULL best_cos, and never flag.
     structs = ", ".join(
-        "named_struct('c', round({dot} / (sqrt({nv}) * sqrt({nb})), 6), 'b', {bid})".format(
+        "named_struct('c', round({dot} / nullif(sqrt({nv}) * sqrt({nb}), 0d), 6), 'b', {bid})".format(
             dot=_dot_float(vec_col, _query_lit(v)),
             nv=_dot_float(vec_col, vec_col),
             nb=_dot_float(_query_lit(v), _query_lit(v)),
@@ -545,7 +550,9 @@ def semantic_match_flags(
         for bid, v in bench
     )
     best = F.expr(
-        f"array_max(transform(array({structs}), s -> named_struct('c', s.c, 'nb', -s.b)))"
+        f"array_max(transform(array({structs}), "
+        "s -> named_struct('ck', coalesce(s.c, double('-Infinity')), "
+        "'nb', -s.b, 'c', s.c)))"
     )
     return emb.select(
         id_col,
@@ -554,5 +561,5 @@ def semantic_match_flags(
         id_col,
         (-F.col("_m.nb")).cast("bigint").alias("best_bench"),
         F.col("_m.c").alias("best_cos"),
-        (F.col("_m.c") >= F.lit(tau)).alias("flagged"),
+        F.coalesce(F.col("_m.c") >= F.lit(tau), F.lit(False)).alias("flagged"),
     ).orderBy(id_col)

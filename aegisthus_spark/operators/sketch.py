@@ -141,7 +141,9 @@ def _cms_bucket(j: int, key_expr: str, w: int) -> str:
     row instead of d digests: the md5 is the dominant per-row cost of the
     sketch build (measured 4x on the stress bench), and the four words of
     a digest are independent for bucketing purposes."""
-    assert 0 <= j < 4, "md5 yields four 32-bit words; d <= 4"
+    if not 0 <= j < 4:  # not assert: must survive python -O, else the
+        # substring runs past the 32-char digest and yields NULL buckets
+        raise ValueError(f"md5 yields four 32-bit words; d <= 4 (got row {j})")
     return (
         f"cast(conv(substring(md5(cast({key_expr} as string)), {8 * j + 1}, 8),"
         f" 16, 10) as bigint) % {w}"

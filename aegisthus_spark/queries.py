@@ -89,6 +89,34 @@ def dec(col: str):
 from contextlib import contextmanager  # noqa: E402
 
 
+def _scratch_dir(name: str) -> str:
+    """A FIXED per-process scratch directory for queries that must write
+    files (staged decode, incremental snapshot, shard export) and return
+    a DataFrame that lazily reads them back.
+
+    mkdtemp-per-invocation leaks a full output copy on every call —
+    repeated driver/bench loops grow /tmp without bound. A fixed path,
+    truncated at the START of each invocation, bounds the footprint to
+    one copy per (process, query); the pid component keeps concurrent
+    sessions (pytest alongside the driver) apart, and the whole root is
+    removed at interpreter exit. The files must outlive the call (the
+    driver collects the returned DataFrame later), so cleanup cannot
+    happen on return.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"aeg_scratch_{os.getpid()}")
+    if not os.path.exists(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 @contextmanager
 def _stream_shuffle(spark: SparkSession, n: int = 8):
     """Scope a stateful-streaming drain to ``n`` shuffle partitions.
@@ -2092,9 +2120,7 @@ def _sst_decode_lines(
 
     stage_dir = None
     if stage:
-        import tempfile
-
-        stage_dir = tempfile.mkdtemp(prefix="aeg_stage_")
+        stage_dir = _scratch_dir("stage")
     cells = read_sstable_cells(
         spark,
         [f"{_SST_TESTDATA}/{case_dir}/input"],
@@ -2176,8 +2202,6 @@ def aeg_incremental_snapshot(spark, sf_dir):
     published snapshot back, strip the retained range tombstones, and
     render aeg-JSON. A correct implementation is byte-identical to the
     one-shot compact of all generations — the reference golden."""
-    import tempfile
-
     from .output import to_aeg_json
     from .sources import read_sstable_cells
     from .streaming.incremental import (
@@ -2190,7 +2214,7 @@ def aeg_incremental_snapshot(spark, sf_dir):
     files = sorted(r.source_path for r in cells.select("source_path").distinct().collect())
     half = files[len(files) // 2]
 
-    root = tempfile.mkdtemp(prefix="aeg_incr_")
+    root = _scratch_dir("incremental")
     cells_dir = f"{root}/cells"
     cells.filter(F.col("source_path") < half).coalesce(1).write.parquet(
         f"{cells_dir}/batch0.parquet"
@@ -3089,12 +3113,13 @@ def text_unigram_logppl(spark, sf_dir):
         "produced the deterministic layout",
 )
 def doc_export_shards(spark, sf_dir):
-    import tempfile
-
     from .operators.curation import export_shards
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="aeg_shards_")
+    # note the side effect: this query WRITES the shard tree (that's its
+    # point); _scratch_dir truncates the previous copy so repeated
+    # driver/bench loops don't leak temp directories
+    out = _scratch_dir("shards")
     return export_shards(docs, out, max_rows_per_file=64)
 
 
@@ -3106,18 +3131,19 @@ def doc_export_shards(spark, sf_dir):
     scored AS (
       SELECT e.vec_id, bench.b,
              round({_DOT_F_SQL.format(a='e.embedding', b='bench.bv')}
-                   / (sqrt({_DOT_F_SQL.format(a='e.embedding', b='e.embedding')})
-                      * sqrt({_DOT_F_SQL.format(a='bench.bv', b='bench.bv')})), 6)
+                   / nullif(sqrt({_DOT_F_SQL.format(a='e.embedding', b='e.embedding')})
+                            * sqrt({_DOT_F_SQL.format(a='bench.bv', b='bench.bv')}), 0), 6)
                AS c
       FROM embeddings e, bench WHERE e.vec_id >= 5),
     best AS (
       SELECT vec_id, b AS best_bench, c AS best_cos
       FROM (SELECT vec_id, b, c,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY c DESC, b) AS rn
+                                      ORDER BY c DESC NULLS LAST, b) AS rn
             FROM scored)
       WHERE rn = 1)
-    SELECT vec_id, best_bench, best_cos, best_cos >= 0.4 AS flagged
+    SELECT vec_id, best_bench, best_cos,
+           coalesce(best_cos >= 0.4, FALSE) AS flagged
     FROM best ORDER BY vec_id
     """,
     doc="semantic benchmark decontamination: nearest eval-set embedding per "

@@ -322,7 +322,8 @@ def sketch_bench(cpus: int, n_rows: int, n_keys: int) -> None:
         cms_top = [r.key for r in cms_heavy_hitters(df, "key", k=20).collect()]
         t5 = time.time()
         overlap = len(set(exact_top) & set(cms_top))
-        n_distinct = sum(exact.values())
+        n_distinct = df.select("key").distinct().count()  # keys shared across
+        # groups would double-count in sum(per-group distincts)
         print(
             f"rows={n}: kmv exact {t1-t0:.1f}s vs sketch {t2-t1:.1f}s "
             f"(max rel err {err:.1%}, state {len(exact)*M_REGISTERS} regs vs "
