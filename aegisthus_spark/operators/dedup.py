@@ -492,6 +492,18 @@ def semantic_dedup(
     left fold, engine-reproducible; rounded to 6 before the threshold) —
     the decimal formulation is reserved for oracles that need bit-parity
     on the SCORE, which a >= threshold does not.
+
+    **k-scaling CONTRACT — k must grow with the corpus.** Within-cluster
+    pair work is O(k * (N/k)^2) = O(N^2 / k): at FIXED k a 100x corpus
+    makes clusters 100x bigger and pair work 10,000x. Callers must scale
+    k ~ N / c for a chosen bounded cluster size c, which makes total pair
+    work O(N * c) — linear in the corpus. SemDeDup (Abbas et al. 2023,
+    §3) runs k ~ 10^4-10^5 on its web-scale corpora for exactly this
+    reason; the k=8/k=32 used by the registered queries are sf-scale
+    instances of the same ratio, not production constants. Measured:
+    `python tools/stress.py --semantic` doubles N with k scaled and
+    reports ~flat pairs-per-cluster / ~linear total candidate pairs,
+    versus superlinear growth when k is (wrongly) held fixed.
     """
     from .similarity import kmeans_assign, _dot_float
 

@@ -255,6 +255,81 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
     )
 
 
+def semantic_bench(cpus: int, n_docs: int) -> None:
+    """Measure semantic_dedup's k-scaling CONTRACT (k must grow with N).
+
+    Within-cluster candidate pairs are sum_c C(size_c, 2) ~ N^2 / (2k):
+    at FIXED k, doubling the corpus quadruples pair work; scaling
+    k ~ N / c (bounded cluster size c, the SemDeDup §3 regime) keeps
+    pairs-per-cluster flat and total pair work ~linear. This bench runs
+    the real kmeans_assign blocking at (N, k), (2N, 2k) and the
+    counterexample (2N, k fixed) and prints the measured candidate-pair
+    growth for each — expect ~2x when k scales, ~4x when it doesn't.
+
+    The corpus is generated DISTRIBUTED (spark.range + hash-derived
+    16-dim float vectors, no driver loops); every 10th vector is a
+    near-copy of its predecessor so clusters contain real near-dup
+    structure.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.similarity import kmeans_assign
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-semantic", cpus=cpus)
+    dim, c = 16, 500  # target bounded cluster size c
+
+    def corpus(n):
+        base = (
+            "if(id % 10 = 1, id - 1, id)"  # every 10th near-dups its neighbor
+        )
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(1, {dim}), j -> cast("
+                    f"pmod(hash({base} * 131 + j), 1000) / 1000.0"
+                    " + if(id % 10 = 1 and j = 1, 0.001, 0.0) as float))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint()  # exclude generation from the timing
+        )
+
+    def pair_space(n, k, emb):
+        t0 = time.time()
+        sizes = (
+            kmeans_assign(emb, k=k, iters=2)
+            .groupBy("cluster")
+            .count()
+        )
+        stats = sizes.agg(
+            F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+            F.max("count").alias("max_cluster"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        ).collect()[0]
+        dt = time.time() - t0
+        print(
+            f"N={n} k={k}: candidate_pairs={int(stats.pairs)} "
+            f"(max_cluster={stats.max_cluster}, "
+            f"{stats.n_clusters} non-empty clusters) assign {dt:.1f}s"
+        )
+        return int(stats.pairs)
+
+    emb1, emb2 = corpus(n_docs), corpus(2 * n_docs)
+    k1 = max(2, n_docs // c)
+    p_base = pair_space(n_docs, k1, emb1)
+    p_scaled = pair_space(2 * n_docs, 2 * k1, emb2)
+    p_fixed = pair_space(2 * n_docs, k1, emb2)
+    print(
+        f"scaling N->2N: pairs x{p_scaled/p_base:.2f} with k scaled "
+        f"(contract: ~2x, linear) vs x{p_fixed/p_base:.2f} with k FIXED "
+        "(N^2/k: ~4x, quadratic) — callers must scale k ~ N/c"
+    )
+
+
 def sketch_bench(cpus: int, n_rows: int, n_keys: int) -> None:
     """Sketch-vs-exact scaling: distinct-count (FM/KMV) and count-min
     heavy hitters against their exact counterparts at N and 2N rows.
@@ -349,6 +424,9 @@ def main() -> None:
     ap.add_argument("--sketch", action="store_true",
                     help="run the sketch-vs-exact (KMV distinct + CMS "
                          "heavy-hitter) scaling benchmark instead")
+    ap.add_argument("--semantic", action="store_true",
+                    help="run the semantic-dedup k-scaling benchmark "
+                         "(candidate pairs at N vs 2N, k scaled vs fixed)")
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
@@ -365,6 +443,9 @@ def main() -> None:
         return
     if args.sketch:
         sketch_bench(args.cpus, args.rows, args.keys)
+        return
+    if args.semantic:
+        semantic_bench(args.cpus, args.docs)
         return
 
     from aegisthus_spark.session import get_spark
