@@ -3,7 +3,7 @@ __spark_entry__._configure applied, NTZ inference left at the environment
 default beforehand), each query vs its DuckDB oracle at a given sf —
 replicating the per-round CORRECTNESS gate so red rows are caught locally.
 
-Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [sf_dir] [query ...] [--json] [--out FILE]
 """
 
 import os
@@ -43,8 +43,14 @@ def compare(spark_df, oracle_df, name):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--json"]
-    json_out = "--json" in sys.argv
+    argv = sys.argv[1:]
+    out_path = "DRIVER_SIM.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--json"]
+    json_out = "--json" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -101,9 +107,9 @@ def main():
             "gate_tail": list(GATE_TAIL),
             "results": results,
         }
-        with open("DRIVER_SIM.json", "w") as f:
+        with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
-        print("wrote DRIVER_SIM.json")
+        print(f"wrote {out_path}")
     sys.exit(1 if n_bad else 0)
 
 
