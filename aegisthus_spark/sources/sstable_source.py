@@ -327,14 +327,18 @@ def _decode_tasks(batches) -> "Iterator":
     import pyarrow as pa
 
     from ..sstable import cparse
-    from ..sstable.arrow_decode import scan_data_buffer_batches
+    from ..sstable.arrow_decode import scan_data_buffer_batches as _py_scan
     from ..sstable.compression import open_compressed
     from ..sstable.decoder import ROW_FIELDS, scan_data_file
 
     # gcc-compiled scanner when the host can build it (~30x the Python
-    # parse; byte-identical, parity-tested); pure-Python otherwise
-    if cparse.available():
-        scan_data_buffer_batches = cparse.scan_data_buffer_batches
+    # parse; byte-identical, parity-tested); pure-Python otherwise. The C
+    # twin implements the 2.x cell format only — 3.x+ ("ma") always takes
+    # the Python path, whose arrow_decode dispatches to modern.py.
+    def _pick_scanner(version: str):
+        if cparse.available() and version < "ma":
+            return cparse.scan_data_buffer_batches
+        return _py_scan
 
     schema = _arrow_cells_schema()
     assert tuple(f.name for f in schema) == ROW_FIELDS
@@ -363,7 +367,7 @@ def _decode_tasks(batches) -> "Iterator":
         for task in arrow_batch.to_pylist():
             try:
                 if task["compression_path"]:
-                    if cparse.available():
+                    if cparse.available() and task["version"] < "ma":
                         # decompress the split's chunk range to one buffer
                         # and C-scan it (batches buffered per split so a
                         # fallback can't double-emit)
@@ -395,7 +399,7 @@ def _decode_tasks(batches) -> "Iterator":
                     with open(task["path"], "rb") as fh, mmap.mmap(
                         fh.fileno(), 0, access=mmap.ACCESS_READ
                     ) as mm:
-                        yield from scan_data_buffer_batches(
+                        yield from _pick_scanner(task["version"])(
                             mm,
                             version=task["version"],
                             start=int(task["start"]),
@@ -536,7 +540,7 @@ def _task_cell_batches(task) -> "Iterator":
     schema = _arrow_cells_schema()
     try:
         if task["compression_path"]:
-            if cparse.available():
+            if cparse.available() and task["version"] < "ma":
                 yield from _scan_compressed_c(task)
                 return
             f = open_compressed(task["path"], task["compression_path"])
@@ -572,7 +576,7 @@ def _task_cell_batches(task) -> "Iterator":
         elif os.path.getsize(task["path"]) > 0:
             scanner = (
                 cparse.scan_data_buffer_batches
-                if cparse.available()
+                if cparse.available() and task["version"] < "ma"
                 else scan_data_buffer_batches
             )
             with open(task["path"], "rb") as fh, mmap.mmap(

@@ -172,7 +172,18 @@ def scan_data_buffer_batches(
     tested tuple path); only the materialization differs. ``skip_corrupt``:
     on a parse error, keep the cells decoded so far, append the corrupt-file
     sentinel row (kind '!', null key — P6), and end the stream.
+
+    3.x+ ("ma"...) inputs route to the modern row-format decoder and
+    come back as the same canonical batches (tuple materialization — the
+    vint/delta parse dominates there, not object building).
     """
+    if version >= "ma":
+        yield from _modern_batches(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation, batch_rows=batch_rows,
+            skip_corrupt=skip_corrupt,
+        )
+        return
     acc = _Acc(source_path, generation)
     try:
         yield from _scan_into(acc, data, version, start, end, batch_rows)
@@ -201,6 +212,41 @@ def scan_data_buffer_batches(
         # note: ts/row_deleted 0 (sentinel carries no data; only kind counts)
     if acc.n:
         yield acc.flush()
+
+
+def _modern_batches(
+    data, *, start, end, source_path, generation, batch_rows, skip_corrupt
+):
+    """RecordBatches from the 3.x decoder's ROW_FIELDS tuples."""
+    from .modern import scan_data_buffer_rows_modern
+
+    schema = _schema()
+
+    def flush(rows):
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(list(cols[i]), type=schema.field(i).type)
+             for i in range(len(ROW_FIELDS))],
+            schema=schema,
+        )
+
+    rows: list = []
+    try:
+        for row in scan_data_buffer_rows_modern(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation,
+        ):
+            rows.append(row)
+            if len(rows) >= batch_rows:
+                yield flush(rows)
+                rows = []
+    except Exception:
+        if not skip_corrupt:
+            raise
+        rows.append((source_path, generation, None, 0, "!", None, None,
+                     None, 0, None, None, None))
+    if rows:
+        yield flush(rows)
 
 
 #: fused per-kind field structs — one unpack_from (and one tuple) per cell

@@ -113,6 +113,19 @@ def scan_data_file(
     positioned at offset 0; we skip to ``start`` (a row boundary from the
     index) and stop starting new rows once pos >= end.
     """
+    if version >= "ma":
+        # the 3.x decoder is buffer-based (vint parsing wants random
+        # access); compressed 3.x streams are drained to memory first by
+        # the caller or routed here as chunk-mapped buffers
+        from .modern import scan_data_buffer_rows_modern
+
+        data = f.read()
+        for row in scan_data_buffer_rows_modern(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation,
+        ):
+            yield dict(zip(ROW_FIELDS, row))
+        return
     has_rs_cc = version < "ja"
     r = _Reader(f)
     if start > 0:
@@ -214,8 +227,18 @@ def scan_data_buffer(
     (bounded by the partition planner's target size) are read at once and
     parsed with ``unpack_from`` on a memoryview — no per-field stream reads,
     ~3x the streaming decoder's throughput. Compressed inputs use the
-    streaming path.
+    streaming path. 3.x+ ("ma"...) inputs route to the modern row-format
+    decoder (modern.py) and come back in the same canonical cell shape.
     """
+    if version >= "ma":
+        from .modern import scan_data_buffer_rows_modern
+
+        for row in scan_data_buffer_rows_modern(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation,
+        ):
+            yield dict(zip(ROW_FIELDS, row))
+        return
     has_rs_cc = version < "ja"
     buf = memoryview(data) if not isinstance(data, memoryview) else data
     u16 = _U16.unpack_from
@@ -358,6 +381,14 @@ def scan_data_buffer_rows(
     the Spark source's hot path (skips per-cell dict construction, which is
     ~40% of decode time; the source feeds tuples straight into Arrow
     batches)."""
+    if version >= "ma":
+        from .modern import scan_data_buffer_rows_modern
+
+        yield from scan_data_buffer_rows_modern(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation,
+        )
+        return
     has_rs_cc = version < "ja"
     buf = memoryview(data) if not isinstance(data, memoryview) else data
     u16 = _U16.unpack_from

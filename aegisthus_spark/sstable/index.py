@@ -18,7 +18,25 @@ from typing import BinaryIO, Iterator
 
 
 def scan_index_offsets(f: BinaryIO, *, version: str = "jb") -> Iterator[tuple[bytes, int]]:
-    """Yield (key, data_file_offset) per index entry."""
+    """Yield (key, data_file_offset) per index entry.
+
+    3.x+ big format (RowIndexEntry.serializer): position and
+    promoted-index size are unsigned vints instead of i64/i32."""
+    if version >= "ma":
+        data = f.read()
+        from .modern import read_unsigned_vint
+
+        o, total = 0, len(data)
+        while o + 2 <= total:
+            keylen = struct.unpack_from(">H", data, o)[0]
+            o += 2
+            key = data[o : o + keylen]
+            o += keylen
+            off, o = read_unsigned_vint(data, o)
+            promoted, o = read_unsigned_vint(data, o)
+            o += promoted
+            yield key, off
+        return
     has_promoted = version >= "ia"
     while True:
         hdr = f.read(2)

@@ -1,0 +1,661 @@
+"""Cassandra 3.x+ ("ma"/"mb"/"mc"...) big-format SSTable decoder.
+
+The reference engine stops at the 2.2 "la" format
+(SSTableColumnScanner.java:83-119 handles <= la only); this module takes
+the same pipeline to the 3.0 storage engine, where real clusters live
+today. Everything here implements the PUBLIC Cassandra 3.x on-disk
+format (org.apache.cassandra.db.rows.UnfilteredSerializer,
+ClusteringPrefix.Serializer, SerializationHeader.Component,
+EncodingStats, VIntCoding, Columns.serializeSubset — all Apache-2.0
+public source).
+
+Layout summary (version ma, uncompressed Data.db):
+
+    partition:
+        u16 key length, key bytes
+        DeletionTime: i32 localDeletionTime, i64 markedForDeleteAt (plain)
+        unfiltereds... until flags byte 0x01 (END_OF_PARTITION)
+
+    row:  flags u8 [extended u8]
+          clustering blocks (header vint per 32 cols, 2 bits each:
+              null/empty; values: fixed-size raw or uvint length+bytes)
+          uvint row-body-size, uvint prev-unfiltered-size
+          [uvint ts delta]            if HAS_TIMESTAMP  (pk liveness)
+          [uvint ttl d, uvint ldt d]  if HAS_TTL
+          [uvint mfda d, uvint ldt d] if HAS_DELETION   (row tombstone)
+          [uvint missing-col bitmap]  if !HAS_ALL_COLUMNS
+          cells per present column (cell flags u8, deltas, value)
+
+    marker: flags u8 (IS_MARKER)
+          bound kind u8, u16 n-values, clustering blocks
+          uvint body size, uvint prev size
+          DeletionTime deltas (x2 for boundaries: end then start)
+
+All timestamp/ldt/ttl fields are unsigned-vint DELTAS against the
+sstable's EncodingStats minima, which live in the SerializationHeader
+component of Statistics.db.
+
+**Output mapping — the design decision.** Decoded 3.x atoms are emitted
+as the repo's canonical 2.x-shaped cells (`decoder.ROW_FIELDS`) with
+2.x CompositeType cell names (u16 len + bytes + end-of-component byte
+per component; 0xFFFF prefix for statics):
+
+    cell (c1..cn, col)        -> name = comp(c1..cn, col), kind c/d/e
+    pk liveness               -> 2.x row marker: comp(c1..cn, "") kind c/e
+    row deletion @ (c1..cn)   -> kind 't', [comp(c1..cn) eoc 0x00,
+                                            comp(c1..cn) eoc 0x01]
+    complex deletion @ col    -> kind 't' over the comp(c1..cn, col) prefix
+    complex cell w/ path      -> name = comp(c1..cn, col, path)
+    RT marker open..close     -> kind 't' with the matched bound pair
+    static cell               -> name = 0xFFFF + comp(col), kind c/d/e
+    partition deletion        -> row_deleted_at on every cell ('r' if empty)
+
+so `compact()`, `cql.py` group assembly and aeg-JSON output run
+UNCHANGED on 3.x input: the inclusive byte-range coverage check
+`min <= name <= max` (compact.py J2) holds because a composite prefix
+with final end-of-component byte 0x00 sorts <= every extension and the
+same prefix with 0x01 sorts > every extension.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+LONG_MIN = -(1 << 63)
+U64_MASK = (1 << 64) - 1
+
+# EncodingStats epochs (EncodingStats.java: 2015-09-22 00:00:00 UTC)
+TIMESTAMP_EPOCH = 1442880000 * 1_000_000  # micros
+DELETION_TIME_EPOCH = 1442880000  # seconds
+TTL_EPOCH = 0
+NO_DELETION_LDT = 2147483647  # Integer.MAX_VALUE = DeletionTime.LIVE ldt
+
+# UnfilteredSerializer flags
+END_OF_PARTITION = 0x01
+IS_MARKER = 0x02
+HAS_TIMESTAMP = 0x04
+HAS_TTL = 0x08
+HAS_DELETION = 0x10
+HAS_ALL_COLUMNS = 0x20
+HAS_COMPLEX_DELETION = 0x40
+EXTENSION_FLAG = 0x80
+# extended flags
+IS_STATIC = 0x01
+
+# Cell serializer flags
+CELL_IS_DELETED = 0x01
+CELL_IS_EXPIRING = 0x02
+CELL_HAS_EMPTY_VALUE = 0x04
+CELL_USE_ROW_TIMESTAMP = 0x08
+CELL_USE_ROW_TTL = 0x10
+
+# ClusteringPrefix.Kind ordinals (bound/boundary serialization)
+KIND_EXCL_END_BOUND = 0
+KIND_INCL_START_BOUND = 1
+KIND_EXCL_END_INCL_START_BOUNDARY = 2
+KIND_STATIC_CLUSTERING = 3
+KIND_CLUSTERING = 4
+KIND_INCL_END_EXCL_START_BOUNDARY = 5
+KIND_INCL_END_BOUND = 6
+KIND_EXCL_START_BOUND = 7
+
+_U16 = struct.Struct(">H")
+_I32 = struct.Struct(">i")
+_I64 = struct.Struct(">q")
+
+_MARSHAL = "org.apache.cassandra.db.marshal."
+
+#: AbstractType.valueLengthIfFixed() for the fixed-size marshal types;
+#: anything absent is variable-length (uvint length prefix).
+FIXED_SIZES = {
+    _MARSHAL + "Int32Type": 4,
+    _MARSHAL + "LongType": 8,
+    _MARSHAL + "BooleanType": 1,
+    _MARSHAL + "ByteType": 1,
+    _MARSHAL + "ShortType": 2,
+    _MARSHAL + "FloatType": 4,
+    _MARSHAL + "DoubleType": 8,
+    _MARSHAL + "TimestampType": 8,
+    _MARSHAL + "DateType": 8,
+    _MARSHAL + "SimpleDateType": 4,
+    _MARSHAL + "TimeType": 8,
+    _MARSHAL + "UUIDType": 16,
+    _MARSHAL + "TimeUUIDType": 16,
+    _MARSHAL + "LexicalUUIDType": 16,
+    _MARSHAL + "EmptyType": 0,
+}
+
+
+def unwrap_reversed(type_name: str) -> str:
+    t = type_name.strip()
+    if t.startswith(_MARSHAL + "ReversedType(") and t.endswith(")"):
+        return t[len(_MARSHAL + "ReversedType(") : -1].strip()
+    return t
+
+
+def fixed_size_of(type_name: str) -> int:
+    """valueLengthIfFixed: byte width for fixed types, -1 for variable."""
+    return FIXED_SIZES.get(unwrap_reversed(type_name), -1)
+
+
+def is_complex(type_name: str) -> bool:
+    """Non-frozen collections/UDTs are multi-cell ('complex') columns."""
+    t = unwrap_reversed(type_name)
+    for c in ("ListType(", "SetType(", "MapType("):
+        if t.startswith(_MARSHAL + c):
+            return True
+    # non-frozen UDTs are multi-cell from 3.6+; treat them as complex too
+    return t.startswith(_MARSHAL + "UserType(")
+
+
+# ---------------------------------------------------------------------------
+# Cassandra vint codec (VIntCoding.java)
+# ---------------------------------------------------------------------------
+
+def read_unsigned_vint(buf, o: int) -> tuple[int, int]:
+    """(value, next offset). First byte's leading-one count = extra bytes."""
+    first = buf[o]
+    o += 1
+    if first < 0x80:
+        return first, o
+    # number of leading ones
+    extra = 0
+    b = first
+    while b & 0x80:
+        extra += 1
+        b = (b << 1) & 0xFF
+    value = first & (0xFF >> extra)
+    for _ in range(extra):
+        value = (value << 8) | buf[o]
+        o += 1
+    return value, o
+
+
+def read_unsigned_vint_signed64(buf, o: int) -> tuple[int, int]:
+    """Unsigned vint reinterpreted as a signed 64-bit long (deltas can
+    round-trip negative longs through the unsigned encoding)."""
+    v, o = read_unsigned_vint(buf, o)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, o
+
+
+def read_vint(buf, o: int) -> tuple[int, int]:
+    """Signed (zigzag) vint."""
+    v, o = read_unsigned_vint(buf, o)
+    return (v >> 1) ^ -(v & 1), o
+
+
+def write_unsigned_vint(value: int) -> bytes:
+    value &= U64_MASK
+    if value < 0x80:
+        return bytes([value])
+    # total size in bytes (VIntCoding.computeUnsignedVIntSize)
+    bits = value.bit_length()
+    size = 9 if bits > 56 else 1 + (bits - 1) // 7
+    extra = size - 1
+    if extra == 8:
+        return bytes([0xFF]) + value.to_bytes(8, "big")
+    first = (value >> (8 * extra)) | (~(0xFF >> extra) & 0xFF)
+    return bytes([first]) + (value & ((1 << (8 * extra)) - 1)).to_bytes(extra, "big")
+
+
+def write_vint(value: int) -> bytes:
+    return write_unsigned_vint(((value >> 63) & U64_MASK) ^ ((value << 1) & U64_MASK))
+
+
+def vint_len(value: int) -> int:
+    return len(write_unsigned_vint(value))
+
+
+# ---------------------------------------------------------------------------
+# SerializationHeader (Statistics.db HEADER component)
+# ---------------------------------------------------------------------------
+
+#: MetadataType ordinals in the Statistics.db table of contents
+METADATA_VALIDATION, METADATA_COMPACTION, METADATA_STATS, METADATA_HEADER = 0, 1, 2, 3
+
+
+@dataclass(frozen=True)
+class SerializationHeader:
+    """The subset of SerializationHeader.Component a scan needs."""
+
+    min_timestamp: int
+    min_local_deletion_time: int
+    min_ttl: int
+    key_type: str
+    clustering_types: tuple = ()
+    static_columns: tuple = ()  # ((name bytes, type str), ...) name-sorted
+    regular_columns: tuple = ()
+
+
+def _read_with_vint_length(buf, o: int) -> tuple[bytes, int]:
+    n, o = read_unsigned_vint(buf, o)
+    return bytes(buf[o : o + n]), o + n
+
+
+def parse_serialization_header(data: bytes) -> SerializationHeader:
+    """Parse Statistics.db bytes -> the HEADER component."""
+    buf = memoryview(data)
+    (count,) = _I32.unpack_from(buf, 0)
+    header_off = None
+    for i in range(count):
+        typ, off = struct.unpack_from(">ii", buf, 4 + 8 * i)
+        if typ == METADATA_HEADER:
+            header_off = off
+    if header_off is None:
+        raise ValueError("Statistics.db has no serialization-header component")
+    o = header_off
+    # EncodingStats: three unsigned-vint deltas against the fixed epochs
+    d, o = read_unsigned_vint_signed64(buf, o)
+    min_ts = TIMESTAMP_EPOCH + d
+    d, o = read_unsigned_vint_signed64(buf, o)
+    min_ldt = DELETION_TIME_EPOCH + d
+    d, o = read_unsigned_vint_signed64(buf, o)
+    min_ttl = TTL_EPOCH + d
+    key_type_b, o = _read_with_vint_length(buf, o)
+    n_clustering, o = read_unsigned_vint(buf, o)
+    clustering = []
+    for _ in range(n_clustering):
+        t, o = _read_with_vint_length(buf, o)
+        clustering.append(t.decode())
+
+    def read_columns(o):
+        n, o = read_unsigned_vint(buf, o)
+        cols = []
+        for _ in range(n):
+            name, o = _read_with_vint_length(buf, o)
+            t, o = _read_with_vint_length(buf, o)
+            cols.append((name, t.decode()))
+        return tuple(cols), o
+
+    statics, o = read_columns(o)
+    regulars, o = read_columns(o)
+    return SerializationHeader(
+        min_timestamp=min_ts,
+        min_local_deletion_time=min_ldt,
+        min_ttl=min_ttl,
+        key_type=key_type_b.decode(),
+        clustering_types=tuple(clustering),
+        static_columns=statics,
+        regular_columns=regulars,
+    )
+
+
+def header_for_data_file(data_path: str) -> SerializationHeader:
+    """Locate + parse the Statistics.db sibling of a Data.db path."""
+    from .descriptor import parse_filename
+
+    d = parse_filename(data_path)
+    stats = os.path.join(os.path.dirname(data_path), d.sibling("Statistics.db"))
+    with open(stats, "rb") as f:
+        return parse_serialization_header(f.read())
+
+
+# ---------------------------------------------------------------------------
+# 2.x composite-name construction (the output mapping)
+# ---------------------------------------------------------------------------
+
+def composite(components: list[bytes], eoc: int = 0, static: bool = False) -> bytes:
+    """2.x CompositeType encoding: per component u16 length + bytes +
+    end-of-component byte (0 everywhere except ``eoc`` on the last)."""
+    out = bytearray()
+    if static:
+        out += b"\xff\xff"
+    last = len(components) - 1
+    for i, c in enumerate(components):
+        out += _U16.pack(len(c))
+        out += c
+        out.append(eoc & 0xFF if i == last else 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Data.db scanner
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Ctx:
+    """Per-file decode context."""
+
+    header: SerializationHeader
+    source_path: str = ""
+    generation: int = 0
+    # fixed sizes resolved once
+    clustering_sizes: tuple = ()
+    regular_meta: tuple = ()  # ((name, type, fixed_size, complex), ...)
+    static_meta: tuple = ()
+
+    @classmethod
+    def build(cls, header, source_path, generation):
+        return cls(
+            header=header,
+            source_path=source_path,
+            generation=generation,
+            clustering_sizes=tuple(fixed_size_of(t) for t in header.clustering_types),
+            regular_meta=tuple(
+                (name, t, fixed_size_of(t), is_complex(t))
+                for name, t in header.regular_columns
+            ),
+            static_meta=tuple(
+                (name, t, fixed_size_of(t), is_complex(t))
+                for name, t in header.static_columns
+            ),
+        )
+
+
+def _read_value(buf, o: int, fixed: int) -> tuple[bytes, int]:
+    if fixed >= 0:
+        return bytes(buf[o : o + fixed]), o + fixed
+    n, o = read_unsigned_vint(buf, o)
+    if n < 0 or o + n > len(buf):
+        raise ValueError("corrupt ma SSTable: bad value length")
+    return bytes(buf[o : o + n]), o + n
+
+
+def _read_clustering_values(buf, o: int, sizes, count: int) -> tuple[list, int]:
+    """ClusteringPrefix.serializeValuesWithoutSize: per 32 columns one
+    unsigned-vint header (2 bits each: bit0 empty, bit1 null), then the
+    non-null non-empty values."""
+    values: list = []
+    i = 0
+    while i < count:
+        limit = min(count, i + 32)
+        hdr, o = read_unsigned_vint(buf, o)
+        base = i
+        while i < limit:
+            shift = (i - base) * 2
+            if hdr & (1 << (shift + 1)):
+                values.append(None)
+            elif hdr & (1 << shift):
+                values.append(b"")
+            else:
+                v, o = _read_value(buf, o, sizes[i])
+                values.append(v)
+            i += 1
+    return values, o
+
+
+def _read_column_subset(buf, o: int, superset) -> tuple[list, int]:
+    """Columns.serializer.deserializeSubset for supersets < 64 columns:
+    unsigned-vint bitmap, set bit i = superset column i is ABSENT."""
+    encoded, o = read_unsigned_vint(buf, o)
+    if encoded == 0:
+        return list(superset), o
+    if len(superset) >= 64:
+        raise NotImplementedError(
+            "ma decode: >=64-column subset encoding not supported"
+        )
+    cols = []
+    for i, col in enumerate(superset):
+        if not (encoded >> i) & 1:
+            cols.append(col)
+    return cols, o
+
+
+def _s64(v: int) -> int:
+    """Wrap to signed 64-bit, mirroring Java long arithmetic: the delta
+    encoding of sentinel values (e.g. LIVE's markedForDeleteAt =
+    Long.MIN_VALUE) relies on two's-complement wraparound to round-trip."""
+    return ((v + (1 << 63)) & U64_MASK) - (1 << 63)
+
+
+def _read_deletion_time_deltas(buf, o: int, h: SerializationHeader):
+    """SerializationHeader.readDeletionTime: mfda then ldt, both deltas."""
+    d, o = read_unsigned_vint_signed64(buf, o)
+    mfda = _s64(h.min_timestamp + d)
+    d, o = read_unsigned_vint_signed64(buf, o)
+    ldt = _s64(h.min_local_deletion_time + d)
+    return mfda, ldt, o
+
+
+def scan_data_buffer_rows_modern(
+    data,
+    *,
+    source_path: str = "",
+    generation: int = 0,
+    start: int = 0,
+    end: int | None = None,
+    header: SerializationHeader | None = None,
+) -> Iterator[tuple]:
+    """Decode a 3.x big-format Data.db byte range into canonical
+    ROW_FIELDS tuples (see module docstring for the mapping). ``start``
+    must sit on a partition boundary (Index.db offsets); partitions that
+    START before ``end`` are decoded completely, mirroring the 2.x split
+    contract."""
+    if header is None:
+        header = header_for_data_file(source_path)
+    ctx = _Ctx.build(header, source_path, generation)
+    buf = memoryview(data) if not isinstance(data, memoryview) else data
+    h = ctx.header
+    o = start
+    stop = end if end is not None else len(buf)
+    total = len(buf)
+
+    while o < stop:
+        if o + 2 > total:
+            return
+        (keysize,) = _U16.unpack_from(buf, o)
+        o += 2
+        if o + keysize > total:
+            raise ValueError("corrupt ma SSTable: key extends past buffer")
+        key = bytes(buf[o : o + keysize])
+        o += keysize
+        # partition-level DeletionTime is PLAIN (not delta): i32 ldt, i64 mfda
+        (part_ldt,) = _I32.unpack_from(buf, o)
+        (part_mfda,) = _I64.unpack_from(buf, o + 4)
+        o += 12
+        deleted_at = part_mfda
+
+        emitted = 0
+        open_rt: list = []  # stack of (start_name, mfda, ldt) from markers
+        while True:
+            flags = buf[o]
+            o += 1
+            if flags & END_OF_PARTITION:
+                break
+            if flags & IS_MARKER:
+                rows, o = _decode_marker(buf, o, ctx, key, deleted_at, open_rt)
+                for r_out in rows:
+                    yield r_out
+                    emitted += 1
+                continue
+            extended = 0
+            if flags & EXTENSION_FLAG:
+                extended = buf[o]
+                o += 1
+            static = bool(extended & IS_STATIC)
+            if static:
+                clustering: list = []
+            else:
+                clustering, o = _read_clustering_values(
+                    buf, o, ctx.clustering_sizes, len(ctx.clustering_sizes)
+                )
+                if any(c is None for c in clustering):
+                    raise ValueError("corrupt ma SSTable: null clustering value")
+            _body_size, o = read_unsigned_vint(buf, o)
+            _prev_size, o = read_unsigned_vint(buf, o)
+
+            row_ts = None
+            row_ttl = None
+            row_ldt = None
+            if flags & HAS_TIMESTAMP:
+                d, o = read_unsigned_vint_signed64(buf, o)
+                row_ts = _s64(h.min_timestamp + d)
+            if flags & HAS_TTL:
+                d, o = read_unsigned_vint_signed64(buf, o)
+                row_ttl = h.min_ttl + d
+                d, o = read_unsigned_vint_signed64(buf, o)
+                row_ldt = h.min_local_deletion_time + d
+
+            if flags & HAS_DELETION:
+                del_mfda, del_ldt, o = _read_deletion_time_deltas(buf, o, h)
+                # 3.x row tombstone == 2.x range tombstone over the
+                # clustering prefix (inclusive byte range, see docstring)
+                yield (ctx.source_path, ctx.generation, key, deleted_at, "t",
+                       composite(clustering, eoc=0x00),
+                       composite(clustering, eoc=0x01),
+                       None, del_mfda, None, del_ldt, None)
+                emitted += 1
+
+            meta = ctx.static_meta if static else ctx.regular_meta
+            if flags & HAS_ALL_COLUMNS:
+                cols = list(meta)
+            else:
+                cols, o = _read_column_subset(buf, o, meta)
+
+            if row_ts is not None:
+                # pk liveness -> 2.x CQL row marker (empty last component)
+                marker_name = composite(clustering + [b""], static=static)
+                if row_ttl is not None:
+                    yield (ctx.source_path, ctx.generation, key, deleted_at,
+                           "e", marker_name, None, b"", row_ts, row_ttl,
+                           row_ldt, None)
+                else:
+                    yield (ctx.source_path, ctx.generation, key, deleted_at,
+                           "c", marker_name, None, b"", row_ts, None, None,
+                           None)
+                emitted += 1
+
+            for name, _t, fixed, cplx in cols:
+                if cplx:
+                    if flags & HAS_COMPLEX_DELETION:
+                        cd_mfda, cd_ldt, o = _read_deletion_time_deltas(buf, o, h)
+                        if cd_mfda != LONG_MIN:
+                            prefix = clustering + [name]
+                            yield (ctx.source_path, ctx.generation, key,
+                                   deleted_at, "t",
+                                   composite(prefix, eoc=0x00, static=static),
+                                   composite(prefix, eoc=0x01, static=static),
+                                   None, cd_mfda, None, cd_ldt, None)
+                            emitted += 1
+                    n_cells, o = read_unsigned_vint(buf, o)
+                    for _ in range(n_cells):
+                        row_out, o = _decode_cell(
+                            buf, o, ctx, key, deleted_at, clustering, name,
+                            -1, static, row_ts, row_ttl, row_ldt,
+                            complex_col=True,
+                        )
+                        yield row_out
+                        emitted += 1
+                else:
+                    row_out, o = _decode_cell(
+                        buf, o, ctx, key, deleted_at, clustering, name,
+                        fixed, static, row_ts, row_ttl, row_ldt,
+                        complex_col=False,
+                    )
+                    yield row_out
+                    emitted += 1
+
+        if open_rt:
+            raise ValueError("corrupt ma SSTable: unclosed range tombstone bound")
+        if emitted == 0:
+            # empty partition: preserve key + deletion (P7, like 2.x)
+            yield (ctx.source_path, ctx.generation, key, deleted_at, "r",
+                   None, None, None, LONG_MIN, None, None, None)
+
+
+def _decode_cell(
+    buf, o, ctx, key, deleted_at, clustering, col_name, fixed, static,
+    row_ts, row_ttl, row_ldt, *, complex_col,
+):
+    """Cell.serializer.deserialize -> one canonical cell tuple."""
+    h = ctx.header
+    cflags = buf[o]
+    o += 1
+    is_deleted = bool(cflags & CELL_IS_DELETED)
+    is_expiring = bool(cflags & CELL_IS_EXPIRING)
+    has_value = not (cflags & CELL_HAS_EMPTY_VALUE)
+    if cflags & CELL_USE_ROW_TIMESTAMP:
+        ts = row_ts
+    else:
+        d, o = read_unsigned_vint_signed64(buf, o)
+        ts = _s64(h.min_timestamp + d)
+    ldt = None
+    ttl = None
+    if is_deleted or is_expiring:
+        if cflags & CELL_USE_ROW_TTL:
+            ldt, ttl = row_ldt, row_ttl
+        else:
+            d, o = read_unsigned_vint_signed64(buf, o)
+            ldt = h.min_local_deletion_time + d
+            if is_expiring:
+                d, o = read_unsigned_vint_signed64(buf, o)
+                ttl = h.min_ttl + d
+    path = None
+    if complex_col:
+        path, o = _read_value(buf, o, -1)  # collection cell path: uvint+bytes
+    value = b""
+    if has_value:
+        value, o = _read_value(buf, o, fixed)
+
+    comps = list(clustering) + [col_name] + ([path] if path is not None else [])
+    name = composite(comps, static=static)
+    if is_deleted:
+        # 2.x DeletedColumn: value payload is its i32 localDeletionTime
+        row = (ctx.source_path, ctx.generation, key, deleted_at, "d", name,
+               None, _I32.pack(ldt if ldt is not None else 0), ts, None,
+               ldt, None)
+    elif is_expiring:
+        row = (ctx.source_path, ctx.generation, key, deleted_at, "e", name,
+               None, value, ts, ttl, ldt, None)
+    else:
+        row = (ctx.source_path, ctx.generation, key, deleted_at, "c", name,
+               None, value, ts, None, None, None)
+    return row, o
+
+
+def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
+    """RangeTombstone bound/boundary marker -> (rows to emit, new offset).
+
+    An open bound pushes (start composite, deletion) onto ``open_rt``; the
+    matching close bound emits one 't' cell for the range. A boundary
+    closes the current range and opens the next one at the same
+    clustering prefix (the 3.x encoding of adjacent ranges)."""
+    h = ctx.header
+    kind = buf[o]
+    o += 1
+    (n_values,) = _U16.unpack_from(buf, o)
+    o += 2
+    values, o = _read_clustering_values(buf, o, ctx.clustering_sizes, n_values)
+    values = [v if v is not None else b"" for v in values]
+    _body, o = read_unsigned_vint(buf, o)
+    _prev, o = read_unsigned_vint(buf, o)
+
+    is_boundary = kind in (
+        KIND_EXCL_END_INCL_START_BOUNDARY,
+        KIND_INCL_END_EXCL_START_BOUNDARY,
+    )
+    is_start = kind in (KIND_INCL_START_BOUND, KIND_EXCL_START_BOUND)
+
+    out = []
+    if is_boundary:
+        end_mfda, end_ldt, o = _read_deletion_time_deltas(buf, o, h)
+        start_mfda, start_ldt, o = _read_deletion_time_deltas(buf, o, h)
+        if not open_rt:
+            raise ValueError("corrupt ma SSTable: boundary without open bound")
+        start_name, mfda, ldt = open_rt.pop()
+        if (mfda, ldt) != (end_mfda, end_ldt):
+            raise ValueError("corrupt ma SSTable: boundary deletion mismatch")
+        out.append((ctx.source_path, ctx.generation, key, deleted_at, "t",
+                    start_name, composite(values, eoc=0x01), None, mfda,
+                    None, ldt, None))
+        open_rt.append((composite(values, eoc=0x00), start_mfda, start_ldt))
+        return out, o
+    mfda, ldt, o = _read_deletion_time_deltas(buf, o, h)
+    if is_start:
+        open_rt.append((composite(values, eoc=0x00), mfda, ldt))
+        return out, o
+    # end bound: close the open range
+    if not open_rt:
+        raise ValueError("corrupt ma SSTable: end bound without open bound")
+    start_name, s_mfda, s_ldt = open_rt.pop()
+    if (s_mfda, s_ldt) != (mfda, ldt):
+        raise ValueError("corrupt ma SSTable: bound deletion mismatch")
+    out.append((ctx.source_path, ctx.generation, key, deleted_at, "t",
+                start_name, composite(values, eoc=0x01), None, s_mfda, None,
+                s_ldt, None))
+    return out, o

@@ -1,0 +1,439 @@
+"""Cassandra 3.x ("ma") big-format decode tests.
+
+The decode path is pinned three ways so a writer/decoder co-bug cannot
+self-certify:
+
+1. HAND-WRITTEN Data.db bytes (built field-by-field in the test from the
+   public format spec, not via modern_writer) decode to exact cells;
+2. writer -> decoder golden roundtrips over every atom kind (markers,
+   row/partition/complex deletions, statics, TTLs, collection paths);
+3. the decoded cells flow through the UNCHANGED 2.x pipeline
+   (read_sstable_cells -> compact -> to_aeg_json) and honor LWW +
+   tombstone semantics — the point of the composite-name mapping.
+"""
+
+import os
+import struct
+
+import pytest
+
+from aegisthus_spark.sstable.modern import (
+    DELETION_TIME_EPOCH,
+    KIND_EXCL_END_INCL_START_BOUNDARY,
+    KIND_INCL_END_BOUND,
+    KIND_INCL_START_BOUND,
+    LONG_MIN,
+    NO_DELETION_LDT,
+    SerializationHeader,
+    composite,
+    parse_serialization_header,
+    read_unsigned_vint,
+    read_vint,
+    scan_data_buffer_rows_modern,
+    write_unsigned_vint,
+    write_vint,
+)
+from aegisthus_spark.sstable.modern_writer import (
+    UTF8,
+    _serialize_header_component,
+    write_sstable_ma,
+    write_statistics_db,
+)
+
+LONG = "org.apache.cassandra.db.marshal.LongType"
+INT32 = "org.apache.cassandra.db.marshal.Int32Type"
+LIST_UTF8 = f"org.apache.cassandra.db.marshal.ListType({UTF8})"
+
+
+# ---------------------------------------------------------------------------
+# vint codec
+# ---------------------------------------------------------------------------
+
+def test_vint_known_encodings():
+    # spec: leading-one count of the first byte = number of extra bytes
+    assert write_unsigned_vint(0) == b"\x00"
+    assert write_unsigned_vint(127) == b"\x7f"
+    assert write_unsigned_vint(128) == b"\x80\x80"
+    assert write_unsigned_vint(0x3FFF) == b"\xbf\xff"  # 14 bits max in 2 bytes
+    assert write_unsigned_vint(0x4000) == b"\xc0\x40\x00"
+    assert write_unsigned_vint((1 << 64) - 1) == b"\xff" + b"\xff" * 8
+    # negative longs ride the unsigned encoding as their 2^64 complement
+    assert write_unsigned_vint(-1) == b"\xff" + b"\xff" * 8
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 255, 256, 0x3FFF, 0x4000,
+                               1 << 20, 1 << 42, (1 << 56) - 1, 1 << 56,
+                               (1 << 63) - 1])
+def test_unsigned_vint_roundtrip(v):
+    b = write_unsigned_vint(v)
+    got, n = read_unsigned_vint(b, 0)
+    assert (got, n) == (v, len(b))
+
+
+@pytest.mark.parametrize("v", [0, -1, 1, -64, 63, 64, -65, 1 << 40, -(1 << 40)])
+def test_signed_vint_roundtrip(v):
+    b = write_vint(v)
+    got, n = read_vint(b, 0)
+    assert (got, n) == (v, len(b))
+
+
+def test_vint_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    def check(v):
+        got, _ = read_unsigned_vint(write_unsigned_vint(v), 0)
+        assert got == v
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# hand-written bytes (independent of modern_writer)
+# ---------------------------------------------------------------------------
+
+def test_hand_built_partition_decodes():
+    """One partition, one row (pk liveness ts=1000), one UTF8 cell
+    ('v' -> 'hi', ts=1001), serialized by hand per the public format."""
+    h = SerializationHeader(
+        min_timestamp=1000,
+        min_local_deletion_time=DELETION_TIME_EPOCH,
+        min_ttl=0,
+        key_type=UTF8,
+        clustering_types=(),
+        static_columns=(),
+        regular_columns=((b"v", UTF8),),
+    )
+    body = bytes([
+        0x00,              # liveness ts delta (1000 - 1000)
+        0x00,              # cell flags: live, has value, own ts
+        0x01,              # cell ts delta (1001 - 1000)
+        0x02, 0x68, 0x69,  # value: uvint len 2 + "hi"
+    ])
+    data = (
+        struct.pack(">H", 1) + b"k"                       # partition key
+        + struct.pack(">i", NO_DELETION_LDT)              # live partition
+        + struct.pack(">q", LONG_MIN)
+        + bytes([0x24])                                   # HAS_TIMESTAMP|HAS_ALL_COLUMNS
+        + bytes([len(body) + 1])                          # body size (+ prev vint)
+        + bytes([0x00])                                   # prev size
+        + body
+        + bytes([0x01])                                   # END_OF_PARTITION
+    )
+    rows = list(scan_data_buffer_rows_modern(data, source_path="x", header=h))
+    assert rows == [
+        ("x", 0, b"k", LONG_MIN, "c", b"\x00\x00\x00", None, b"", 1000,
+         None, None, None),                               # 2.x row marker
+        ("x", 0, b"k", LONG_MIN, "c", b"\x00\x01v\x00", None, b"hi", 1001,
+         None, None, None),
+    ]
+
+
+def test_hand_built_statistics_header_parses():
+    """Statistics.db TOC + HEADER component built by hand."""
+    comp = (
+        write_unsigned_vint(5)          # minTimestamp = EPOCH + 5
+        + write_unsigned_vint(7)        # minLDT = EPOCH + 7
+        + write_unsigned_vint(0)        # minTTL = 0
+        + write_unsigned_vint(len(UTF8)) + UTF8.encode()
+        + write_unsigned_vint(1)        # one clustering type
+        + write_unsigned_vint(len(LONG)) + LONG.encode()
+        + write_unsigned_vint(0)        # no statics
+        + write_unsigned_vint(1)        # one regular
+        + write_unsigned_vint(1) + b"c"
+        + write_unsigned_vint(len(UTF8)) + UTF8.encode()
+    )
+    toc = struct.pack(">i", 2) + struct.pack(">ii", 2, 999) + struct.pack(
+        ">ii", 3, 4 + 16
+    )
+    h = parse_serialization_header(toc + comp)
+    assert h.min_timestamp == 1442880000 * 1_000_000 + 5
+    assert h.min_local_deletion_time == 1442880000 + 7
+    assert h.key_type == UTF8
+    assert h.clustering_types == (LONG,)
+    assert h.regular_columns == ((b"c", UTF8),)
+
+
+# ---------------------------------------------------------------------------
+# writer -> decoder roundtrips
+# ---------------------------------------------------------------------------
+
+def _decode_dir(path):
+    from aegisthus_spark.sstable.modern import header_for_data_file
+
+    with open(path, "rb") as f:
+        data = f.read()
+    return list(
+        scan_data_buffer_rows_modern(
+            data, source_path=path, generation=1,
+            header=header_for_data_file(path),
+        )
+    )
+
+
+def test_roundtrip_all_atom_kinds(tmp_path):
+    parts = [
+        {"key": b"alice", "rows": [
+            {"clustering": [b"2020"], "liveness": (1000,),
+             "cells": [{"column": b"name", "value": b"Alice"},
+                       {"column": b"score",
+                        "value": (42).to_bytes(8, "big"), "ts": 1001}]},
+            {"clustering": [b"2021"], "liveness": (2000, 600, 1442880600),
+             "cells": [{"column": b"name", "value": b"A2"}]},
+        ]},
+        {"key": b"bob", "deletion": (500, 1442880100), "rows": []},
+        {"key": b"carol", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"2019"],
+             "deletion": (1500, 1442880200)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"2020"],
+             "deletion": (1500, 1442880200)},
+            {"clustering": [b"2022"], "deletion": (1700, 1442880300),
+             "cells": []},
+            {"clustering": [b"2023"], "liveness": (1800,),
+             "cells": [{"column": b"name", "value": b"", "deleted": 1442880400,
+                        "ts": 1801}]},
+        ]},
+    ]
+    path = write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[UTF8],
+        regular_columns=[(b"name", UTF8), (b"score", LONG)],
+    )
+    rows = _decode_dir(path)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[4], []).append(r)
+    # alice 2020: marker + 2 cells, all carrying the right composites
+    assert rows[0][5] == composite([b"2020", b""])
+    assert rows[1][5] == composite([b"2020", b"name"]) and rows[1][7] == b"Alice"
+    assert rows[2][5] == composite([b"2020", b"score"]) and rows[2][8] == 1001
+    # TTL'd row marker
+    e = by_kind["e"][0]
+    assert (e[8], e[9], e[10]) == (2000, 600, 1442880600)
+    # empty partition with deletion survives as 'r' with the tombstone
+    r_row = by_kind["r"][0]
+    assert (r_row[2], r_row[3]) == (b"bob", 500)
+    # RT marker pair and 3.x row tombstone both land as 't' ranges
+    rts = by_kind["t"]
+    assert (rts[0][5], rts[0][6]) == (
+        composite([b"2019"], eoc=0x00), composite([b"2020"], eoc=0x01))
+    assert (rts[0][8], rts[0][10]) == (1500, 1442880200)
+    assert (rts[1][5], rts[1][6]) == (
+        composite([b"2022"], eoc=0x00), composite([b"2022"], eoc=0x01))
+    # deleted cell: 2.x DeletedColumn value payload = i32 ldt
+    d = by_kind["d"][0]
+    assert d[5] == composite([b"2023", b"name"])
+    assert d[7] == struct.pack(">i", 1442880400) and d[10] == 1442880400
+
+
+def test_roundtrip_static_and_complex(tmp_path):
+    parts = [
+        {"key": b"k1", "rows": [
+            {"static": True, "cells": [
+                {"column": b"s", "value": b"static-v", "ts": 100}]},
+            {"clustering": [b"c1"], "liveness": (200,),
+             "cells": [
+                 {"column": b"tags", "path": b"p1", "value": b"x", "ts": 201},
+                 {"column": b"tags", "path": b"p2", "value": b"y", "ts": 202,
+                  "complex_deletion": (199, 1442880050)},
+             ]},
+        ]},
+    ]
+    path = write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[UTF8],
+        static_columns=[(b"s", UTF8)],
+        regular_columns=[(b"tags", LIST_UTF8)],
+    )
+    rows = _decode_dir(path)
+    kinds = [r[4] for r in rows]
+    assert kinds == ["c", "c", "t", "c", "c"]  # static, marker, cplx del, 2 cells
+    static_cell = rows[0]
+    assert static_cell[5] == composite([b"s"], static=True)
+    assert static_cell[5][:2] == b"\xff\xff"
+    assert static_cell[7] == b"static-v"
+    rt = rows[2]
+    assert rt[5] == composite([b"c1", b"tags"], eoc=0x00)
+    assert rt[6] == composite([b"c1", b"tags"], eoc=0x01)
+    assert (rt[8], rt[10]) == (199, 1442880050)
+    p1 = rows[3]
+    assert p1[5] == composite([b"c1", b"tags", b"p1"]) and p1[7] == b"x"
+    # complex deletion RANGE covers both path cells (inclusive byte range)
+    for cell in (rows[3], rows[4]):
+        assert rt[5] <= cell[5] <= rt[6]
+
+
+def test_roundtrip_boundary_marker(tmp_path):
+    parts = [
+        {"key": b"k", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+             "deletion": (10, 1442880001)},
+            {"marker": KIND_EXCL_END_INCL_START_BOUNDARY, "clustering": [b"m"],
+             "deletion": (10, 1442880001), "deletion2": (20, 1442880002)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"z"],
+             "deletion": (20, 1442880002)},
+        ]},
+    ]
+    path = write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[UTF8],
+        regular_columns=[(b"v", UTF8)],
+    )
+    rows = _decode_dir(path)
+    assert [r[4] for r in rows] == ["t", "t"]
+    assert (rows[0][5], rows[0][6], rows[0][8]) == (
+        composite([b"a"], eoc=0x00), composite([b"m"], eoc=0x01), 10)
+    assert (rows[1][5], rows[1][6], rows[1][8]) == (
+        composite([b"m"], eoc=0x00), composite([b"z"], eoc=0x01), 20)
+
+
+def test_fixed_size_types_and_column_subset(tmp_path):
+    """Fixed-width values serialize raw (no length prefix); a row holding
+    a strict column subset exercises the missing-column bitmap."""
+    parts = [
+        {"key": b"k", "rows": [
+            {"clustering": [(7).to_bytes(8, "big")], "liveness": (100,),
+             "cells": [{"column": b"a", "value": (1).to_bytes(4, "big")}]},
+            {"clustering": [(8).to_bytes(8, "big")], "liveness": (100,),
+             "cells": [{"column": b"a", "value": (2).to_bytes(4, "big")},
+                       {"column": b"b", "value": b"bb"}]},
+        ]},
+    ]
+    path = write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[LONG],
+        regular_columns=[(b"a", INT32), (b"b", UTF8)],
+    )
+    rows = _decode_dir(path)
+    cells = [r for r in rows if r[5] and len(r[5]) > len(composite([b"x" * 8, b""]))
+             or (r[7] not in (b"", None))]
+    # row 7: marker + a only; row 8: marker + a + b
+    names = [r[5] for r in rows]
+    assert composite([(7).to_bytes(8, "big"), b"a"]) in names
+    assert composite([(8).to_bytes(8, "big"), b"b"]) in names
+    a7 = next(r for r in rows if r[5] == composite([(7).to_bytes(8, "big"), b"a"]))
+    assert a7[7] == (1).to_bytes(4, "big")
+
+
+# ---------------------------------------------------------------------------
+# through the Spark source + 2.x pipeline
+# ---------------------------------------------------------------------------
+
+def _fixture_dir(tmp_path, n_keys=40, gen=1, ts=1000, val=b"v1"):
+    parts = [
+        {"key": f"k{i:04d}".encode(), "rows": [
+            {"clustering": [b"c1"], "liveness": (ts,),
+             "cells": [{"column": b"val", "value": val, "ts": ts + 1}]},
+        ]}
+        for i in range(n_keys)
+    ]
+    return write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[UTF8],
+        regular_columns=[(b"val", UTF8)], generation=gen,
+    )
+
+
+def test_spark_source_reads_ma(spark, tmp_path):
+    from aegisthus_spark.sources import read_sstable_cells
+
+    _fixture_dir(tmp_path)
+    cells = read_sstable_cells(spark, [str(tmp_path)])
+    assert cells.count() == 80  # marker + cell per key
+    got = {bytes(r.partition_key) for r in cells.select("partition_key").distinct().collect()}
+    assert got == {f"k{i:04d}".encode() for i in range(40)}
+
+
+def test_ma_split_planning_covers_all_rows(tmp_path):
+    """Index.db (vint entries) drives split planning; the union of split
+    decodes equals the whole-file decode."""
+    from aegisthus_spark.sources.sstable_source import _plan_one
+    from aegisthus_spark.sstable.decoder import scan_data_buffer_rows
+
+    path = _fixture_dir(tmp_path, n_keys=60)
+    whole = list(scan_data_buffer_rows(
+        open(path, "rb").read(), version="ma", source_path=path))
+    size = os.path.getsize(path)
+    splits = _plan_one(path, target_bytes=max(128, size // 5))
+    assert len(splits) > 1, "fixture too small to split"
+    data = open(path, "rb").read()
+    pieces = []
+    for (_p, s, e, version, _g, _c) in splits:
+        assert version == "ma"
+        pieces += list(scan_data_buffer_rows(
+            data, version="ma", start=s, end=e, source_path=path))
+    assert pieces == whole
+
+
+def test_ma_multi_generation_lww_compacts(spark, tmp_path):
+    """Two ma generations merge under 2.x LWW compaction untouched."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    _fixture_dir(d1, n_keys=10, gen=1, ts=1000, val=b"old")
+    _fixture_dir(d2, n_keys=10, gen=2, ts=2000, val=b"new")
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells))
+    vals = {
+        bytes(r.value)
+        for r in out.filter("cell_name like '%val%'").collect()
+        if r.value is not None
+    }
+    assert vals == {b"new"}
+
+
+def test_ma_row_tombstone_shadows_older_cells(spark, tmp_path):
+    """A 3.x row deletion (mapped to a 2.x RT) drops older cells of that
+    clustering through the unchanged compact() J2 logic."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c1"], "liveness": (1000,),
+             "cells": [{"column": b"val", "value": b"doomed"}]},
+            {"clustering": [b"c2"], "liveness": (1000,),
+             "cells": [{"column": b"val", "value": b"survivor"}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=[(b"val", UTF8)], generation=1,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c1"], "deletion": (5000, 1442880500), "cells": []},
+        ]}],
+        clustering_types=[UTF8], regular_columns=[(b"val", UTF8)], generation=2,
+    )
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells))
+    vals = {bytes(r.value) for r in out.collect() if r.value not in (None, b"")}
+    assert b"survivor" in vals and b"doomed" not in vals
+
+
+def test_ma_corrupt_skip_sentinel(spark, tmp_path):
+    from aegisthus_spark.sources import read_sstable_cells
+
+    path = _fixture_dir(tmp_path)
+    with open(path, "r+b") as f:
+        # +7 lands mid-partition (the fixture's partitions are identically
+        # sized, so an exact half would be a clean partition boundary)
+        f.truncate(os.path.getsize(path) // 2 + 7)
+    cells = read_sstable_cells(spark, [str(tmp_path)], skip_corrupt=True)
+    kinds = {r.kind for r in cells.select("kind").distinct().collect()}
+    assert "!" in kinds
+
+
+def test_descriptor_and_header_sidecar(tmp_path):
+    from aegisthus_spark.sstable.descriptor import parse_filename, version_of
+    from aegisthus_spark.sstable.modern import header_for_data_file
+
+    path = _fixture_dir(tmp_path)
+    assert version_of(path) == "ma"
+    d = parse_filename(path)
+    assert d.generation == 1
+    assert d.sibling("Statistics.db") == "ma-1-big-Statistics.db"
+    h = header_for_data_file(path)
+    assert h.regular_columns == ((b"val", UTF8),)
+    assert h.clustering_types == (UTF8,)
