@@ -2188,6 +2188,31 @@ def sst_decode_staged(spark, sf_dir):
     return _sst_decode_lines(spark, "2.0.10/randomtable", stage=True)
 
 
+_MA_FIXTURES = "/root/repo/tests/fixtures/ma"
+_MA_GOLDEN = "/root/repo/tests/golden/decode_golden_ma.parquet"
+
+
+@register(
+    "sst_decode_ma",
+    f"SELECT line FROM read_parquet('{_MA_GOLDEN}') "
+    "WHERE case_name = 'ma_two_gen' ORDER BY line",
+    doc="Cassandra 3.x ('ma') big-format decode -> 2.x composite-name "
+        "mapping -> unchanged LWW compaction + aeg-JSON: two generations "
+        "with overwrites, a 3.x row tombstone, a partition tombstone, "
+        "TTLs, a static column and a list column. BEYOND the reference "
+        "(SSTableColumnScanner.java:83-119 stops at la); golden pinned by "
+        "hand-written format bytes in tests/test_modern.py",
+)
+def sst_decode_ma(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+
+    cells = read_sstable_cells(
+        spark, [f"{_MA_FIXTURES}/gen1", f"{_MA_FIXTURES}/gen2"]
+    )
+    return to_aeg_json(compact(cells)).select(F.col("value").alias("line"))
+
+
 @register(
     "aeg_incremental_snapshot",
     _decode_oracle("randomtable_jb"),
