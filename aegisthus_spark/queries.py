@@ -2213,6 +2213,39 @@ def sst_decode_ma(spark, sf_dir):
     return to_aeg_json(compact(cells)).select(F.col("value").alias("line"))
 
 
+_MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
+
+
+@register(
+    "aeg_cql_ma_inferred",
+    f"SELECT * FROM read_parquet('{_MA_CQL_GOLDEN}') ORDER BY key, ck0",
+    doc="typed CQL rows from 3.x SSTables WITHOUT user DDL: the ma "
+        "serialization header is self-describing (key/clustering/column "
+        "types), so infer_cql_schema drives the unchanged cql_rows "
+        "assembly — statics broadcast, list collection ordered by path, "
+        "LWW/tombstones applied. 2.x files can't do this (they carry only "
+        "a comparator string); synthetic key/ck names, like sstabledump "
+        "without a schema",
+)
+def aeg_cql_ma_inferred(spark, sf_dir):
+    from .cql import cql_rows
+    from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, infer_cql_schema
+
+    h = header_for_data_file(f"{_MA_FIXTURES}/gen1/ma-1-big-Data.db")
+    cells = read_sstable_cells(
+        spark, [f"{_MA_FIXTURES}/gen1", f"{_MA_FIXTURES}/gen2"]
+    )
+    return (
+        cql_rows(cleanse(compact(cells)), infer_cql_schema(h))
+        .select(
+            "key", "ck0", "name", "score",
+            F.array_join("tags", ",").alias("tags_joined"), "owner",
+        )
+        .orderBy("key", "ck0")
+    )
+
+
 @register(
     "aeg_incremental_snapshot",
     _decode_oracle("randomtable_jb"),

@@ -469,7 +469,11 @@ def scan_data_buffer_rows_modern(
                 o += 1
             static = bool(extended & IS_STATIC)
             if static:
-                clustering: list = []
+                # 2.x static composites keep EMPTY clustering slots before
+                # the column name (STATIC prefix + one empty component per
+                # clustering column) — cql.py's component split relies on
+                # the clustering arity being position-stable
+                clustering: list = [b""] * len(ctx.clustering_sizes)
             else:
                 clustering, o = _read_clustering_values(
                     buf, o, ctx.clustering_sizes, len(ctx.clustering_sizes)
@@ -659,3 +663,109 @@ def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
                 start_name, composite(values, eoc=0x01), None, s_mfda, None,
                 s_ldt, None))
     return out, o
+
+
+# ---------------------------------------------------------------------------
+# Schema inference: the 3.x header is self-describing
+# ---------------------------------------------------------------------------
+# 2.x sstables carry only a comparator string, so typed CQL-row assembly
+# (cql.cql_rows) needs user-provided DDL. The 3.x serialization header
+# stores the partition-key type, clustering types and every column's
+# name+type — enough to build the CqlSchema directly from the files.
+# (The header does NOT store partition/clustering column NAMES; those live
+# in the cluster's schema tables, so inferred schemas use synthetic names
+# key/pk0..pkN and ck0..ckN, exactly like sstabledump without a schema.)
+
+#: marshal class -> CQL type accepted by cql.compose_value
+_MARSHAL_TO_CQL = {
+    "UTF8Type": "text",
+    "AsciiType": "ascii",
+    "Int32Type": "int",
+    "LongType": "bigint",
+    "CounterColumnType": "counter",
+    "UUIDType": "uuid",
+    "TimeUUIDType": "timeuuid",
+    "TimestampType": "timestamp",
+    "DoubleType": "double",
+    "FloatType": "float",
+    "BooleanType": "boolean",
+    "BytesType": "blob",
+    "DecimalType": "decimal",
+}
+
+
+def parse_marshal(t: str) -> tuple[str, list[str]]:
+    """'...marshal.ListType(...marshal.UTF8Type)' -> ('ListType', [inner]).
+    Splits nested parameter lists at top-level commas."""
+    t = t.strip()
+    if t.startswith(_MARSHAL):
+        t = t[len(_MARSHAL):]
+    if "(" not in t:
+        return t, []
+    base, rest = t.split("(", 1)
+    assert rest.endswith(")")
+    inner = rest[:-1]
+    args, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur))
+    return base.strip(), [a.strip() for a in args]
+
+
+def _cql_type_of(t: str) -> str:
+    base, _ = parse_marshal(unwrap_reversed(t))
+    return _MARSHAL_TO_CQL.get(base, "blob")
+
+
+def infer_cql_schema(header: SerializationHeader, table: str = "inferred"):
+    """SerializationHeader -> cql.CqlSchema (synthetic key/ck names)."""
+    from ..cql import CqlColumn, CqlSchema
+
+    cols: list = []
+    key_base, key_args = parse_marshal(header.key_type)
+    if key_base == "CompositeType":
+        for i, kt in enumerate(key_args):
+            cols.append(CqlColumn(f"pk{i}", _cql_type_of(kt), kind="partition_key"))
+    else:
+        cols.append(CqlColumn("key", _cql_type_of(header.key_type), kind="partition_key"))
+    for i, ct in enumerate(header.clustering_types):
+        cols.append(CqlColumn(f"ck{i}", _cql_type_of(ct), kind="clustering"))
+
+    def value_col(name: bytes, t: str, kind: str):
+        base, args = parse_marshal(unwrap_reversed(t))
+        frozen = False
+        if base == "FrozenType":
+            frozen = True
+            base, args = parse_marshal(unwrap_reversed(args[0]))
+        col = CqlColumn(name.decode(), "blob", kind=kind, frozen=frozen)
+        if base == "ListType":
+            col.collection = "list"
+            col.cql_type = _cql_type_of(args[0])
+            col.element_type = _cql_type_of(args[0])
+        elif base == "SetType":
+            col.collection = "set"
+            col.cql_type = _cql_type_of(args[0])
+            col.element_type = _cql_type_of(args[0])
+        elif base == "MapType":
+            col.collection = "map"
+            col.cql_type = _cql_type_of(args[1])
+            col.element_type = _cql_type_of(args[0])
+            col.value_type = _cql_type_of(args[1])
+        else:
+            col.cql_type = _MARSHAL_TO_CQL.get(base, "blob")
+        return col
+
+    for name, t in header.static_columns:
+        cols.append(value_col(name, t, "static"))
+    for name, t in header.regular_columns:
+        cols.append(value_col(name, t, "regular"))
+    return CqlSchema(table=table, columns=cols)

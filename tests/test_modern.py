@@ -249,7 +249,8 @@ def test_roundtrip_static_and_complex(tmp_path):
     kinds = [r[4] for r in rows]
     assert kinds == ["c", "c", "t", "c", "c"]  # static, marker, cplx del, 2 cells
     static_cell = rows[0]
-    assert static_cell[5] == composite([b"s"], static=True)
+    # static composites keep an empty slot per clustering column
+    assert static_cell[5] == composite([b"", b"s"], static=True)
     assert static_cell[5][:2] == b"\xff\xff"
     assert static_cell[7] == b"static-v"
     rt = rows[2]
@@ -437,3 +438,69 @@ def test_descriptor_and_header_sidecar(tmp_path):
     h = header_for_data_file(path)
     assert h.regular_columns == ((b"val", UTF8),)
     assert h.clustering_types == (UTF8,)
+
+
+def test_infer_cql_schema_from_header(tmp_path):
+    """3.x headers are self-describing: CqlSchema without user DDL."""
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        infer_cql_schema,
+        parse_marshal,
+    )
+
+    path = _fixture_dir(tmp_path)
+    s = infer_cql_schema(header_for_data_file(path))
+    by_name = {c.name: c for c in s.columns}
+    assert by_name["key"].kind == "partition_key"
+    assert by_name["key"].cql_type == "text"
+    assert by_name["ck0"].kind == "clustering"
+    assert by_name["val"].kind == "regular" and by_name["val"].cql_type == "text"
+    # collection + frozen + composite-key handling
+    assert parse_marshal(LIST_UTF8) == ("ListType", [UTF8])
+    comp_key = f"org.apache.cassandra.db.marshal.CompositeType({UTF8},{LONG})"
+    from aegisthus_spark.sstable.modern import SerializationHeader
+
+    h = SerializationHeader(
+        min_timestamp=0, min_local_deletion_time=0, min_ttl=0,
+        key_type=comp_key, clustering_types=(),
+        regular_columns=(
+            (b"tags", LIST_UTF8),
+            (b"frozen_tags",
+             f"org.apache.cassandra.db.marshal.FrozenType({LIST_UTF8})"),
+        ),
+    )
+    s2 = infer_cql_schema(h)
+    by2 = {c.name: c for c in s2.columns}
+    assert [c.name for c in s2.partition_keys] == ["pk0", "pk1"]
+    assert by2["pk1"].cql_type == "bigint"
+    assert by2["tags"].collection == "list" and not by2["tags"].frozen
+    assert by2["frozen_tags"].frozen
+
+
+def test_cql_rows_from_inferred_schema(spark, tmp_path):
+    """Full no-DDL path: ma files -> typed rows, statics broadcast."""
+    from aegisthus_spark.compact import cleanse, compact
+    from aegisthus_spark.cql import cql_rows
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        infer_cql_schema,
+    )
+
+    path = write_sstable_ma(
+        str(tmp_path),
+        [{"key": b"p1", "rows": [
+            {"static": True, "cells": [
+                {"column": b"owner", "value": b"zoe", "ts": 5}]},
+            {"clustering": [b"c1"], "liveness": (10,),
+             "cells": [{"column": b"n", "value": (7).to_bytes(8, "big")}]},
+        ]}],
+        clustering_types=[UTF8], static_columns=[(b"owner", UTF8)],
+        regular_columns=[(b"n", LONG)],
+    )
+    schema = infer_cql_schema(header_for_data_file(path))
+    cells = read_sstable_cells(spark, [str(tmp_path)])
+    rows = cql_rows(cleanse(compact(cells)), schema).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.key, r.ck0, r.n, r.owner) == ("p1", "c1", 7, "zoe")

@@ -25,6 +25,7 @@ LIST_UTF8 = f"org.apache.cassandra.db.marshal.ListType({UTF8})"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_DIR = os.path.join(ROOT, "tests", "fixtures", "ma")
 GOLDEN = os.path.join(ROOT, "tests", "golden", "decode_golden_ma.parquet")
+GOLDEN_CQL = os.path.join(ROOT, "tests", "golden", "cql_golden_ma.parquet")
 
 SCHEMA = dict(
     clustering_types=[UTF8],
@@ -118,6 +119,39 @@ def main() -> None:
     df = pd.DataFrame({"case_name": ["ma_two_gen"] * len(lines), "line": lines})
     pq.write_table(pa.Table.from_pandas(df), GOLDEN)
     print(f"golden ({len(lines)} lines) written to {GOLDEN}")
+
+    # second golden: typed CQL rows via the self-describing 3.x header
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import cleanse
+    from aegisthus_spark.cql import cql_rows
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        infer_cql_schema,
+    )
+
+    h = header_for_data_file(
+        os.path.join(FIXTURE_DIR, "gen1", "ma-1-big-Data.db")
+    )
+    rows = (
+        cql_rows(cleanse(compact(cells)), infer_cql_schema(h))
+        .select(
+            "key", "ck0", "name", "score",
+            F.array_join("tags", ",").alias("tags_joined"), "owner",
+        )
+        .orderBy("key", "ck0")
+    )
+    # explicit Arrow schema: pandas would coerce nullable int64 -> double
+    cql_schema = pa.schema([
+        ("key", pa.string()), ("ck0", pa.string()), ("name", pa.string()),
+        ("score", pa.int64()), ("tags_joined", pa.string()),
+        ("owner", pa.string()),
+    ])
+    table = pa.Table.from_pylist(
+        [r.asDict() for r in rows.collect()], schema=cql_schema
+    )
+    pq.write_table(table, GOLDEN_CQL)
+    print(f"cql golden ({table.num_rows} rows) written to {GOLDEN_CQL}")
 
 
 if __name__ == "__main__":
