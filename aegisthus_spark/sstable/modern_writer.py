@@ -398,11 +398,20 @@ def write_sstable_ma(
     static_columns: list[tuple[bytes, str]] | None = None,
     regular_columns: list[tuple[bytes, str]] | None = None,
     generation: int = 1,
+    compress: bool = False,
+    chunk_length: int = 4096,
 ) -> str:
     """Write ma-1-big-{Data,Statistics,Index}.db into ``out_dir``;
     returns the Data.db path. Partitions are written in input order (the
     caller is responsible for partitioner order, as with the 2.x writer);
-    columns must be name-sorted (Columns order)."""
+    columns must be name-sorted (Columns order).
+
+    ``compress``: chunked Deflate Data.db + CompressionInfo.db sidecar
+    (the 3.x CompressionMetadata layout is the same as 2.x: algo simple
+    name, options, chunk length, uncompressed data length, chunk offsets;
+    each chunk trailed by a 4-byte checksum) — 3.x clusters compress by
+    default, so the compressed shape is the realistic one. Index.db
+    offsets stay UNCOMPRESSED positions, exactly like real files."""
     os.makedirs(out_dir, exist_ok=True)
     stats = _collect_stats(partitions)
     h = stats.header(
@@ -415,10 +424,34 @@ def write_sstable_ma(
     index_path = os.path.join(out_dir, f"ma-{generation}-big-Index.db")
     stats_path = os.path.join(out_dir, f"ma-{generation}-big-Statistics.db")
     offsets = []
-    with open(data_path, "wb") as f:
-        for p in partitions:
-            offsets.append((p["key"], f.tell()))
-            f.write(serialize_partition(h, p))
+    raw = bytearray()
+    for p in partitions:
+        offsets.append((p["key"], len(raw)))
+        raw += serialize_partition(h, p)
+    if compress:
+        import zlib
+
+        info_path = os.path.join(
+            out_dir, f"ma-{generation}-big-CompressionInfo.db"
+        )
+        chunk_offs = []
+        with open(data_path, "wb") as f:
+            for pos in range(0, len(raw), chunk_length):
+                chunk_offs.append(f.tell())
+                f.write(zlib.compress(bytes(raw[pos : pos + chunk_length])))
+                f.write(b"\x00\x00\x00\x00")  # checksum trailer (unchecked)
+        with open(info_path, "wb") as f:
+            name = b"DeflateCompressor"
+            f.write(_U16.pack(len(name)) + name)
+            f.write(_I32.pack(0))  # no options
+            f.write(_I32.pack(chunk_length))
+            f.write(_I64.pack(len(raw)))
+            f.write(_I32.pack(len(chunk_offs)))
+            for off in chunk_offs:
+                f.write(_I64.pack(off))
+    else:
+        with open(data_path, "wb") as f:
+            f.write(bytes(raw))
     with open(index_path, "wb") as f:
         for key, off in offsets:
             # big-format ma index entry: u16 key + uvint position +
