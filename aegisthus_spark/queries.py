@@ -3168,7 +3168,9 @@ def text_unigram_logppl(spark, sf_dir):
         "splits bounded at 64 rows, rows sorted within shards — the "
         "manifest is read back FROM THE WRITTEN FILES and must equal the "
         "oracle's ceil(n/64) prediction, verifying the write really "
-        "produced the deterministic layout",
+        "produced the deterministic layout. SIDE EFFECT: writes the shard "
+        "tree to a fixed per-process scratch dir (truncated per "
+        "invocation, removed at exit)",
 )
 def doc_export_shards(spark, sf_dir):
     from .operators.curation import export_shards
