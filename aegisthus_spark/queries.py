@@ -800,6 +800,178 @@ def q22_global_sales(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             round(l_extendedprice / l_quantity, 6) AS unit_cost
+      FROM lineitem),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rn
+      FROM costs)
+    SELECT p_partkey, p_brand, s_name, n_name, unit_cost
+    FROM best JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+    WHERE rn = 1 ORDER BY p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2-style (adapted: no partsupp table; lineitem is the "
+        "part-supplier link): cheapest-supplier-per-part correlated MIN "
+        "decorrelated into a partition-local window, ties to the lowest "
+        "suppkey, dims joined back broadcast; unit cost is a pure "
+        "double-division round (IEEE-identical across engines)",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """The correlated MIN becomes row_number over (part, cost, suppkey) —
+    partition-local, no self-join; supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        li.select(
+            "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            .alias("unit_cost"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_nation_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9-style (adapted: revenue profit, no partsupp cost "
+        "column): fact -> orders for the year, supplier -> nation "
+        "snowflake, decimal-exact revenue grouped by (nation, year)",
+)
+def q9_nation_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15-style: per-supplier revenue view over a ship-date year "
+        "+ scalar-MAX equality (the view evaluated twice in SQL, ONCE "
+        "here via a broadcast 1-row max; equality on exact decimals, "
+        "double only in the projection)",
+)
+def q15_top_supplier(spark, sf_dir):
+    """The scalar subquery broadcasts as a 1-row cross join against the
+    localCheckpoint'd revenue aggregate, so the view computes once."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("total_rev")
+        )
+        .localCheckpoint()  # evaluate the view once for both consumers
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 25
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H Q16-style (adapted: lineitem links parts to suppliers; "
+        "exclusion by account balance instead of the absent comment "
+        "column): distinct-supplier count per part attribute with a "
+        "NOT IN anti-join on the excluded supplier set",
+)
+def q16_supplier_part_count(spark, sf_dir):
+    """NOT IN decorrelates to a broadcast left-anti join (s_suppkey is
+    never NULL); the distinct count is a partial-aggregated hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey,
+                "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
     "q_supplier_revenue_rank",
     """
     WITH sr AS (
