@@ -433,3 +433,52 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: PII span patterns, written in the RE2-compatible subset that Java and
+#: DuckDB regex engines evaluate identically (no lookaround, no \s
+#: shorthand inside classes, explicit quantifier bounds)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{7,15}",
+}
+
+
+def pii_scan(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, n_pii, redacted_len): PII span
+    detection + redaction accounting — the C4/Dolma/FineWeb-style scrub
+    stage every training pipeline runs before release.
+
+    Scale shape: pure per-row JVM regex expressions (regexp_extract_all /
+    regexp_replace inside whole-stage codegen) — zero shuffle, zero
+    Python; the scan rides whatever partitioning the corpus already has.
+    ``redacted_len`` is the post-replacement length (every span becomes
+    "[PII]"), so downstream token accounting can subtract scrubbed mass
+    without materializing the redacted corpus.
+    """
+    t = F.col(text_col)
+    # Column-typed patterns, NOT F.expr: a SQL string literal would eat
+    # the regex backslashes under the default parser escaping
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    }
+    red = t
+    for p in PII_PATTERNS.values():
+        red = F.regexp_replace(red, p, "[PII]")
+    return docs.select(
+        id_col,
+        counts["email"],
+        counts["ipv4"],
+        counts["phone"],
+        (counts["email"] + counts["ipv4"] + counts["phone"]).alias("n_pii"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    ).orderBy(id_col)

@@ -3329,6 +3329,78 @@ def text_unigram_logppl(spark, sf_dir):
 
 
 @register(
+    "doc_pii_scan",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 '
+                ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' call +1415' || CAST(5550000 + doc_id % 10000 AS VARCHAR)
+                ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+             + len(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS BIGINT)
+             AS n_pii,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[PII]', 'g'),
+             '\\+[0-9]{7,15}', '[PII]', 'g')) AS BIGINT) AS redacted_len
+    FROM aug ORDER BY doc_id
+    """,
+    doc="PII span detection + redaction accounting (the C4/Dolma/FineWeb "
+        "scrub stage): email/IPv4/phone counts and post-redaction length "
+        "as pure JVM regex expressions — zero shuffle, zero Python. The "
+        "synthetic corpus carries no PII, so the query first injects "
+        "deterministic doc_id-derived spans (documented harness; the "
+        "operator itself is input-agnostic); patterns are written in the "
+        "RE2-compatible subset both engines evaluate identically",
+)
+def doc_pii_scan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact u"), did.cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                         F.lit(".1 ")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" call +1415"),
+                         (F.lit(5550000) + did % 10000).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _tx.pii_scan(aug)
+
+
+@register(
     "doc_export_shards",
     """
     SELECT lang,
