@@ -250,3 +250,124 @@ def cms_oracle_cte(table: str, key_col: str, *, d: int = CMS_D, w: int = CMS_W) 
       SELECT k, MIN(COALESCE(c, 0)) AS est_count
       FROM cand LEFT JOIN sketch USING (j, b) GROUP BY k)
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch (Bloom 1970)
+# ---------------------------------------------------------------------------
+#: default geometry: 16384 bits over 63-bit words (sign-safe shifts in
+#: BOTH engines: DuckDB/Java 1<<63 would wrap negative), k=4 hash rows
+#: from ONE md5 digest (same trick as the CMS — the digest's four 32-bit
+#: words are independent for bucketing)
+BLOOM_M = 16384
+BLOOM_K = 4
+_BLOOM_WORD = 63
+
+
+def _bloom_pos(j: int, key_expr: str, m: int) -> str:
+    """SQL expr: bit position of ``key_expr`` under hash row ``j < 4``."""
+    if not 0 <= j < 4:
+        raise ValueError(f"md5 yields four 32-bit words; k <= 4 (got row {j})")
+    return (
+        f"cast(conv(substring(md5(cast({key_expr} as string)), {8 * j + 1}, 8),"
+        f" 16, 10) as bigint) % {m}"
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(w, bits): Bloom filter over ``key_col`` as ceil(m/63) 63-bit words.
+
+    Build is one explode + one hash-aggregate whose map-side partial
+    state is at most ceil(m/63) longs per task — the shuffle carries
+    sketch fragments, never the key stream, and shard sketches merge
+    with a further BIT_OR (the same property the CMS/KMV builds have).
+    At 100 TB this is the membership analog of the CMS: a set-membership
+    pre-filter (decontamination, cross-corpus dedup) with bounded state
+    and NO false negatives; false-positive rate ~ (1 - e^{-kn/m})^k.
+    """
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos(j, key_col, m)) for j in range(k)])
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("w"),
+            # expr form: the pyspark shiftleft wrapper wants a LITERAL bit
+            # count, not a Column
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {_BLOOM_WORD} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str | None = None,
+) -> DataFrame:
+    """(id, is_member): Bloom membership per row of ``df``.
+
+    The sketch is word-rows (tiny: ceil(m/63) longs) and BROADCASTS to
+    the probe join; each probe row contributes k (position, word) lookups
+    and is a member iff every looked-up bit is set. Missing words (never
+    built) read as zero via the left join.
+    """
+    out_id = id_col or key_col
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos(j, key_col, m)) for j in range(k)])
+    ).alias("pos")
+    probes = df.select(F.col(out_id).alias("_pid"), pos).select(
+        "_pid",
+        F.expr(f"pos div {_BLOOM_WORD}").alias("w"),
+        (F.col("pos") % _BLOOM_WORD).cast("int").alias("b"),
+    )
+    hit = (
+        F.expr("shiftright(coalesce(bits, cast(0 as bigint)), b)") % 2
+    ).alias("hit")
+    return (
+        probes.join(F.broadcast(sketch), "w", "left")
+        .select("_pid", hit)
+        .groupBy("_pid")
+        .agg((F.min("hit") == 1).alias("is_member"))
+        .select(F.col("_pid").alias(out_id), "is_member")
+    )
+
+
+def bloom_oracle_cte(
+    table: str, key_expr: str, *, probe_id_expr: str,
+    m: int = BLOOM_M, k: int = BLOOM_K, member_filter: str = "TRUE",
+) -> str:
+    """DuckDB CTE chain ending in ``probe_hits`` (pid, is_member) that
+    reproduces bloom_build + bloom_probe bit-for-bit (same md5 word
+    arithmetic, same 63-bit words): the filter rows matching
+    ``member_filter`` build the sketch on ``key_expr``; EVERY row probes
+    with id ``probe_id_expr``."""
+    pos_list = ", ".join(
+        f"CAST(CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), {8 * j + 1}, 8) AS BIGINT) % {m} AS BIGINT)"
+        for j in range(k)
+    )
+    return f"""
+    built AS (
+      SELECT u.pos // {_BLOOM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(u.pos % {_BLOOM_WORD} AS INT)) AS bits
+      FROM (SELECT unnest([{pos_list}]) AS pos
+            FROM {table} WHERE {member_filter}) u
+      GROUP BY 1),
+    probes AS (
+      SELECT {probe_id_expr} AS pid, unnest([{pos_list}]) AS pos
+      FROM {table}),
+    probe_hits AS (
+      SELECT p.pid,
+             min((COALESCE(b.bits, 0) >> CAST(p.pos % {_BLOOM_WORD} AS INT)) % 2) = 1
+               AS is_member
+      FROM probes p LEFT JOIN built b ON b.w = p.pos // {_BLOOM_WORD}
+      GROUP BY p.pid)"""

@@ -3329,6 +3329,54 @@ def text_unigram_logppl(spark, sf_dir):
 
 
 @register(
+    "doc_bloom_decontaminate",
+    f"""
+    WITH {_sk.bloom_oracle_cte(
+        "documents", "md5(text)",
+        probe_id_expr="doc_id",
+        member_filter="doc_id % 17 = 0",
+    )},
+    bench AS (SELECT DISTINCT md5(text) AS fp FROM documents
+              WHERE doc_id % 17 = 0)
+    SELECT d.doc_id, h.is_member AS bloom_member,
+           (bench.fp IS NOT NULL) AS exact_member
+    FROM documents d
+    JOIN probe_hits h ON h.pid = d.doc_id
+    LEFT JOIN bench ON bench.fp = md5(d.text)
+    ORDER BY d.doc_id
+    """,
+    doc="Bloom-filter membership pre-screen (Bloom 1970): build a "
+        "16384-bit sketch over the benchmark docs' text fingerprints "
+        "(ceil(m/63) longs, BIT_OR-mergeable across shards), broadcast it "
+        "to probe the whole corpus, and emit bloom vs exact membership "
+        "per doc — the bounded-state first stage of cross-corpus "
+        "decontamination/dedup (no false negatives; the exact column "
+        "exposes the false-positive rate). Deterministic md5 bit "
+        "positions make the DuckDB oracle bit-exact",
+)
+def doc_bloom_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5("text").alias("fp")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(fp)
+    sketch = _sk.bloom_build(bench, "fp")
+    probed = _sk.bloom_probe(
+        docs.select("doc_id", fp), "fp", sketch, id_col="doc_id"
+    )
+    exact = (
+        docs.select("doc_id", fp)
+        .join(bench.distinct().withColumnRenamed("fp", "_bfp"),
+              F.col("fp") == F.col("_bfp"), "left")
+        .select("doc_id", F.col("_bfp").isNotNull().alias("exact_member"))
+    )
+    return (
+        probed.withColumnRenamed("is_member", "bloom_member")
+        .join(exact, "doc_id")
+        .select("doc_id", "bloom_member", "exact_member")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_pii_scan",
     """
     WITH aug AS (

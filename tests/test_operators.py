@@ -1195,3 +1195,36 @@ def test_phash_flags_brightness_shifted_copy(spark):
     pairs = {(r.a, r.b): r.hamming for r in phash_near_dupes(feats).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Members ALWAYS hit; shard sketches BIT_OR-merge to the one-shot
+    sketch; FP rate at heavy load stays near the analytic bound."""
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.sketch import (
+        BLOOM_K, BLOOM_M, bloom_build, bloom_probe,
+    )
+
+    keys = spark.range(2000).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k")
+    )
+    members = keys.filter(F.expr("substr(k, -1) in ('0','1','2')"))  # 600
+    sketch = bloom_build(members, "k")
+    probed = bloom_probe(keys, "k", sketch, id_col="k")
+    got = {r.k: r.is_member for r in probed.collect()}
+    n_members = members.count()
+    # zero false negatives
+    assert all(got[r.k] for r in members.collect())
+    fps = sum(1 for k, m in got.items() if m) - n_members
+    # analytic bound at n=600, m=16384, k=4: (1-e^(-4*600/16384))^4 ~ 0.03%
+    assert fps <= len(got) * 0.01
+
+    # mergeability: two shard sketches OR-ed == one-shot sketch
+    s1 = bloom_build(members.limit(300), "k")
+    s2 = bloom_build(members.subtract(members.limit(300)), "k")
+    merged = (
+        s1.unionByName(s2).groupBy("w").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    one_shot = {(r.w, r.bits) for r in sketch.collect()}
+    assert {(r.w, r.bits) for r in merged.collect()} == one_shot
