@@ -4149,9 +4149,10 @@ def ev_stream_join(spark, sf_dir):
 # below in place). A query that goes RED keeps its stale entry, so it
 # re-enters (or stays in) the window every round until it earns a green
 # row again. Schedule property: in-window queries stamped green advance to
-# the current round, so the ~47 tail queries of round N occupy the window
-# in round N+1 — every query holds a driver row from the last TWO rounds
-# once the rotation has cycled (97 queries / 50 seats = 2-round cycle).
+# the current round, so round N's tail occupies the window in round N+1 —
+# every query re-earns a driver row every ceil(n_queries / 50) rounds
+# (105 queries -> a 3-round worst case; the stalest always go first, so
+# nothing waits longer than that).
 #
 # Tail queries are never unverified: tests/test_tail_oracles.py
 # value-checks EVERY tail query against its DuckDB oracle on each pytest
