@@ -561,3 +561,154 @@ def test_mb_mc_version_variants_decode(spark, tmp_path):
         path = str(d / f"{version}-1-big-Data.db")
         assert version_of(path) == version
         assert read_sstable_cells(spark, [str(d)]).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# property fuzzing: random partitions survive writer -> decoder -> compact
+# ---------------------------------------------------------------------------
+
+def test_ma_roundtrip_hypothesis(tmp_path):
+    """Random partition sets (mixed liveness/TTL/deletions/statics/paths)
+    round-trip through writer -> decoder with per-cell field fidelity."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    key_st = st.binary(min_size=1, max_size=12)
+    ck_st = st.binary(min_size=0, max_size=8)
+    ts_st = st.integers(min_value=1_500_000_000_000_000,
+                        max_value=1_700_000_000_000_000)
+    ldt_st = st.integers(min_value=1_500_000_000, max_value=1_600_000_000)
+
+    cell_st = st.fixed_dictionaries(
+        {"column": st.sampled_from([b"a", b"b"]),
+         "value": st.binary(max_size=16),
+         "ts": ts_st},
+        optional={"deleted": ldt_st,
+                  "expiring": st.tuples(st.integers(1, 1 << 20), ldt_st)},
+    )
+
+    def clean_cell(c):
+        c = dict(c)
+        if "deleted" in c and "expiring" in c:
+            del c["expiring"]  # a cell is deleted OR expiring, not both
+        return c
+
+    row_st = st.fixed_dictionaries(
+        {"clustering": st.lists(ck_st, min_size=1, max_size=1),
+         "cells": st.lists(cell_st.map(clean_cell), max_size=3,
+                           unique_by=lambda c: c["column"])},
+        optional={"liveness": st.tuples(ts_st),
+                  "deletion": st.tuples(ts_st, ldt_st)},
+    )
+
+    part_st = st.fixed_dictionaries(
+        {"key": key_st,
+         "rows": st.lists(row_st, max_size=3)},
+        optional={"deletion": st.tuples(ts_st, ldt_st)},
+    )
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(part_st, min_size=1, max_size=4,
+                    unique_by=lambda p: p["key"]))
+    def check(parts):
+        counter[0] += 1
+        d = tmp_path / f"case{counter[0]}"
+        path = write_sstable_ma(
+            str(d), parts, clustering_types=[UTF8],
+            regular_columns=[(b"a", UTF8), (b"b", UTF8)],
+        )
+        rows = _decode_dir(path)
+        # every partition is represented
+        assert {r[2] for r in rows} == {p["key"] for p in parts}
+        for p in parts:
+            prows = [r for r in rows if r[2] == p["key"]]
+            want_deleted = p.get("deletion", (LONG_MIN,))[0]
+            assert all(r[3] == want_deleted for r in prows)
+            n_cells = sum(len(r.get("cells", [])) for r in p["rows"])
+            n_markers = sum(1 for r in p["rows"] if r.get("liveness"))
+            n_rowdel = sum(1 for r in p["rows"] if r.get("deletion"))
+            if n_cells + n_markers + n_rowdel == 0:
+                assert [r[4] for r in prows] == ["r"]
+            else:
+                assert len(prows) == n_cells + n_markers + n_rowdel
+                # field fidelity for plain live cells with explicit ts
+                for row in p["rows"]:
+                    for c in row["cells"]:
+                        if "deleted" in c or "expiring" in c or not c["value"]:
+                            continue
+                        name = composite(
+                            [row["clustering"][0], c["column"]])
+                        got = [r for r in prows if r[5] == name]
+                        assert got and got[0][7] == c["value"]
+                        assert got[0][8] == c["ts"]
+
+    check()
+
+
+def test_ma_feeds_incremental_snapshot(spark, tmp_path):
+    """3.x decode composes with the streaming incremental snapshot: two
+    ma generations arriving as cell batches converge to the one-shot
+    compaction (format-agnostic cells are the contract)."""
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import to_aeg_json
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.streaming.incremental import (
+        read_snapshot,
+        start_incremental_snapshot,
+        strip_range_tombstones,
+    )
+
+    d1, d2 = tmp_path / "g1", tmp_path / "g2"
+    _fixture_dir(d1, n_keys=8, gen=1, ts=1000, val=b"old")
+    _fixture_dir(d2, n_keys=8, gen=2, ts=2000, val=b"new")
+    cells_dir = tmp_path / "cells"
+    for i, d in enumerate((d1, d2)):
+        read_sstable_cells(spark, [str(d)]).coalesce(1).write.parquet(
+            str(cells_dir / f"batch{i}.parquet")
+        )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = start_incremental_snapshot(
+            spark, str(cells_dir), str(tmp_path / "snap"),
+            str(tmp_path / "ckpt"), max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    final = strip_range_tombstones(read_snapshot(spark, str(tmp_path / "snap")))
+    got = sorted(r.value for r in to_aeg_json(final).collect())
+    oneshot = sorted(
+        r.value
+        for r in to_aeg_json(
+            compact(read_sstable_cells(spark, [str(d1), str(d2)]))
+        ).collect()
+    )
+    assert got == oneshot
+
+
+def test_job_cli_runs_on_ma_dir(spark, tmp_path):
+    """The reference-shaped CLI ingests a 3.x directory end-to-end."""
+    import json
+
+    from aegisthus_spark import job
+
+    _fixture_dir(tmp_path / "in", n_keys=5)
+    out = tmp_path / "out"
+    job.main([
+        "--input-dir", str(tmp_path / "in"),
+        "--output", str(out),
+    ])
+    lines = []
+    for p in out.glob("part-*"):
+        lines += p.read_text().splitlines()
+    assert len(lines) == 5
+    for ln in lines:
+        key_hex, js = ln.split("\t", 1)
+        assert key_hex in json.loads(js)
