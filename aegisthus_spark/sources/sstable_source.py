@@ -332,11 +332,12 @@ def _decode_tasks(batches) -> "Iterator":
     from ..sstable.decoder import ROW_FIELDS, scan_data_file
 
     # gcc-compiled scanner when the host can build it (~30x the Python
-    # parse; byte-identical, parity-tested); pure-Python otherwise. The C
-    # twin implements the 2.x cell format only — 3.x+ ("ma") always takes
-    # the Python path, whose arrow_decode dispatches to modern.py.
+    # parse; byte-identical, parity-tested); pure-Python otherwise. Both
+    # formats have C twins (scan_cells for 2.x, scan_cells_ma for 3.x —
+    # cparse dispatches on version); shapes the C ma path doesn't cover
+    # fall back to Python mid-stream inside cparse, never a wrong answer.
     def _pick_scanner(version: str):
-        if cparse.available() and version < "ma":
+        if cparse.available():
             return cparse.scan_data_buffer_batches
         return _py_scan
 
@@ -367,7 +368,7 @@ def _decode_tasks(batches) -> "Iterator":
         for task in arrow_batch.to_pylist():
             try:
                 if task["compression_path"]:
-                    if cparse.available() and task["version"] < "ma":
+                    if cparse.available():
                         # decompress the split's chunk range to one buffer
                         # and C-scan it (batches buffered per split so a
                         # fallback can't double-emit)
@@ -540,7 +541,7 @@ def _task_cell_batches(task) -> "Iterator":
     schema = _arrow_cells_schema()
     try:
         if task["compression_path"]:
-            if cparse.available() and task["version"] < "ma":
+            if cparse.available():
                 yield from _scan_compressed_c(task)
                 return
             f = open_compressed(task["path"], task["compression_path"])
@@ -576,7 +577,7 @@ def _task_cell_batches(task) -> "Iterator":
         elif os.path.getsize(task["path"]) > 0:
             scanner = (
                 cparse.scan_data_buffer_batches
-                if cparse.available() and task["version"] < "ma"
+                if cparse.available()
                 else scan_data_buffer_batches
             )
             with open(task["path"], "rb") as fh, mmap.mmap(

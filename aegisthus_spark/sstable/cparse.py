@@ -121,6 +121,7 @@ def _lib():
             try:
                 lib = ctypes.CDLL(path)
                 lib.scan_cells.restype = ctypes.c_int
+                lib.scan_cells_ma.restype = ctypes.c_int
                 lib.lz4_block_decompress.restype = ctypes.c_int64
                 lib.snappy_decompress_block.restype = ctypes.c_int64
                 _LIB = lib
@@ -224,6 +225,13 @@ def scan_data_buffer_batches(
     lib = _lib()
     if not lib:
         raise RuntimeError("C scanner unavailable; use arrow_decode")
+    if version >= "ma":
+        yield from _scan_ma_batches(
+            data, start=start, end=end, source_path=source_path,
+            generation=generation, batch_rows=batch_rows,
+            skip_corrupt=skip_corrupt,
+        )
+        return
     buf = data if isinstance(data, (bytes, bytearray, memoryview)) else memoryview(data)
     mv = memoryview(buf)
     total = len(mv)
@@ -345,3 +353,190 @@ def scan_data_buffer_batches(
 
 # keep LONG_MIN import used (row-only sentinel is produced in C)
 _ = LONG_MIN
+
+
+MA_UNSUPPORTED = 4
+
+
+def _ma_meta(header):
+    """SerializationHeader -> flat ctypes-ready metadata arrays."""
+    from .modern import fixed_size_of, is_complex
+
+    cl = np.array(
+        [fixed_size_of(t) for t in header.clustering_types] or [0], np.int32
+    )
+
+    def cols(entries):
+        names = bytearray()
+        offs = [0]
+        fixed = []
+        cplx = []
+        for name, t in entries:
+            names += name
+            offs.append(len(names))
+            fixed.append(fixed_size_of(t))
+            cplx.append(1 if is_complex(t) else 0)
+        return (
+            np.frombuffer(bytes(names) or b"\x00", np.uint8),
+            np.array(offs, np.int32),
+            np.array(fixed or [0], np.int32),
+            np.array(cplx or [0], np.uint8),
+        )
+
+    return cl, cols(header.regular_columns), cols(header.static_columns)
+
+
+def _scan_ma_batches(
+    data,
+    *,
+    start: int = 0,
+    end: int | None = None,
+    source_path: str = "",
+    generation: int = 0,
+    batch_rows: int = BATCH_CELLS,
+    skip_corrupt: bool = False,
+) -> Iterator[pa.RecordBatch]:
+    """C-accelerated 3.x scan — twin of modern.scan_data_buffer_rows_modern
+    with arrow_decode's batch shape. rc=4 (a shape the C path doesn't do:
+    >=64-column subsets, deep RT nesting, oversized components) falls back
+    to the pure-Python decoder FROM THE SAME PARTITION — never a wrong
+    answer, only a slower path."""
+    from .arrow_decode import _modern_batches
+    from .modern import header_for_data_file
+
+    lib = _lib()
+    header = header_for_data_file(source_path)
+    n_cl = len(header.clustering_types)
+    cl, (rn, ro, rf, rc_), (sn, so, sf, sc_) = _ma_meta(header)
+
+    buf = data if isinstance(data, (bytes, bytearray, memoryview)) else memoryview(data)
+    mv = memoryview(buf)
+    total = len(mv)
+    stop = total if end is None else end
+    obj = np.frombuffer(mv, dtype=np.uint8)
+    c_buf = obj.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    cap_cells = max(1024, int(batch_rows))
+    cap_bytes = BATCH_BYTES
+    scratch = np.empty(1 << 20, np.uint8)
+    o = start
+    schema = _schema()
+    path_b = source_path.encode()
+
+    while o < stop:
+        key_data = np.empty(cap_bytes, np.uint8)
+        name_data = np.empty(cap_bytes, np.uint8)
+        max_data = np.empty(cap_bytes, np.uint8)
+        val_data = np.empty(cap_bytes, np.uint8)
+        key_off = np.empty(cap_cells + 1, np.int32)
+        name_off = np.empty(cap_cells + 1, np.int32)
+        max_off = np.empty(cap_cells + 1, np.int32)
+        val_off = np.empty(cap_cells + 1, np.int32)
+        name_valid = np.empty(cap_cells, np.uint8)
+        max_valid = np.empty(cap_cells, np.uint8)
+        val_valid = np.empty(cap_cells, np.uint8)
+        ts = np.empty(cap_cells, np.int64)
+        kind = np.empty(cap_cells, np.uint8)
+        ttl = np.empty(cap_cells, np.int32)
+        ttl_valid = np.empty(cap_cells, np.uint8)
+        ldt = np.empty(cap_cells, np.int32)
+        ldt_valid = np.empty(cap_cells, np.uint8)
+        tsd = np.empty(cap_cells, np.int64)
+        tsd_valid = np.empty(cap_cells, np.uint8)
+        row_deleted = np.empty(cap_cells, np.int64)
+        row_cells = np.empty(cap_cells, np.int32)
+        out = _ScanOut()
+
+        rc = lib.scan_cells_ma(
+            c_buf, ctypes.c_int64(total), ctypes.c_int64(o), ctypes.c_int64(stop),
+            ctypes.c_int64(header.min_timestamp),
+            ctypes.c_int64(header.min_local_deletion_time),
+            ctypes.c_int64(header.min_ttl),
+            ctypes.c_int32(n_cl), _i32p(cl),
+            ctypes.c_int32(len(header.regular_columns)),
+            _u8(rn), _i32p(ro), _i32p(rf), _u8(rc_),
+            ctypes.c_int32(len(header.static_columns)),
+            _u8(sn), _i32p(so), _i32p(sf), _u8(sc_),
+            _u8(scratch), ctypes.c_int64(len(scratch)),
+            ctypes.c_int64(cap_cells), ctypes.c_int64(cap_bytes),
+            _u8(key_data), _i32p(key_off),
+            _u8(name_data), _i32p(name_off), _u8(name_valid),
+            _u8(max_data), _i32p(max_off), _u8(max_valid),
+            _u8(val_data), _i32p(val_off), _u8(val_valid),
+            _i64p(ts), _u8(kind),
+            _i32p(ttl), _u8(ttl_valid),
+            _i32p(ldt), _u8(ldt_valid),
+            _i64p(tsd), _u8(tsd_valid),
+            _i64p(row_deleted), _i32p(row_cells),
+            ctypes.byref(out),
+        )
+
+        if rc == ROW_TOO_BIG:
+            cap_cells *= 2
+            cap_bytes *= 2
+            continue
+
+        n = int(out.n)
+        if n:
+            src = pa.Array.from_buffers(
+                pa.string(), n,
+                [None,
+                 pa.py_buffer((np.arange(n + 1, dtype=np.int32) * len(path_b)).tobytes()),
+                 pa.py_buffer(path_b * n)],
+            )
+            gen_arr = pa.array(np.full(n, generation, np.int32))
+            deleted = pa.array(
+                np.repeat(row_deleted[: out.rows], row_cells[: out.rows])
+            )
+            kind_arr = pa.Array.from_buffers(
+                pa.string(), n,
+                [None, pa.py_buffer(np.arange(n + 1, dtype=np.int32).tobytes()),
+                 pa.py_buffer(kind[:n])],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    src, gen_arr,
+                    _binary(n, key_data[: out.key_bytes], key_off[: n + 1], np.ones(n, np.uint8)),
+                    deleted, kind_arr,
+                    _binary(n, name_data[: out.name_bytes], name_off[: n + 1], name_valid[:n]),
+                    _binary(n, max_data[: out.max_bytes_used], max_off[: n + 1], max_valid[:n]),
+                    _binary(n, val_data[: out.val_bytes], val_off[: n + 1], val_valid[:n]),
+                    pa.Array.from_buffers(pa.int64(), n, [None, pa.py_buffer(ts[:n])]),
+                    _int_arr(n, ttl[:n], ttl_valid[:n], pa.int32()),
+                    _int_arr(n, ldt[:n], ldt_valid[:n], pa.int32()),
+                    _int_arr(n, tsd[:n], tsd_valid[:n], pa.int64()),
+                ],
+                schema=schema,
+            )
+
+        if rc == DONE:
+            return
+        if rc == MORE:
+            o = int(out.consumed)
+            continue
+        if rc == MA_UNSUPPORTED:
+            # resume in Python from the unsupported partition's start
+            yield from _modern_batches(
+                data, start=int(out.consumed), end=stop,
+                source_path=source_path, generation=generation,
+                batch_rows=batch_rows, skip_corrupt=skip_corrupt,
+            )
+            return
+        # CORRUPT (the broken partition is dropped whole; complete
+        # partitions before it were already emitted)
+        if not skip_corrupt:
+            raise ValueError(
+                f"corrupt ma sstable at offset {int(out.consumed)} in {source_path!r}"
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([source_path]), pa.array([generation], pa.int32()),
+                pa.array([None], pa.binary()), pa.array([0], pa.int64()),
+                pa.array(["!"]), pa.array([None], pa.binary()),
+                pa.array([None], pa.binary()), pa.array([None], pa.binary()),
+                pa.array([0], pa.int64()), pa.array([None], pa.int32()),
+                pa.array([None], pa.int32()), pa.array([None], pa.int64()),
+            ],
+            schema=schema,
+        )
+        return

@@ -603,7 +603,10 @@ def test_ma_roundtrip_hypothesis(tmp_path):
 
     part_st = st.fixed_dictionaries(
         {"key": key_st,
-         "rows": st.lists(row_st, max_size=3)},
+         # unique clustering per partition: duplicate clusterings would
+         # make the per-cell fidelity lookup below ambiguous
+         "rows": st.lists(row_st, max_size=3,
+                          unique_by=lambda r: r["clustering"][0])},
         optional={"deletion": st.tuples(ts_st, ldt_st)},
     )
 
@@ -712,3 +715,120 @@ def test_job_cli_runs_on_ma_dir(spark, tmp_path):
     for ln in lines:
         key_hex, js = ln.split("\t", 1)
         assert key_hex in json.loads(js)
+
+
+def test_cparse_ma_parity_fixture():
+    """C scanner output is table-identical to the Python decoder on the
+    checked-in fixture (statics, TTLs, lists, tombstones, markers)."""
+    import pyarrow as pa
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import (
+        scan_data_buffer_batches as py_scan,
+    )
+
+    if not cparse.available():
+        pytest.skip("no C compiler on host")
+    for gen in (1, 2):
+        path = f"tests/fixtures/ma/gen{gen}/ma-{gen}-big-Data.db"
+        data = open(path, "rb").read()
+        c_tab = pa.Table.from_batches(list(cparse.scan_data_buffer_batches(
+            data, version="ma", source_path=path, generation=gen)))
+        p_tab = pa.Table.from_batches(list(py_scan(
+            data, version="ma", source_path=path, generation=gen)))
+        assert c_tab.equals(p_tab), f"gen{gen} C/Python divergence"
+
+
+def test_cparse_ma_parity_hypothesis(tmp_path):
+    """Random writer outputs: C == Python, cell for cell."""
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import (
+        scan_data_buffer_batches as py_scan,
+    )
+
+    if not cparse.available():
+        pytest.skip("no C compiler on host")
+
+    ts_st = st.integers(min_value=1_500_000_000_000_000,
+                        max_value=1_700_000_000_000_000)
+    ldt_st = st.integers(min_value=1_500_000_000, max_value=1_600_000_000)
+    cell_st = st.fixed_dictionaries(
+        {"column": st.sampled_from([b"a", b"b", b"tags"]),
+         "value": st.binary(max_size=20),
+         "ts": ts_st},
+        optional={"deleted": ldt_st,
+                  "expiring": st.tuples(st.integers(1, 1 << 20), ldt_st)},
+    )
+
+    def clean(c):
+        c = dict(c)
+        if "deleted" in c and "expiring" in c:
+            del c["expiring"]
+        if c["column"] == b"tags":
+            c["path"] = c["value"][:8] or b"\x01"
+        return c
+
+    row_st = st.fixed_dictionaries(
+        {"clustering": st.lists(st.binary(max_size=6), min_size=1, max_size=1),
+         "cells": st.lists(cell_st.map(clean), max_size=4,
+                           unique_by=lambda c: (c["column"], c.get("path")))},
+        optional={"liveness": st.tuples(ts_st),
+                  "deletion": st.tuples(ts_st, ldt_st)},
+    )
+    part_st = st.fixed_dictionaries(
+        {"key": st.binary(min_size=1, max_size=10),
+         "rows": st.lists(row_st, max_size=3,
+                          unique_by=lambda r: r["clustering"][0])},
+        optional={"deletion": st.tuples(ts_st, ldt_st)},
+    )
+
+    counter = [0]
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(part_st, min_size=1, max_size=3,
+                    unique_by=lambda p: p["key"]))
+    def check(parts):
+        counter[0] += 1
+        d = tmp_path / f"p{counter[0]}"
+        path = write_sstable_ma(
+            str(d), parts, clustering_types=[UTF8],
+            regular_columns=[(b"a", UTF8), (b"b", UTF8),
+                             (b"tags", LIST_UTF8)],
+        )
+        data = open(path, "rb").read()
+        c_tab = pa.Table.from_batches(list(cparse.scan_data_buffer_batches(
+            data, version="ma", source_path=path)))
+        p_tab = pa.Table.from_batches(list(py_scan(
+            data, version="ma", source_path=path)))
+        assert c_tab.equals(p_tab)
+
+    check()
+
+
+def test_cparse_ma_truncation_detects(tmp_path):
+    """Truncated ma input: both engines flag corruption (the C path drops
+    the broken partition whole, the Python path may keep its decoded
+    prefix — both end with the sentinel under skip_corrupt)."""
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import (
+        scan_data_buffer_batches as py_scan,
+    )
+
+    if not cparse.available():
+        pytest.skip("no C compiler on host")
+    path = _fixture_dir(tmp_path, n_keys=10)
+    data = open(path, "rb").read()
+    part = len(data) // 10  # identical partitions; cut INSIDE one (a cut
+    # on a boundary with a <2-byte tail is clean EOF in both engines)
+    for cut in (part * 2 + part // 2, part * 5 + 3, len(data) - 3):
+        chopped = data[:cut]
+        for scan in (cparse.scan_data_buffer_batches, py_scan):
+            batches = list(scan(chopped, version="ma", source_path=path,
+                                skip_corrupt=True))
+            kinds = [k for b in batches for k in b.column("kind").to_pylist()]
+            assert kinds.count("!") == 1, (scan, cut)
