@@ -55,6 +55,12 @@ UNCHANGED on 3.x input: the inclusive byte-range coverage check
 `min <= name <= max` (compact.py J2) holds because a composite prefix
 with final end-of-component byte 0x00 sorts <= every extension and the
 same prefix with 0x01 sorts > every extension.
+
+Known limitation: 3.x counter columns (CounterColumnType) decode as
+plain 'c' cells with the counter-context blob as the opaque value — LWW
+picks the newest context rather than merging shards. The 2.x path has
+the same posture (counters ride an Observation, SURVEY A4); true 3.x
+counter-context merging is out of scope.
 """
 
 from __future__ import annotations
