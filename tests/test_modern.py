@@ -543,7 +543,12 @@ def test_ma_compressed_matches_uncompressed(spark, tmp_path):
 def test_mb_mc_version_variants_decode(spark, tmp_path):
     """mb/mc (3.0.7+/3.0.8+) change only Statistics metadata the scan
     doesn't read; the row format is ma's. Renamed components must decode
-    identically through version-gated dispatch."""
+    identically through version-gated dispatch. na/nb (4.0) kept the 3.0
+    row format too (the 4.0 changes are stats-metadata-level: pending
+    repair, transient flag, originating host) so the same routing covers
+    them — noting honestly that no real 4.0-written fixture exists in
+    this environment, so 4.0 coverage is format-analysis + routing, not
+    a golden."""
     import shutil
 
     from aegisthus_spark.sources import read_sstable_cells
@@ -551,7 +556,7 @@ def test_mb_mc_version_variants_decode(spark, tmp_path):
 
     src = tmp_path / "ma"
     _fixture_dir(src, n_keys=10)
-    for version in ("mb", "mc"):
+    for version in ("mb", "mc", "na", "nb"):
         d = tmp_path / version
         d.mkdir()
         for comp in ("Data", "Index", "Statistics"):

@@ -45,6 +45,90 @@ def make_sstable(d: str, rows: int, gen: int = 1) -> str:
     return path
 
 
+def make_sstable_ma(d: str, rows: int, gen: int = 1) -> str:
+    """A dense ma-format table: ``rows`` partitions x 5 cells of 80 bytes,
+    written incrementally (the dict-based writer API would hold the whole
+    table in memory; this streams partitions straight to disk)."""
+    from aegisthus_spark.sstable.modern import (
+        SerializationHeader, TTL_EPOCH, vint_len, write_unsigned_vint,
+    )
+    from aegisthus_spark.sstable.modern_writer import (
+        UTF8, serialize_partition, write_statistics_db,
+    )
+
+    os.makedirs(d, exist_ok=True)
+    h = SerializationHeader(
+        min_timestamp=1_600_000_000_000_000,
+        min_local_deletion_time=1_600_000_000,
+        min_ttl=TTL_EPOCH,
+        key_type=UTF8,
+        clustering_types=(UTF8,),
+        static_columns=(),
+        regular_columns=tuple((f"col{j}".encode(), UTF8) for j in range(5)),
+    )
+    path = os.path.join(d, f"ma-{gen}-big-Data.db")
+    index = bytearray()
+    with open(path, "wb") as f:
+        for i in range(rows):
+            key = struct.pack(">q", i)
+            index += struct.pack(">H", len(key)) + key
+            index += write_unsigned_vint(f.tell()) + write_unsigned_vint(0)
+            part = {"key": key, "rows": [
+                {"clustering": [b"c1"],
+                 "liveness": (1_600_000_000_000_000 + i,),
+                 "cells": [{"column": f"col{j}".encode(), "value": b"x" * 80}
+                           for j in range(5)]},
+            ]}
+            f.write(serialize_partition(h, part))
+    with open(path.replace("-Data.db", "-Index.db"), "wb") as f:
+        f.write(bytes(index))
+    write_statistics_db(path.replace("-Data.db", "-Statistics.db"), h)
+    _ = vint_len
+    return path
+
+
+def decode_ma_bench(cpus: int, rows: int, files: int) -> None:
+    """Distributed 3.x decode throughput: direct mapInArrow read (C
+    scanner in the workers) and the staged-parquet crossover — the ma
+    twin of the default 2.x decode stress."""
+    import tempfile
+    import time
+
+    from aegisthus_spark.session import get_spark
+    from aegisthus_spark.sources import read_sstable_cells
+
+    d = tempfile.mkdtemp(prefix="stress_ma_")
+    for g in range(1, files + 1):
+        make_sstable_ma(os.path.join(d, f"g{g}"), rows, gen=g)
+    sz = os.path.getsize(os.path.join(d, "g1", "ma-1-big-Data.db"))
+    total_sz = sz * files
+    print(f"synthetic ma sstables: {files} x {sz / 1e6:.0f} MB "
+          f"({total_sz / 1e9:.2f} GB total), {rows} partitions x 6 cells")
+
+    spark = get_spark("stress-ma", cpus=cpus)
+    target = max(total_sz // cpus, 1 << 20)
+    dirs = [os.path.join(d, f"g{g}") for g in range(1, files + 1)]
+
+    t = time.time()
+    n = read_sstable_cells(spark, dirs, target_bytes=target).count()
+    dt = time.time() - t
+    print(f"distributed ma read ({cpus} cores): {n / dt / 1e6:.2f}M cells/s, "
+          f"{total_sz / dt / 1e6:.0f} MB/s ({total_sz / dt / 1e6 / cpus:.0f} MB/s/core)")
+
+    stage_dir = tempfile.mkdtemp(prefix="stress_ma_stage_")
+    t = time.time()
+    staged = read_sstable_cells(spark, dirs, target_bytes=target,
+                                stage_dir=stage_dir)
+    n2 = staged.count()
+    dt = time.time() - t
+    print(f"ma stage-to-parquet + first scan ({cpus} cores): "
+          f"{n2 / dt / 1e6:.2f}M cells/s, {total_sz / dt / 1e6:.0f} MB/s")
+    t = time.time()
+    staged.count()
+    dt = time.time() - t
+    print(f"staged parquet re-scan: {n2 / dt / 1e6:.2f}M cells/s")
+
+
 def skew_bench(cpus: int, hot_cells: int, cold_keys: int) -> None:
     """compact() vs compact_salted() on a skewed cell set: one giant
     partition (hot_cells cells, duplicated across 3 generations) amid
@@ -427,6 +511,9 @@ def main() -> None:
     ap.add_argument("--semantic", action="store_true",
                     help="run the semantic-dedup k-scaling benchmark "
                          "(candidate pairs at N vs 2N, k scaled vs fixed)")
+    ap.add_argument("--decode-ma", action="store_true",
+                    help="run the 3.x (ma) distributed decode benchmark "
+                         "(--rows partitions per file, --files files)")
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
@@ -446,6 +533,9 @@ def main() -> None:
         return
     if args.semantic:
         semantic_bench(args.cpus, args.docs)
+        return
+    if args.decode_ma:
+        decode_ma_bench(args.cpus, args.rows, args.files)
         return
 
     from aegisthus_spark.session import get_spark
