@@ -4,8 +4,10 @@ The correctness driver records only the first ``GATE_WINDOW`` registered
 queries and supplies its OWN SparkSession (configured solely through
 ``__spark_entry__._configure``). These tests pin both contracts:
 
-* the gate ordering — every query outside ``GATE_TAIL`` fits in the window,
-  and the demoted tail queries are exactly the oracle-duplicates we chose;
+* the gate rotation — the window holds exactly the GATE_WINDOW stalest
+  queries (never-driver-checked first, then oldest green round), the
+  history matches the checked-in CORRECTNESS artifacts, and a simulated
+  cycle gives every query a fresh row within ceil(n/50) rounds;
 * every registered query ships oracle SQL (no weaker rows-only checks);
 * timestamp normalization — a session that infers naive parquet timestamps
   as TIMESTAMP_NTZ (the round-3 driver default) still analyzes and runs the
@@ -200,3 +202,24 @@ def test_events_micros_survive_non_utc_session(spark):
         f"SELECT epoch_us(ts) AS us FROM '{SF_DIR}/events.parquet' "
         "ORDER BY us LIMIT 5").fetchall()]
     assert got == want
+
+
+def test_gate_rotation_converges():
+    """Simulate future rounds: stamping each round's window green and
+    re-sorting must give EVERY query a fresh driver row within
+    ceil(n/50) rounds — the schedule property the rotation promises."""
+    import math
+
+    from aegisthus_spark.queries import GATE_WINDOW, REGISTRY, _LAST_GREEN
+
+    last = dict(_LAST_GREEN)
+    names = list(REGISTRY)
+    cycle = math.ceil(len(names) / GATE_WINDOW)
+    current = max(last.values())
+    for rnd in range(current + 1, current + 1 + cycle):
+        order = sorted(names, key=lambda n: (last.get(n, -1), n))
+        for n in order[:GATE_WINDOW]:
+            last[n] = rnd  # driver stamps the window green
+    # after one full cycle every query has a row from the simulated rounds
+    stale = [n for n in names if last.get(n, -1) <= current]
+    assert stale == [], f"queries never rotated into the window: {stale}"
