@@ -133,21 +133,27 @@ CMS_D = 4
 CMS_W = 2048
 
 
-def _cms_bucket(j: int, key_expr: str, w: int) -> str:
-    """Spark SQL expr: bucket of ``key_expr`` under hash row ``j``.
+def _md5_word_mod(j: int, key_expr: str, m: int) -> str:
+    """Spark SQL expr: word ``j`` of md5(key) mod ``m`` — the shared
+    bucket/bit-position arithmetic of the CMS and Bloom builds.
 
-    All d <= 4 hash rows come from ONE md5 digest — row j reads hex chars
+    All j < 4 hash rows come from ONE md5 digest — row j reads hex chars
     [8j+1, 8j+8] of the 32-char digest as its 32-bit hash. One digest per
-    row instead of d digests: the md5 is the dominant per-row cost of the
-    sketch build (measured 4x on the stress bench), and the four words of
-    a digest are independent for bucketing purposes."""
+    row instead of four: the md5 is the dominant per-row cost of a sketch
+    build (measured 4x on the stress bench), and the four words of a
+    digest are independent for bucketing purposes."""
     if not 0 <= j < 4:  # not assert: must survive python -O, else the
         # substring runs past the 32-char digest and yields NULL buckets
-        raise ValueError(f"md5 yields four 32-bit words; d <= 4 (got row {j})")
+        raise ValueError(f"md5 yields four 32-bit words; j < 4 (got row {j})")
     return (
         f"cast(conv(substring(md5(cast({key_expr} as string)), {8 * j + 1}, 8),"
-        f" 16, 10) as bigint) % {w}"
+        f" 16, 10) as bigint) % {m}"
     )
+
+
+def _cms_bucket(j: int, key_expr: str, w: int) -> str:
+    """Bucket of ``key_expr`` under CMS hash row ``j``."""
+    return _md5_word_mod(j, key_expr, w)
 
 
 def cms_heavy_hitters(
@@ -266,12 +272,7 @@ _BLOOM_WORD = 63
 
 def _bloom_pos(j: int, key_expr: str, m: int) -> str:
     """SQL expr: bit position of ``key_expr`` under hash row ``j < 4``."""
-    if not 0 <= j < 4:
-        raise ValueError(f"md5 yields four 32-bit words; k <= 4 (got row {j})")
-    return (
-        f"cast(conv(substring(md5(cast({key_expr} as string)), {8 * j + 1}, 8),"
-        f" 16, 10) as bigint) % {m}"
-    )
+    return _md5_word_mod(j, key_expr, m)
 
 
 def bloom_build(

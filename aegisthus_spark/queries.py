@@ -109,12 +109,19 @@ def _scratch_dir(name: str) -> str:
     import tempfile
 
     root = os.path.join(tempfile.gettempdir(), f"aeg_scratch_{os.getpid()}")
-    if not os.path.exists(root):
-        os.makedirs(root, exist_ok=True)
+    # register cleanup even when the dir already exists (a crashed
+    # same-pid predecessor left it; skipping registration would leak it
+    # forever) — once per process, not once per call
+    if root not in _scratch_dir._registered:
+        _scratch_dir._registered.add(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
     path = os.path.join(root, name)
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+_scratch_dir._registered = set()  # type: ignore[attr-defined]
 
 
 @contextmanager

@@ -333,13 +333,12 @@ def _decode_tasks(batches) -> "Iterator":
 
     # gcc-compiled scanner when the host can build it (~30x the Python
     # parse; byte-identical, parity-tested); pure-Python otherwise. Both
-    # formats have C twins (scan_cells for 2.x, scan_cells_ma for 3.x —
-    # cparse dispatches on version); shapes the C ma path doesn't cover
-    # fall back to Python mid-stream inside cparse, never a wrong answer.
-    def _pick_scanner(version: str):
-        if cparse.available():
-            return cparse.scan_data_buffer_batches
-        return _py_scan
+    # scanners dispatch on version internally (scan_cells for 2.x,
+    # scan_cells_ma for 3.x; cparse falls back to Python mid-stream for
+    # shapes its C ma path doesn't cover — never a wrong answer).
+    scanner = (
+        cparse.scan_data_buffer_batches if cparse.available() else _py_scan
+    )
 
     schema = _arrow_cells_schema()
     assert tuple(f.name for f in schema) == ROW_FIELDS
@@ -400,7 +399,7 @@ def _decode_tasks(batches) -> "Iterator":
                     with open(task["path"], "rb") as fh, mmap.mmap(
                         fh.fileno(), 0, access=mmap.ACCESS_READ
                     ) as mm:
-                        yield from _pick_scanner(task["version"])(
+                        yield from scanner(
                             mm,
                             version=task["version"],
                             start=int(task["start"]),

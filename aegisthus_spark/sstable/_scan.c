@@ -587,6 +587,11 @@ int scan_cells_ma(
 
                 int is_boundary = (mkind == 2 || mkind == 5);
                 int is_start = (mkind == 1 || mkind == 7);
+                /* exclusivity via the final end-of-component byte (twin
+                 * of modern._decode_marker): incl start / excl end ->
+                 * 0x00, excl start / incl end -> 0x01 */
+                uint8_t start_eoc = (mkind == 1 || mkind == 2) ? 0x00 : 0x01;
+                uint8_t end_eoc = (mkind == 6 || mkind == 5) ? 0x01 : 0x00;
                 uint64_t d;
                 if (is_boundary) {
                     int64_t end_mfda, end_ldt, st_mfda, st_ldt;
@@ -609,7 +614,7 @@ int scan_cells_ma(
                     nb += rt_len[rt_depth];
                     if (blen > 0) {
                         memcpy(max_data + mb, scratch, blen);
-                        max_data[mb + blen - 1] = 0x01;
+                        max_data[mb + blen - 1] = end_eoc;
                     }
                     mb += blen;
                     kind_out[n] = 't';
@@ -618,12 +623,13 @@ int scan_cells_ma(
                     ttl_valid[n] = 0; tsd_valid[n] = 0;
                     ldt_out[n] = (int32_t)end_ldt; ldt_valid[n] = 1;
                     MA_FINISH_CELL();
-                    /* open the next range at the same prefix (eoc 0) */
+                    /* open the next range at the same prefix */
                     if (rt_depth >= MA_RT_STACK ||
                         rt_used + blen > scratch_cap) {
                         rc_kind = MA_UNSUPPORTED; goto corrupt;
                     }
                     memcpy(scratch + rt_used, scratch, blen);
+                    if (blen > 0) scratch[rt_used + blen - 1] = start_eoc;
                     rt_off[rt_depth] = rt_used; rt_len[rt_depth] = blen;
                     rt_mfda[rt_depth] = st_mfda; rt_ldt[rt_depth] = st_ldt;
                     rt_used += blen; rt_depth++;
@@ -640,6 +646,7 @@ int scan_cells_ma(
                         rc_kind = MA_UNSUPPORTED; goto corrupt;
                     }
                     memcpy(scratch + rt_used, scratch, blen);
+                    if (blen > 0) scratch[rt_used + blen - 1] = start_eoc;
                     rt_off[rt_depth] = rt_used; rt_len[rt_depth] = blen;
                     rt_mfda[rt_depth] = mfda; rt_ldt[rt_depth] = ldtv;
                     rt_used += blen; rt_depth++;
@@ -656,7 +663,7 @@ int scan_cells_ma(
                 nb += rt_len[rt_depth];
                 if (blen > 0) {
                     memcpy(max_data + mb, scratch, blen);
-                    max_data[mb + blen - 1] = 0x01;
+                    max_data[mb + blen - 1] = end_eoc;
                 }
                 mb += blen;
                 kind_out[n] = 't';
@@ -895,8 +902,10 @@ int scan_cells_ma(
                     name_valid[n] = 1; max_valid[n] = 0; tsd_valid[n] = 0;
                     ts[n] = cts;
                     if (is_del) {
-                        /* 2.x DeletedColumn payload: i32 ldt big-endian */
-                        int32_t lv = (int32_t)cldt;
+                        /* 2.x DeletedColumn payload: i32 ldt big-endian
+                         * (0 when the ldt is unset, like the Python twin,
+                         * which also leaves the ldt COLUMN null then) */
+                        int32_t lv = ldt_set ? (int32_t)cldt : 0;
                         val_data[vb] = (uint8_t)((uint32_t)lv >> 24);
                         val_data[vb + 1] = (uint8_t)((uint32_t)lv >> 16);
                         val_data[vb + 2] = (uint8_t)((uint32_t)lv >> 8);
@@ -904,7 +913,9 @@ int scan_cells_ma(
                         vb += 4;
                         kind_out[n] = 'd';
                         val_valid[n] = 1;
-                        ldt_out[n] = lv; ldt_valid[n] = 1; ttl_valid[n] = 0;
+                        if (ldt_set) { ldt_out[n] = lv; ldt_valid[n] = 1; }
+                        else ldt_valid[n] = 0;
+                        ttl_valid[n] = 0;
                     } else if (is_exp) {
                         if (vlen) { memcpy(val_data + vb, val, vlen); vb += vlen; }
                         kind_out[n] = 'e';

@@ -618,12 +618,18 @@ def _decode_cell(
     value = b""
     if has_value:
         if fixed >= 0:
+            if o + fixed > len(buf):
+                raise ValueError("corrupt ma SSTable: value extends past buffer")
             value = bytes(buf[o : o + fixed])
             o += fixed
         else:
             b = buf[o]
             if b < 0x80:
                 o += 1
+                if o + b > len(buf):  # memoryview slicing is silently short
+                    raise ValueError(
+                        "corrupt ma SSTable: value extends past buffer"
+                    )
                 value = bytes(buf[o : o + b])
                 o += b
             else:
@@ -653,7 +659,16 @@ def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
     An open bound pushes (start composite, deletion) onto ``open_rt``; the
     matching close bound emits one 't' cell for the range. A boundary
     closes the current range and opens the next one at the same
-    clustering prefix (the 3.x encoding of adjacent ranges)."""
+    clustering prefix (the 3.x encoding of adjacent ranges).
+
+    EXCLUSIVITY under the inclusive byte-range check (compact.py J2,
+    min <= name <= max): a prefix P with final end-of-component byte 0x00
+    sorts <= every P-extension and the same prefix with 0x01 sorts >
+    every extension, so
+        inclusive start -> eoc 0x00   exclusive start -> eoc 0x01
+        inclusive end   -> eoc 0x01   exclusive end   -> eoc 0x00
+    (an exclusive end at P is the bare-prefix bound itself: below every
+    P-cell name, above everything before P)."""
     h = ctx.header
     kind = buf[o]
     o += 1
@@ -669,6 +684,12 @@ def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
         KIND_INCL_END_EXCL_START_BOUNDARY,
     )
     is_start = kind in (KIND_INCL_START_BOUND, KIND_EXCL_START_BOUND)
+    start_eoc = 0x00 if kind in (
+        KIND_INCL_START_BOUND, KIND_EXCL_END_INCL_START_BOUNDARY
+    ) else 0x01
+    end_eoc = 0x01 if kind in (
+        KIND_INCL_END_BOUND, KIND_INCL_END_EXCL_START_BOUNDARY
+    ) else 0x00
 
     out = []
     if is_boundary:
@@ -680,13 +701,13 @@ def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
         if (mfda, ldt) != (end_mfda, end_ldt):
             raise ValueError("corrupt ma SSTable: boundary deletion mismatch")
         out.append((ctx.source_path, ctx.generation, key, deleted_at, "t",
-                    start_name, composite(values, eoc=0x01), None, mfda,
+                    start_name, composite(values, eoc=end_eoc), None, mfda,
                     None, ldt, None))
-        open_rt.append((composite(values, eoc=0x00), start_mfda, start_ldt))
+        open_rt.append((composite(values, eoc=start_eoc), start_mfda, start_ldt))
         return out, o
     mfda, ldt, o = _read_deletion_time_deltas(buf, o, h)
     if is_start:
-        open_rt.append((composite(values, eoc=0x00), mfda, ldt))
+        open_rt.append((composite(values, eoc=start_eoc), mfda, ldt))
         return out, o
     # end bound: close the open range
     if not open_rt:
@@ -695,7 +716,7 @@ def _decode_marker(buf, o, ctx, key, deleted_at, open_rt):
     if (s_mfda, s_ldt) != (mfda, ldt):
         raise ValueError("corrupt ma SSTable: bound deletion mismatch")
     out.append((ctx.source_path, ctx.generation, key, deleted_at, "t",
-                start_name, composite(values, eoc=0x01), None, s_mfda, None,
+                start_name, composite(values, eoc=end_eoc), None, s_mfda, None,
                 s_ldt, None))
     return out, o
 

@@ -281,8 +281,11 @@ def test_roundtrip_boundary_marker(tmp_path):
     )
     rows = _decode_dir(path)
     assert [r[4] for r in rows] == ["t", "t"]
+    # the EXCL_END half of the boundary closes at the BARE prefix
+    # (eoc 0x00: below every m-cell name), the INCL_START half opens
+    # inclusively at the same prefix
     assert (rows[0][5], rows[0][6], rows[0][8]) == (
-        composite([b"a"], eoc=0x00), composite([b"m"], eoc=0x01), 10)
+        composite([b"a"], eoc=0x00), composite([b"m"], eoc=0x00), 10)
     assert (rows[1][5], rows[1][6], rows[1][8]) == (
         composite([b"m"], eoc=0x00), composite([b"z"], eoc=0x01), 20)
 
@@ -927,3 +930,54 @@ def test_cparse_ma_bitflip_agreement(tmp_path):
         elif ck == "ok" and not ct.equals(pt):
             mismatches.append((bitpos, "tables differ", None))
     assert not mismatches, mismatches[:5]
+
+
+def test_exclusive_rt_bounds_do_not_cover_boundary_row(spark, tmp_path):
+    """DELETE ... WHERE ck < 'm' (EXCL_END at m) must NOT shadow row m's
+    live cells, and DELETE ... WHERE ck > 'm' (EXCL_START) must not
+    either — the review finding that inclusive/exclusive bounds were
+    conflated. Checked end-to-end through compact()'s J2 coverage."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        KIND_EXCL_END_BOUND,
+        KIND_EXCL_START_BOUND,
+    )
+
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    kw = dict(clustering_types=[UTF8], regular_columns=[(b"val", UTF8)])
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"a"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"below"}]},
+            {"clustering": [b"m"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"at-boundary"}]},
+            {"clustering": [b"x"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"above"}]},
+        ]}],
+        generation=1, **kw,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            # [-inf? no: [a .. m) then (m .. x] — both EXCLUDE m
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_EXCL_END_BOUND, "clustering": [b"m"],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_EXCL_START_BOUND, "clustering": [b"m"],
+             "deletion": (6000, 1442880600)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"x"],
+             "deletion": (6000, 1442880600)},
+        ]}],
+        generation=2, **kw,
+    )
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells))
+    vals = {bytes(r.value) for r in out.collect()
+            if r.value not in (None, b"") and r.kind == "c"
+            and r.cell_name and b"val" in bytes(r.cell_name)}
+    assert b"at-boundary" in vals, "exclusive bounds shadowed the boundary row"
+    assert b"below" not in vals and b"above" not in vals

@@ -47,6 +47,8 @@ def main():
     out_path = "DRIVER_SIM.json"
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            sys.exit("--out requires a file path")
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--json"]
