@@ -82,6 +82,20 @@ def gen2_partitions():
         {"clustering": [b"c1"], "deletion": (TS0 + 2000, LDT0 + 10),
          "cells": []},
     ]})
+    # exclusive-end range on k009: [c0 .. c2) deletes c1 but must SPARE
+    # the boundary row c2 (pins the exclusive-bound eoc mapping in the
+    # driver-gated golden)
+    from aegisthus_spark.sstable.modern import (
+        KIND_EXCL_END_BOUND,
+        KIND_INCL_START_BOUND,
+    )
+
+    parts.insert(5, {"key": b"k009", "rows": [
+        {"marker": KIND_INCL_START_BOUND, "clustering": [b"c0"],
+         "deletion": (TS0 + 4000, LDT0 + 30)},
+        {"marker": KIND_EXCL_END_BOUND, "clustering": [b"c2"],
+         "deletion": (TS0 + 4000, LDT0 + 30)},
+    ]})
     # partition tombstone: k007 wiped
     parts.insert(4, {"key": b"k007",
                      "deletion": (TS0 + 3000, LDT0 + 20), "rows": []})
