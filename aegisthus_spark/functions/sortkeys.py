@@ -1,0 +1,281 @@
+"""JVM-side order-preserving sort keys for typed cell names (F1/J2/A3).
+
+``compact()`` compares cell names and range-tombstone bounds as raw bytes
+by default — correct only for byte-ordered comparators. For every other
+comparator the reference used Cassandra's ``AbstractType.compare``
+(CassSSTableReducer.java:142-153 via the configured comparator); this
+module reproduces that order as a *pure Spark SQL expression* so typed
+compactions stay inside whole-stage codegen (the Python-UDF fallback in
+``types.Comparator.sort_key`` costs a BatchEvalPython exchange per stage).
+
+Encoding (string, ASCII, lexicographically order-preserving):
+
+- simple comparator: the per-type hex transform below.
+- ``CompositeType(t1, t2, ...)``: a lead char (``'0'`` for the 0xFFFF
+  static prefix, ``'1'`` otherwise — statics sort first, matching
+  AbstractCompositeType's STATIC_MARKER rule), then per component
+  ``<type-transformed hex>!<eoc char>`` where the end-of-component byte
+  maps ``0x00 -> '+'``, ``0x01..0x7f -> 'Z'``, ``0x80..0xff -> '!'``.
+  The ``'!'`` terminator sorts below every content char (hex digits and
+  the ReversedType sentinel), so unequal component VALUES decide order
+  before the eoc is reached — exactly AbstractCompositeType's rule that
+  the eoc byte is consulted only between equal components. Among equal
+  components ``'!' < '+' < 'Z'`` gives Cassandra's bound ordering: an
+  eoc ``-1`` bound sorts before every same-prefix extension, ``0``
+  between the prefix row and deeper names, ``+1`` after them.
+
+Per-type hex transforms (component bytes -> hex string whose
+lexicographic order equals the comparator's):
+
+- UTF8/Ascii/Bytes/Boolean/SimpleDate/Time/InetAddress: plain ``hex()``
+  (unsigned byte order; SimpleDate is an unsigned epoch-shifted u32,
+  Time a non-negative long).
+- Int32/Long/Timestamp/Date/ShortType/ByteType/CounterColumn: sign bit
+  flipped (two's-complement big-endian becomes unsigned-ordered).
+- Float/Double: IEEE-754 total order (negative -> all bits inverted,
+  positive -> sign bit set), NaN last like ``Double.compare``.
+- TimeUUID: embedded v1 timestamp (time_hi, time_mid, time_low) then the
+  full uuid for a stable tie-break.
+- UUID: version nibble first, v1s by embedded timestamp, otherwise
+  unsigned bytes (UUIDType.compareCustom).
+- ReversedType(inner): inner transform with every hex digit complemented
+  (``translate``) plus a high sentinel so shorter-prefix order inverts.
+
+Unsupported JVM-side (DecimalType, IntegerType varints — variable-length
+numeric encodings have no prefix-order-preserving hex form): ``supported``
+returns False and callers fall back to the Python ``types.sort_key`` UDF
+or reject, with a clear error from ``comparator_sort_key``.
+
+Collection cell paths are compared as raw bytes (BytesType), not as the
+collection-key comparator: LWW groups per full name so merge results are
+unaffected; only the intra-row display order of list elements with
+non-monotonic timeuuid encodings could differ, and cql.py re-orders list
+elements by embedded time during assembly anyway (cql.py:459).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: eoc byte -> order char (see module docstring)
+_EOC_MINUS = "!"
+_EOC_ZERO = "+"
+_EOC_PLUS = "Z"
+
+_HEX_COMPLEMENT = ("0123456789ABCDEF", "FEDCBA9876543210")
+
+
+def _strip_pkg(name: str) -> str:
+    return name.rsplit(".", 1)[-1]
+
+
+def _u16_at(name: Column, pos: Column) -> Column:
+    return F.coalesce(
+        F.conv(F.hex(F.substring(name, pos, F.lit(2))), 16, 10).cast("int"),
+        F.lit(0),
+    )
+
+
+def _flip_sign_hex(comp: Column, width: int) -> Column:
+    """Signed big-endian fixed-width -> sign-flipped hex (order-preserving)."""
+    digits = width * 2
+    if width <= 4:
+        v = F.conv(F.hex(comp), 16, 10).cast("long")
+        flipped = (v + F.lit(1 << (width * 8 - 1))) % F.lit(1 << (width * 8))
+        out = F.lpad(F.conv(flipped.cast("string"), 10, 16), digits, "0")
+    else:
+        # u64 overflows long: decimal arithmetic (exact to 38 digits)
+        v = F.conv(F.hex(comp), 16, 10).cast("decimal(20,0)")
+        half = F.lit(str(1 << 63)).cast("decimal(20,0)")
+        full = F.lit(str(1 << 64)).cast("decimal(21,0)")
+        flipped = ((v + half).cast("decimal(21,0)") % full).cast("decimal(20,0)")
+        out = F.lpad(F.conv(flipped.cast("string"), 10, 16), digits, "0")
+    return F.when(F.length(comp) == 0, F.lit("")).otherwise(out)
+
+
+def _ieee_hex(comp: Column, width: int) -> Column:
+    """IEEE-754 float/double -> total-order hex: sign-negative inverts all
+    bits, else sets the sign bit (the classic radix-sortable float map)."""
+    digits = width * 2
+    if width == 4:
+        v = F.conv(F.hex(comp), 16, 10).cast("long")
+        half, full_m1 = F.lit(1 << 31), F.lit((1 << 32) - 1)
+        mapped = F.when(v >= half, full_m1 - v).otherwise(v + half)
+        out = F.lpad(F.conv(mapped.cast("string"), 10, 16), digits, "0")
+    else:
+        v = F.conv(F.hex(comp), 16, 10).cast("decimal(20,0)")
+        half = F.lit(str(1 << 63)).cast("decimal(20,0)")
+        full_m1 = F.lit(str((1 << 64) - 1)).cast("decimal(20,0)")
+        mapped = F.when(v >= half, full_m1 - v).otherwise(v + half)
+        out = F.lpad(F.conv(mapped.cast("string"), 10, 16), digits, "0")
+    return F.when(F.length(comp) == 0, F.lit("")).otherwise(out)
+
+
+def _timeuuid_key(h: Column) -> Column:
+    """hex(uuid) -> embedded v1 timestamp order (time_hi, time_mid,
+    time_low) — same reorder as cql._timeuuid_sort_key."""
+    return F.concat(
+        F.substring(h, 13, 4), F.substring(h, 9, 4), F.substring(h, 1, 8)
+    )
+
+
+#: marshal class -> fixed byte width for the sign-flip transform
+_SIGNED_WIDTH = {
+    "ByteType": 1,
+    "ShortType": 2,
+    "Int32Type": 4,
+    "LongType": 8,
+    "DateType": 8,  # pre-2.1 timestamp long
+    "TimestampType": 8,
+    "CounterColumnType": 8,
+}
+
+#: marshal classes whose raw bytes already sort in logical order
+_BYTE_ORDERED = {
+    "BytesType",
+    "UTF8Type",
+    "AsciiType",
+    "BooleanType",
+    "SimpleDateType",  # unsigned epoch-shifted u32
+    "TimeType",  # non-negative long nanos
+    "InetAddressType",
+    "EmptyType",
+}
+
+
+def supported(marshal: str) -> bool:
+    """True if ``type_sort_key_hex`` handles this marshal class."""
+    t = _strip_pkg(marshal.strip())
+    if t.startswith("ReversedType(") and t.endswith(")"):
+        return supported(t[len("ReversedType(") : -1])
+    return (
+        t in _BYTE_ORDERED
+        or t in _SIGNED_WIDTH
+        or t in ("FloatType", "DoubleType", "UUIDType", "TimeUUIDType")
+    )
+
+
+def type_sort_key_hex(comp: Column, marshal: str) -> Column:
+    """Component bytes -> hex string in the comparator's logical order."""
+    t = _strip_pkg(marshal.strip())
+    if t.startswith("ReversedType(") and t.endswith(")"):
+        inner = type_sort_key_hex(comp, t[len("ReversedType(") : -1])
+        # complement every hex digit; high sentinel inverts prefix order
+        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+            F.concat(F.translate(inner, *_HEX_COMPLEMENT), F.lit(_EOC_PLUS))
+        )
+    if t in _BYTE_ORDERED:
+        return F.hex(comp)
+    if t in _SIGNED_WIDTH:
+        return _flip_sign_hex(comp, _SIGNED_WIDTH[t])
+    if t == "FloatType":
+        return _ieee_hex(comp, 4)
+    if t == "DoubleType":
+        return _ieee_hex(comp, 8)
+    if t == "TimeUUIDType":
+        h = F.hex(comp)
+        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+            F.concat(_timeuuid_key(h), h)
+        )
+    if t == "UUIDType":
+        h = F.hex(comp)
+        ver = F.substring(h, 13, 1)
+        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+            F.concat(
+                ver,
+                F.when(ver == "1", _timeuuid_key(h)).otherwise(F.lit("")),
+                h,
+            )
+        )
+    raise ValueError(
+        f"no JVM-side sort key for comparator {marshal}: variable-length "
+        "numeric encodings (DecimalType, IntegerType) have no prefix-order-"
+        "preserving hex form; use compact(name_sort_key=<udf over "
+        "types.get(spec).sort_key>) instead"
+    )
+
+
+def composite_sort_key(
+    name: Column,
+    component_types: Sequence[str],
+    *,
+    n_extra: int = 2,
+) -> Column:
+    """2.x composite cell name -> order-preserving string sort key.
+
+    ``component_types``: marshal classes of the typed leading components
+    (the clustering columns for ma-mapped names). Up to ``n_extra``
+    trailing components (CQL column name, collection cell path) are
+    compared as raw bytes. Bounds with fewer components (range-tombstone
+    prefixes) and the 0xFFFF static prefix are handled per Cassandra's
+    composite comparator; see the module docstring for the encoding.
+
+    The expression is unrolled per component — component counts above ~10
+    produce very large Catalyst trees; such schemas should use the Python
+    UDF fallback.
+    """
+    types_ = [_strip_pkg(t) for t in component_types] + ["BytesType"] * n_extra
+    if len(types_) > 12:
+        raise ValueError(
+            f"composite_sort_key unrolls {len(types_)} components — "
+            "expression too large; use the types.sort_key UDF fallback"
+        )
+    total = F.length(name)
+    is_static = (total >= 2) & (
+        F.hex(F.substring(name, F.lit(1), F.lit(2))) == "FFFF"
+    )
+    acc = F.when(is_static, F.lit("0")).otherwise(F.lit("1"))
+    pos = F.when(is_static, F.lit(3)).otherwise(F.lit(1)).cast("int")
+    for t in types_:
+        ln = _u16_at(name, pos)
+        comp = F.substring(name, pos + F.lit(2), ln)
+        eocb = F.coalesce(
+            F.conv(
+                F.hex(F.substring(name, pos + F.lit(2) + ln, F.lit(1))), 16, 10
+            ).cast("int"),
+            F.lit(0),
+        )
+        eocc = (
+            F.when(eocb == 0, F.lit(_EOC_ZERO))
+            .when(eocb < 128, F.lit(_EOC_PLUS))
+            .otherwise(F.lit(_EOC_MINUS))
+        )
+        seg = F.concat(type_sort_key_hex(comp, t), F.lit(_EOC_MINUS), eocc)
+        has = (pos + F.lit(1)) <= total  # the u16 length prefix is present
+        acc = F.when(has, F.concat(acc, seg)).otherwise(acc)
+        pos = F.when(has, pos + F.lit(3) + ln).otherwise(pos).cast("int")
+    return acc
+
+
+def comparator_sort_key(name: Column, spec: str) -> Column:
+    """Sort-key column for a full comparator spec (simple or CompositeType).
+
+    Matches ``types.get(spec).sort_key`` ordering, JVM-side.
+    """
+    s = spec.strip()
+    short = _strip_pkg(s.split("(", 1)[0])
+    if short == "CompositeType":
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        comps = _split_top_level(inner)
+        return composite_sort_key(name, comps, n_extra=0)
+    return type_sort_key_hex(name, s)
+
+
+def _split_top_level(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out

@@ -63,19 +63,52 @@ def compact_snapshot(
         ).filter(F.col("kind") != "!")
         corrupt_check.append(corrupt_obs)
     name_sort_key = None
-    if column_type not in ("BytesType", "UTF8Type", "AsciiType"):
+    if column_type == "auto":
+        # derive the comparator from the input files themselves: 3.x+
+        # SSTables carry a self-describing serialization header (clustering
+        # types), so the typed name order needs no user DDL. 2.x files have
+        # no type info on disk — they keep the raw-bytes default.
+        from .sources.sstable_source import discover_data_files
+        from .sstable.descriptor import version_of
+        from .sstable.modern import (
+            header_for_data_file,
+            name_sort_key_for_header,
+        )
+
+        modern = [
+            f for f in discover_data_files(inputs) if version_of(f) >= "ma"
+        ]
+        if modern:
+            name_sort_key = name_sort_key_for_header(
+                header_for_data_file(modern[0])
+            )
+    elif column_type not in ("BytesType", "UTF8Type", "AsciiType"):
         from . import types as aegtypes
+        from .functions import sortkeys as _sortkeys
 
-        comp = aegtypes.get(column_type)
+        try:
+            # JVM-side order-preserving encoding: no BatchEvalPython
+            # exchange, the compaction stays in whole-stage codegen
+            # (probe now so unsupported specs fall back before planning)
+            _sortkeys.comparator_sort_key(F.col("cell_name"), column_type)
 
-        @F.udf("binary")
-        def sort_key(b):
-            return comp.sort_key(bytes(b)) if b is not None else None
+            def sort_key(c):
+                return _sortkeys.comparator_sort_key(c, column_type)
 
-        # callable form: compact() applies it to BOTH cell_name and
-        # cell_name_max, so range-tombstone bounds compare in the same
-        # encoding as the cell keys (CassSSTableReducer.java:142,148-153)
-        name_sort_key = sort_key
+            name_sort_key = sort_key
+        except ValueError:
+            # variable-length numeric comparators (DecimalType, varint):
+            # Python fallback, same order as types.Comparator.sort_key
+            comp = aegtypes.get(column_type)
+
+            @F.udf("binary")
+            def sort_key_udf(b):
+                return comp.sort_key(bytes(b)) if b is not None else None
+
+            # callable form: compact() applies it to BOTH cell_name and
+            # cell_name_max, so range-tombstone bounds compare in the same
+            # encoding as the cell keys (CassSSTableReducer.java:142,148-153)
+            name_sort_key = sort_key_udf
     rows = compact(
         cells,
         max_row_size=max_row_size,

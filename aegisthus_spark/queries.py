@@ -2385,11 +2385,20 @@ _MA_GOLDEN = "/root/repo/tests/golden/decode_golden_ma.parquet"
 def sst_decode_ma(spark, sf_dir):
     from .output import to_aeg_json
     from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, name_sort_key_for_header
 
+    # comparator-aware name order from the self-describing header: raw
+    # composite bytes rank variable-length clustering values by length
+    # before content (the u16 prefix), which would mis-apply RT coverage
+    sk = name_sort_key_for_header(
+        header_for_data_file(f"{_MA_FIXTURES}/gen1/ma-1-big-Data.db")
+    )
     cells = read_sstable_cells(
         spark, [f"{_MA_FIXTURES}/gen1", f"{_MA_FIXTURES}/gen2"]
     )
-    return to_aeg_json(compact(cells)).select(F.col("value").alias("line"))
+    return to_aeg_json(compact(cells, name_sort_key=sk)).select(
+        F.col("value").alias("line")
+    )
 
 
 _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
@@ -2409,14 +2418,21 @@ _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
 def aeg_cql_ma_inferred(spark, sf_dir):
     from .cql import cql_rows
     from .sources import read_sstable_cells
-    from .sstable.modern import header_for_data_file, infer_cql_schema
+    from .sstable.modern import (
+        header_for_data_file,
+        infer_cql_schema,
+        name_sort_key_for_header,
+    )
 
     h = header_for_data_file(f"{_MA_FIXTURES}/gen1/ma-1-big-Data.db")
     cells = read_sstable_cells(
         spark, [f"{_MA_FIXTURES}/gen1", f"{_MA_FIXTURES}/gen2"]
     )
     return (
-        cql_rows(cleanse(compact(cells)), infer_cql_schema(h))
+        cql_rows(
+            cleanse(compact(cells, name_sort_key=name_sort_key_for_header(h))),
+            infer_cql_schema(h),
+        )
         .select(
             "key", "ck0", "name", "score",
             F.array_join("tags", ",").alias("tags_joined"), "owner",

@@ -355,6 +355,10 @@ class _Ctx:
 
 def _read_value(buf, o: int, fixed: int) -> tuple[bytes, int]:
     if fixed >= 0:
+        if o + fixed > len(buf):
+            # memoryview slicing silently truncates at EOF; raise the same
+            # corrupt-contract ValueError as the variable path and the C twin
+            raise ValueError("corrupt ma SSTable: bad value length")
         return bytes(buf[o : o + fixed]), o + fixed
     n, o = read_unsigned_vint(buf, o)
     if n < 0 or o + n > len(buf):
@@ -825,3 +829,34 @@ def infer_cql_schema(header: SerializationHeader, table: str = "inferred"):
     for name, t in header.regular_columns:
         cols.append(value_col(name, t, "regular"))
     return CqlSchema(table=table, columns=cols)
+
+
+def name_sort_key_for_header(header: SerializationHeader):
+    """Header -> comparator-aware cell-name sort key for ``compact()``.
+
+    The 3.x header is self-describing, so the clustering comparators are
+    known and the 2.x-composite-mapped cell names can be ordered exactly
+    as Cassandra's ClusteringComparator orders rows — raw composite bytes
+    are NOT order-preserving (the u16 length prefix ranks variable-length
+    values by length before content, and signed/IEEE types by raw bits),
+    which would let a range tombstone over e.g. UTF8 clustering miss
+    cells whose values differ in length from the bounds.
+
+    Returns a ``Column -> Column`` callable (pure JVM expressions, no
+    Python UDF — the plan stays inside whole-stage codegen); ``compact``
+    applies it to both ``cell_name`` and ``cell_name_max`` so RT bounds
+    compare in the same encoding. Raises ValueError for clustering types
+    with no JVM-side order-preserving encoding (DecimalType, IntegerType
+    varints) — fall back to a ``types.sort_key`` UDF for those.
+    """
+    from ..functions.sortkeys import composite_sort_key, supported
+
+    unsupported = [t for t in header.clustering_types if not supported(t)]
+    if unsupported:
+        raise ValueError(
+            "no JVM-side sort key for clustering type(s) "
+            f"{unsupported}; pass a types.sort_key UDF to compact() instead"
+        )
+    types_ = list(header.clustering_types)
+    # +2 untyped trailing components: CQL column name, collection cell path
+    return lambda c: composite_sort_key(c, types_, n_extra=2)

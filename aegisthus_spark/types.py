@@ -242,6 +242,14 @@ def _sk_decimal(b: bytes) -> bytes:
     )
 
 
+def _sk_uuid(b: bytes) -> bytes:
+    # UUIDType.compareCustom: version nibble first, v1s by embedded
+    # timestamp, otherwise unsigned byte order
+    ver = (b[6] >> 4) & 0x0F
+    ts = _uuid.UUID(bytes=bytes(b)).time.to_bytes(8, "big") if ver == 1 else b""
+    return bytes([ver]) + ts + bytes(b)
+
+
 def _sk_timeuuid(b: bytes) -> bytes:
     # TimeUUID sorts by its 60-bit timestamp: time_hi(12 bits sans version),
     # time_mid, time_low, then the raw bytes as tiebreak
@@ -268,7 +276,7 @@ _SIMPLE = {
     "BooleanType": Comparator("BooleanType", T.BooleanType(), _render_bool, None, lambda b: bool(b and b[0])),
     "FloatType": Comparator("FloatType", T.FloatType(), _render_float, _sk_float, lambda b: _struct.unpack(">f", b)[0]),
     "DoubleType": Comparator("DoubleType", T.DoubleType(), _render_double, _sk_float, lambda b: _struct.unpack(">d", b)[0]),
-    "UUIDType": Comparator("UUIDType", T.StringType(), _render_uuid, None, lambda b: str(_uuid.UUID(bytes=bytes(b)))),
+    "UUIDType": Comparator("UUIDType", T.StringType(), _render_uuid, _sk_uuid, lambda b: str(_uuid.UUID(bytes=bytes(b)))),
     "TimeUUIDType": Comparator("TimeUUIDType", T.StringType(), _render_uuid, _sk_timeuuid,
                                lambda b: str(_uuid.UUID(bytes=bytes(b)))),
     "TimestampType": Comparator("TimestampType", T.TimestampType(), _render_timestamp, _sk_signed_fixed,
@@ -283,6 +291,10 @@ _SIMPLE = {
     "LexicalUUIDType": Comparator("LexicalUUIDType", T.StringType(), _render_uuid, None,
                                   lambda b: str(_uuid.UUID(bytes=bytes(b)))),
 }
+
+
+#: fallback comparator for composite components past the declared list
+_BYTES = _SIMPLE["BytesType"]
 
 
 class ReversedComparator(Comparator):
@@ -321,9 +333,22 @@ class CompositeComparator(Comparator):
         object.__setattr__(self, "_sort_key", None)
         object.__setattr__(self, "components", components)
 
+    @staticmethod
+    def is_static(b: bytes) -> bool:
+        """0xFFFF static prefix (CompositeType.STATIC_MARKER): static cell
+        names sort before every non-static name regardless of components."""
+        return len(b) >= 2 and b[0] == 0xFF and b[1] == 0xFF
+
+    def _component_at(self, i: int) -> "Comparator":
+        # trailing components past the declared list (CQL column name,
+        # collection cell path) compare as raw bytes
+        return self.components[i] if i < len(self.components) else _BYTES
+
     def split(self, b: bytes) -> list[bytes]:
         """CompositeType.split equivalent (reference: CQLMapper.java:97-100)."""
         out, mv, i = [], memoryview(b), 0
+        if self.is_static(b):
+            i = 2
         while i < len(mv):
             ln = int.from_bytes(mv[i:i + 2], "big")
             i += 2
@@ -333,6 +358,8 @@ class CompositeComparator(Comparator):
 
     def split_with_eoc(self, b: bytes) -> list[tuple[bytes, int]]:
         out, mv, i = [], memoryview(b), 0
+        if self.is_static(b):
+            i = 2
         while i < len(mv):
             ln = int.from_bytes(mv[i:i + 2], "big")
             i += 2
@@ -349,22 +376,27 @@ class CompositeComparator(Comparator):
         if b is None:
             return ""
         parts = self.split(b)
-        return ":".join(c.render(p) for c, p in zip(self.components, parts))
+        return ":".join(
+            self._component_at(i).render(p) for i, p in enumerate(parts)
+        )
 
     def sort_key(self, b: bytes | None) -> bytes:
         """Order-preserving flat encoding of a composite name.
 
-        Per component: 0x01 <escaped sort key> 0x00 <eoc+1 byte>, where the
+        Lead byte 0x00 for the 0xFFFF static prefix (statics first, like
+        CompositeType's STATIC_MARKER rule), 0x01 otherwise. Then per
+        component: 0x01 <escaped sort key> 0x00 <eoc+1 byte>, where the
         escape maps 0x00 -> 0x00 0x01 so the terminator (0x00 0x00-ish)
         sorts below any continuation. eoc -1/0/+1 -> 0/1/2 keeps Cassandra's
-        bound ordering.
+        bound ordering. Components past the declared list (CQL column name,
+        collection cell path) compare as raw bytes.
         """
         if b is None or len(b) == 0:
             return b""
-        out = bytearray()
+        out = bytearray(b"\x00" if self.is_static(b) else b"\x01")
         comps = self.split_with_eoc(b)
-        for (comp, eoc), c in zip(comps, self.components):
-            k = c.sort_key(comp)
+        for i, (comp, eoc) in enumerate(comps):
+            k = self._component_at(i).sort_key(comp)
             out.append(0x01)
             for byte in k:
                 if byte == 0x00:
@@ -379,7 +411,9 @@ class CompositeComparator(Comparator):
         if b is None:
             return None
         parts = self.split(b)
-        return tuple(c.compose(p) for c, p in zip(self.components, parts))
+        return tuple(
+            self._component_at(i).compose(p) for i, p in enumerate(parts)
+        )
 
 
 def get(spec: str) -> Comparator:

@@ -981,3 +981,173 @@ def test_exclusive_rt_bounds_do_not_cover_boundary_row(spark, tmp_path):
             and r.cell_name and b"val" in bytes(r.cell_name)}
     assert b"at-boundary" in vals, "exclusive bounds shadowed the boundary row"
     assert b"below" not in vals and b"above" not in vals
+
+
+def test_rt_covers_variable_length_clustering_with_header_sort_key(spark, tmp_path):
+    """DELETE WHERE ck >= 'a' AND ck <= 'c' over UTF8 clustering must
+    shadow a cell at clustering 'ab' — raw composite bytes rank names by
+    the u16 length prefix first (composite(['ab']) > composite(['c'],
+    eoc=1)), silently resurrecting deleted cells whenever bound and cell
+    values have different lengths. The header-derived JVM sort key
+    restores comparator order end-to-end through compact()'s J2."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    kw = dict(clustering_types=[UTF8], regular_columns=[(b"val", UTF8)])
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"ab"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"doomed-mid"}]},
+            {"clustering": [b"c"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"doomed-end"}]},
+            {"clustering": [b"zz"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"survivor"}]},
+        ]}],
+        generation=1, **kw,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"c"],
+             "deletion": (5000, 1442880500)},
+        ]}],
+        generation=2, **kw,
+    )
+    sk = name_sort_key_for_header(
+        header_for_data_file(str(d1 / "ma-1-big-Data.db"))
+    )
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells, name_sort_key=sk))
+    vals = {bytes(r.value) for r in out.collect()
+            if r.value not in (None, b"") and r.kind == "c"}
+    assert vals == {b"survivor"}, vals
+    # contrast: the raw-bytes default misses the mid-range cell — this is
+    # exactly why ma pipelines must pass the header sort key
+    raw = compacted_to_cells(compact(cells))
+    raw_vals = {bytes(r.value) for r in raw.collect()
+                if r.value not in (None, b"") and r.kind == "c"}
+    assert b"doomed-mid" in raw_vals
+
+
+def test_typed_clustering_negative_longs_order_and_rt(spark, tmp_path):
+    """Signed clustering (LongType): raw big-endian bytes rank negatives
+    ABOVE positives; the header sort key flips the sign bit so an RT over
+    [-10 .. 5] covers -3 and the merged row order is numeric."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    kw = dict(clustering_types=[LONG], regular_columns=[(b"val", UTF8)])
+
+    def enc(v):
+        return struct.pack(">q", v)
+
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [enc(-3)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"doomed-neg"}]},
+            {"clustering": [enc(7)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"survivor-pos"}]},
+        ]}],
+        generation=1, **kw,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [enc(-10)],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [enc(5)],
+             "deletion": (5000, 1442880500)},
+        ]}],
+        generation=2, **kw,
+    )
+    sk = name_sort_key_for_header(
+        header_for_data_file(str(d1 / "ma-1-big-Data.db"))
+    )
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells, name_sort_key=sk))
+    vals = {bytes(r.value) for r in out.collect()
+            if r.value not in (None, b"") and r.kind == "c"}
+    assert vals == {b"survivor-pos"}, vals
+
+
+def test_compact_snapshot_auto_comparator_on_ma_input(spark, tmp_path):
+    """column_type='auto' derives the comparator from the 3.x header with
+    no user DDL and applies it through the CLI-parity pipeline."""
+    from aegisthus_spark import job
+
+    kw = dict(clustering_types=[UTF8], regular_columns=[(b"val", UTF8)])
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"ab"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"doomed"}]},
+        ]}],
+        generation=1, **kw,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"c"],
+             "deletion": (5000, 1442880500)},
+        ]}],
+        generation=2, **kw,
+    )
+    rows = job.compact_snapshot(
+        spark, [str(d1), str(d2)], column_type="auto"
+    ).collect()
+    assert len(rows) == 1
+    live = [c for c in rows[0].columns if c.kind == "c"]
+    assert live == [], live
+    # plan purity: the auto path must not fall back to a Python UDF
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(
+        job.compact_snapshot(spark, [str(d1), str(d2)], column_type="auto"),
+        "simple",
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_read_value_fixed_width_truncation_raises(spark, tmp_path):
+    """A file truncated inside a fixed-size clustering value must raise
+    the corrupt-contract ValueError (memoryview slicing silently yields a
+    short value and misaligns the parse otherwise) — matching the
+    variable-length branch and the C twin."""
+    d1 = tmp_path / "g1"
+    marker = struct.pack(">q", 0x1122334455667788)
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [marker], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"x"}]},
+        ]}],
+        clustering_types=[LONG], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    path = str(d1 / "ma-1-big-Data.db")
+    data = open(path, "rb").read()
+    # truncate inside the 8-byte clustering value: the partition header
+    # (key + deletion) stays intact, the row's clustering is cut short
+    cut = data[: data.index(marker) + 4]
+    with pytest.raises(ValueError, match="corrupt ma SSTable"):
+        list(scan_data_buffer_rows_modern(cut, source_path=path))

@@ -1,0 +1,205 @@
+"""JVM-side comparator sort keys (functions/sortkeys.py) vs the Python
+types.Comparator encodings and vs first-principles type order.
+
+The JVM and Python encodings differ byte-wise by design; what must agree
+is the ORDER they induce. Reference semantics: Cassandra's
+AbstractType.compare / AbstractCompositeType.compareCustom (the
+reference engine delegated to these via the configured comparator,
+CassSSTableReducer.java:142-153).
+"""
+
+from __future__ import annotations
+
+import itertools
+import struct
+import uuid
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aegisthus_spark import types as aegtypes
+from aegisthus_spark.functions.sortkeys import (
+    comparator_sort_key,
+    composite_sort_key,
+    supported,
+    type_sort_key_hex,
+)
+from aegisthus_spark.sstable.modern import composite
+
+
+def _jvm_keys(spark, values: list[bytes], col_fn) -> list[str]:
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, b binary"
+    )
+    rows = df.select("i", col_fn(F.col("b")).alias("k")).collect()
+    return [r.k for r in sorted(rows, key=lambda r: r.i)]
+
+
+def _assert_same_order(keys_a, keys_b, values, label):
+    for (i, x), (j, y) in itertools.combinations(enumerate(keys_a), 2):
+        cmp_a = (x > y) - (x < y)
+        cmp_b = (keys_b[i] > keys_b[j]) - (keys_b[i] < keys_b[j])
+        assert cmp_a == cmp_b, (
+            f"{label}: order diverges for {values[i]!r} vs {values[j]!r}: "
+            f"jvm {cmp_a} python {cmp_b}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# simple-type transforms vs logical order
+# ---------------------------------------------------------------------------
+
+_LONGS = [-(1 << 63), -1_000_000, -1, 0, 1, 42, 1 << 40, (1 << 63) - 1]
+_INTS = [-(1 << 31), -7, 0, 3, (1 << 31) - 1]
+_DOUBLES = [float("-inf"), -1e300, -2.5, -0.0, 0.0, 1.5, 3.14, 1e300, float("inf")]
+
+
+@pytest.mark.parametrize(
+    "marshal,values,logical",
+    [
+        ("LongType", [struct.pack(">q", v) for v in _LONGS], _LONGS),
+        ("Int32Type", [struct.pack(">i", v) for v in _INTS], _INTS),
+        ("DoubleType", [struct.pack(">d", v) for v in _DOUBLES], _DOUBLES),
+        ("FloatType", [struct.pack(">f", v) for v in [-1e30, -2.5, 0.0, 7.25, 1e30]],
+         [-1e30, -2.5, 0.0, 7.25, 1e30]),
+        ("UTF8Type", [b"", b"a", b"ab", b"b", b"ba"], [b"", b"a", b"ab", b"b", b"ba"]),
+    ],
+)
+def test_simple_type_key_matches_logical_order(spark, marshal, values, logical):
+    keys = _jvm_keys(spark, values, lambda c: type_sort_key_hex(c, marshal))
+    ranked = [v for _, v in sorted(zip(keys, logical))]
+    assert ranked == sorted(logical), (marshal, keys)
+
+
+def test_timeuuid_key_orders_by_embedded_time(spark):
+    us = [uuid.UUID(fields=(t & 0xFFFFFFFF, (t >> 32) & 0xFFFF,
+                            0x1000 | ((t >> 48) & 0x0FFF), 0x80, 0x01,
+                            0xDEADBEEF0000 + t))
+          for t in (5, 1, 99, 40)]
+    raw = [u.bytes for u in us]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "TimeUUIDType"))
+    times = [u.time for u in us]
+    ranked = [t for _, t in sorted(zip(keys, times))]
+    assert ranked == sorted(times)
+
+
+def test_reversed_type_inverts_order(spark):
+    values = [b"a", b"ab", b"b"]
+    keys = _jvm_keys(
+        spark, values, lambda c: type_sort_key_hex(c, "ReversedType(UTF8Type)")
+    )
+    ranked = [v for _, v in sorted(zip(keys, values))]
+    assert ranked == [b"b", b"ab", b"a"]
+
+
+def test_unsupported_types_raise_with_guidance():
+    with pytest.raises(ValueError, match="DecimalType"):
+        type_sort_key_hex(F.lit(b""), "DecimalType")
+    assert not supported("IntegerType")
+    assert supported("ReversedType(LongType)")
+
+
+# ---------------------------------------------------------------------------
+# composite keys: JVM vs Python CompositeComparator, and bound semantics
+# ---------------------------------------------------------------------------
+
+def test_composite_jvm_matches_python_order_utf8(spark):
+    names = [
+        composite([b"a"], eoc=0),
+        composite([b"a"], eoc=1),
+        composite([b"a"]) + b"\x00\x03col\x00",
+        composite([b"ab"]) + b"\x00\x03col\x00",
+        composite([b"c"], eoc=0),
+        composite([b"c"], eoc=1),
+        composite([b"c"]) + b"\x00\x03col\x00",
+        composite([b""], static=True) + b"\x00\x05owner\x00",
+        composite([b"a", b"x"]) + b"\x00\x01q\x00",
+    ]
+    jvm = _jvm_keys(
+        spark, names, lambda c: composite_sort_key(c, ["UTF8Type"], n_extra=2)
+    )
+    comp = aegtypes.CompositeComparator([aegtypes.get("UTF8Type")])
+    py = [comp.sort_key(n) for n in names]
+    _assert_same_order(jvm, py, names, "composite-utf8")
+
+
+def test_composite_jvm_matches_python_order_typed(spark):
+    longs = [-5, -1, 0, 3, 1 << 40]
+    names = [
+        composite([struct.pack(">q", v)]) + b"\x00\x03col\x00" for v in longs
+    ] + [
+        composite([struct.pack(">q", 0)], eoc=1),
+        composite([struct.pack(">q", -1)], eoc=0),
+    ]
+    jvm = _jvm_keys(
+        spark, names, lambda c: composite_sort_key(c, ["LongType"], n_extra=2)
+    )
+    comp = aegtypes.CompositeComparator([aegtypes.get("LongType")])
+    py = [comp.sort_key(n) for n in names]
+    _assert_same_order(jvm, py, names, "composite-long")
+    # and the logical order: negative clustering sorts below positive
+    cell_keys = jvm[: len(longs)]
+    ranked = [v for _, v in sorted(zip(cell_keys, longs))]
+    assert ranked == sorted(longs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    comps=st.lists(
+        st.tuples(
+            st.binary(min_size=0, max_size=6).filter(
+                lambda b: b[:2] != b"\xff\xff"
+            ),
+            st.sampled_from([0, 1, 0xFF]),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    static=st.booleans(),
+)
+def test_composite_hypothesis_parity_bytes(spark, comps, static):
+    """Random composites (BytesType components, random eocs, optional
+    static prefix): JVM string key and Python byte key induce the same
+    total order — this drives the real Spark expression, not an
+    emulation. The session-scoped spark fixture is stable across
+    hypothesis examples."""
+    name = bytearray()
+    if static:
+        name += b"\xff\xff"
+    for i, (v, eoc) in enumerate(comps):
+        name += len(v).to_bytes(2, "big") + v
+        name.append(eoc if i == len(comps) - 1 else 0)
+    name = bytes(name)
+    others = [
+        composite([b"a"]) + b"\x00\x03col\x00",
+        composite([b"\x00"], eoc=1),
+        composite([b""], static=True) + b"\x00\x01s\x00",
+        composite([b"a", b"b"]) + b"\x00\x01q\x00",
+    ]
+    names = [name] + others
+    jvm = _jvm_keys(
+        spark, names, lambda c: composite_sort_key(c, ["BytesType"], n_extra=2)
+    )
+    comp = aegtypes.CompositeComparator([aegtypes.get("BytesType")])
+    py = [comp.sort_key(n) for n in names]
+    _assert_same_order(jvm, py, names, "composite-fuzz")
+
+
+def test_comparator_sort_key_full_spec(spark):
+    spec = "CompositeType(LongType,UTF8Type)"
+    names = [
+        composite([struct.pack(">q", v), b"x"]) for v in (-2, 0, 9)
+    ]
+    keys = _jvm_keys(spark, names, lambda c: comparator_sort_key(c, spec))
+    assert keys == sorted(keys)
+
+
+def test_python_composite_static_sorts_first():
+    comp = aegtypes.CompositeComparator([aegtypes.get("UTF8Type")])
+    static = composite([b""], static=True) + b"\x00\x05owner\x00"
+    regular = composite([b"a"]) + b"\x00\x03col\x00"
+    assert comp.sort_key(static) < comp.sort_key(regular)
+    # extra components past the declared list render/compose as bytes
+    assert comp.split(static) == [b"", b"owner"]

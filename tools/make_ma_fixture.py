@@ -118,13 +118,22 @@ def main() -> None:
     from aegisthus_spark.output import to_aeg_json
     from aegisthus_spark.session import get_spark
     from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import name_sort_key_for_header
 
     spark = get_spark("make-ma-fixture", cpus=4)
     cells = read_sstable_cells(
         spark,
         [os.path.join(FIXTURE_DIR, "gen1"), os.path.join(FIXTURE_DIR, "gen2")],
     )
-    lines = [r.value for r in to_aeg_json(compact(cells)).collect()]
+    from aegisthus_spark.sstable.modern import header_for_data_file as _hdr
+
+    # same comparator-aware ordering as the sst_decode_ma query
+    _sk = name_sort_key_for_header(
+        _hdr(os.path.join(FIXTURE_DIR, "gen1", "ma-1-big-Data.db"))
+    )
+    lines = [
+        r.value for r in to_aeg_json(compact(cells, name_sort_key=_sk)).collect()
+    ]
 
     import pandas as pd
     import pyarrow as pa
@@ -148,7 +157,7 @@ def main() -> None:
         os.path.join(FIXTURE_DIR, "gen1", "ma-1-big-Data.db")
     )
     rows = (
-        cql_rows(cleanse(compact(cells)), infer_cql_schema(h))
+        cql_rows(cleanse(compact(cells, name_sort_key=_sk)), infer_cql_schema(h))
         .select(
             "key", "ck0", "name", "score",
             F.array_join("tags", ",").alias("tags_joined"), "owner",
