@@ -108,7 +108,31 @@ def _scratch_dir(name: str) -> str:
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), f"aeg_scratch_{os.getpid()}")
+    # 0700 per-uid base validated like cparse._cache_dir: pids are
+    # guessable, so a bare /tmp/aeg_scratch_{pid} could be pre-planted
+    # (or symlinked) by another local user to capture/redirect output.
+    # Only trust a base we own with no group/world access; otherwise
+    # fall back to a fresh unpredictable mkdtemp root.
+    base = os.path.join(tempfile.gettempdir(), f"aeg_scratch_{os.getuid()}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        trusted = (
+            st.st_uid == os.getuid()
+            and os.path.isdir(base)
+            and not os.path.islink(base)
+            and not (st.st_mode & 0o077)
+        )
+    except OSError:
+        trusted = False
+    if trusted:
+        root = os.path.join(base, f"pid{os.getpid()}")
+    elif _scratch_dir._fallback_root is not None:
+        root = _scratch_dir._fallback_root
+    else:
+        root = _scratch_dir._fallback_root = tempfile.mkdtemp(
+            prefix="aeg_scratch_"
+        )
     # register cleanup even when the dir already exists (a crashed
     # same-pid predecessor left it; skipping registration would leak it
     # forever) — once per process, not once per call
@@ -117,11 +141,15 @@ def _scratch_dir(name: str) -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, name)
+    if os.path.lexists(path) and os.path.islink(path):
+        # a planted symlink must never redirect query output
+        os.unlink(path)
     shutil.rmtree(path, ignore_errors=True)
     return path
 
 
 _scratch_dir._registered = set()  # type: ignore[attr-defined]
+_scratch_dir._fallback_root = None  # type: ignore[attr-defined]
 
 
 @contextmanager

@@ -58,6 +58,9 @@ MAX_COMBINED_FILES = 200  # reference aegisthus.max_combined_splits
 _BATCH_RE = re.compile(r"batch_?id=[0-9]+/?$")
 
 
+from ..sstable.descriptor import UnsupportedVersionError  # noqa: E402
+
+
 def _accept_data_file(fn: str) -> bool:
     if not fn.endswith("-Data.db") or fn.startswith((".", "_")):
         return False
@@ -152,6 +155,10 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
 
     size = os.path.getsize(path)
     version = version_of(path)
+    if version >= "ma":
+        from ..sstable.descriptor import check_modern_version
+
+        check_modern_version(version)
     try:
         gen = parse_filename(path).generation
     except ValueError:
@@ -409,6 +416,10 @@ def _decode_tasks(batches) -> "Iterator":
                             skip_corrupt=bool(task["skip_corrupt"]),
                         )
                     continue
+            except UnsupportedVersionError:
+                # capability gap, not corrupt data: never swallowed into
+                # a sentinel, even under skip_corrupt
+                raise
             except Exception:
                 if not task["skip_corrupt"]:
                     raise
@@ -591,6 +602,8 @@ def _task_cell_batches(task) -> "Iterator":
                     generation=int(task["generation"]),
                     skip_corrupt=bool(task["skip_corrupt"]),
                 )
+    except UnsupportedVersionError:
+        raise
     except Exception:
         if not task["skip_corrupt"]:
             raise

@@ -178,6 +178,9 @@ def scan_data_buffer_batches(
     vint/delta parse dominates there, not object building).
     """
     if version >= "ma":
+        from .descriptor import check_modern_version
+
+        check_modern_version(version)
         yield from _modern_batches(
             data, start=start, end=end, source_path=source_path,
             generation=generation, batch_rows=batch_rows,

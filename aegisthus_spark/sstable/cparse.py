@@ -226,6 +226,9 @@ def scan_data_buffer_batches(
     if not lib:
         raise RuntimeError("C scanner unavailable; use arrow_decode")
     if version >= "ma":
+        from .descriptor import check_modern_version
+
+        check_modern_version(version)
         yield from _scan_ma_batches(
             data, start=start, end=end, source_path=source_path,
             generation=generation, batch_rows=batch_rows,

@@ -114,6 +114,9 @@ def scan_data_file(
     index) and stop starting new rows once pos >= end.
     """
     if version >= "ma":
+        from .descriptor import check_modern_version
+
+        check_modern_version(version)
         # the 3.x decoder is buffer-based (vint parsing wants random
         # access); compressed 3.x streams are drained to memory first by
         # the caller or routed here as chunk-mapped buffers
@@ -231,8 +234,10 @@ def scan_data_buffer(
     decoder (modern.py) and come back in the same canonical cell shape.
     """
     if version >= "ma":
+        from .descriptor import check_modern_version
         from .modern import scan_data_buffer_rows_modern
 
+        check_modern_version(version)
         for row in scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
             generation=generation,
@@ -382,8 +387,10 @@ def scan_data_buffer_rows(
     ~40% of decode time; the source feeds tuples straight into Arrow
     batches)."""
     if version >= "ma":
+        from .descriptor import check_modern_version
         from .modern import scan_data_buffer_rows_modern
 
+        check_modern_version(version)
         yield from scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
             generation=generation,

@@ -22,6 +22,36 @@ from dataclasses import dataclass
 
 CURRENT_VERSION = "jb"
 
+#: modern (3.x row format) versions the decoder is verified against:
+#: 3.x "ma".."me" and 4.x "na".."nc" keep the same row-body layout (the
+#: format-breaking changes in that range live in Statistics.db fields the
+#: parser skips). Cassandra 5.0's "oa" changed DeletionTime serialization
+#: (CASSANDRA-14227 extends localDeletionTime past 2038) — parsing it
+#: with the 3.0 layout would misalign silently, so it is rejected.
+MODERN_VERSION_MIN = "ma"
+MODERN_VERSION_MAX = "nc"
+
+
+class UnsupportedVersionError(Exception):
+    """SSTable format version outside the verified decode range.
+
+    Deliberately NOT a ValueError: the corrupt-skip machinery
+    (``skip_corrupt``) swallows ValueError into a '!' sentinel, and an
+    unsupported version is a capability gap, not corrupt data — it must
+    fail the job with a clear message either way."""
+
+
+def check_modern_version(version: str) -> None:
+    """Reject modern-format versions beyond the verified range."""
+    if not (MODERN_VERSION_MIN <= version <= MODERN_VERSION_MAX):
+        raise UnsupportedVersionError(
+            f"SSTable format version '{version}' is not supported: the "
+            f"modern-format decoder is verified for "
+            f"'{MODERN_VERSION_MIN}'..'{MODERN_VERSION_MAX}' (Cassandra "
+            "3.x/4.x); 5.0's 'oa' changed DeletionTime serialization and "
+            "would misparse with this layout"
+        )
+
 _LEGACY = re.compile(
     r"^(?P<ks>[^-]+(?:-[^-]+)*)-(?P<table>[^-]+)-(?P<version>[a-z]{2})-(?P<gen>\d+)-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
 )

@@ -23,6 +23,9 @@ def scan_index_offsets(f: BinaryIO, *, version: str = "jb") -> Iterator[tuple[by
     3.x+ big format (RowIndexEntry.serializer): position and
     promoted-index size are unsigned vints instead of i64/i32."""
     if version >= "ma":
+        from .descriptor import check_modern_version
+
+        check_modern_version(version)
         data = f.read()
         from .modern import read_unsigned_vint
 

@@ -1151,3 +1151,28 @@ def test_read_value_fixed_width_truncation_raises(spark, tmp_path):
     cut = data[: data.index(marker) + 4]
     with pytest.raises(ValueError, match="corrupt ma SSTable"):
         list(scan_data_buffer_rows_modern(cut, source_path=path))
+
+
+def test_oa_version_rejected_with_clear_error(spark, tmp_path):
+    """Cassandra 5.0 'oa' changed DeletionTime serialization — parsing it
+    with the 3.0 layout would misalign silently. The planner rejects it
+    with UnsupportedVersionError even under skip_corrupt (a capability
+    gap is not corrupt data)."""
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.descriptor import UnsupportedVersionError
+
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c1"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"x"}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    for f in sorted(d1.iterdir()):
+        if f.name.startswith("ma-"):
+            f.rename(d1 / f.name.replace("ma-", "oa-", 1))
+    with pytest.raises(UnsupportedVersionError, match="'oa'"):
+        read_sstable_cells(spark, [str(d1)], skip_corrupt=True).count()
