@@ -420,6 +420,8 @@ int64_t snappy_decompress_block(
 #define MA_EXTENSION_FLAG 0x80
 #define MA_IS_STATIC 0x01
 
+#define MA_MAX_SUBSET_COLS 4096  /* large-subset stack budget */
+
 #define MA_CELL_DELETED 0x01
 #define MA_CELL_EXPIRING 0x02
 #define MA_CELL_EMPTY_VALUE 0x04
@@ -750,9 +752,36 @@ int scan_cells_ma(
             const uint8_t *col_complex = is_static ? stat_complex : reg_complex;
 
             uint64_t missing = 0;
+            uint8_t absent[MA_MAX_SUBSET_COLS];
+            int use_absent = 0;
             if (!(flags & MA_HAS_ALL_COLUMNS)) {
-                if (n_cols >= 64) { rc_kind = MA_UNSUPPORTED; goto corrupt; }
-                if (ma_uvint(buf, total, &o, &missing)) goto corrupt;
+                if (n_cols < 64) {
+                    if (ma_uvint(buf, total, &o, &missing)) goto corrupt;
+                } else if (n_cols <= MA_MAX_SUBSET_COLS) {
+                    /* Columns.serializer large subset: uvint delta (count
+                     * of missing), then PRESENT indices when
+                     * columnCount < supersetCount/2, else MISSING ones */
+                    uint64_t delta, idx;
+                    if (ma_uvint(buf, total, &o, &delta)) goto corrupt;
+                    if (delta > (uint64_t)n_cols) goto corrupt;
+                    int64_t column_count = (int64_t)n_cols - (int64_t)delta;
+                    use_absent = 1;
+                    if (column_count < n_cols / 2) {
+                        memset(absent, 1, (size_t)n_cols);
+                        for (int64_t ci = 0; ci < column_count; ci++) {
+                            if (ma_uvint(buf, total, &o, &idx)) goto corrupt;
+                            if (idx >= (uint64_t)n_cols) goto corrupt;
+                            absent[idx] = 0;
+                        }
+                    } else {
+                        memset(absent, 0, (size_t)n_cols);
+                        for (uint64_t ci = 0; ci < delta; ci++) {
+                            if (ma_uvint(buf, total, &o, &idx)) goto corrupt;
+                            if (idx >= (uint64_t)n_cols) goto corrupt;
+                            absent[idx] = 1;
+                        }
+                    }
+                } else { rc_kind = MA_UNSUPPORTED; goto corrupt; }
             }
 
             if (has_row_ts) {
@@ -779,7 +808,8 @@ int scan_cells_ma(
             }
 
             for (int32_t c = 0; c < n_cols; c++) {
-                if (!(flags & MA_HAS_ALL_COLUMNS) && ((missing >> c) & 1))
+                if (!(flags & MA_HAS_ALL_COLUMNS) &&
+                    (use_absent ? absent[c] : ((missing >> c) & 1)))
                     continue;
                 int32_t cname_len = col_name_off[c + 1] - col_name_off[c];
                 const uint8_t *cname = col_names + col_name_off[c];

@@ -390,15 +390,45 @@ def _read_clustering_values(buf, o: int, sizes, count: int) -> tuple[list, int]:
 
 
 def _read_column_subset(buf, o: int, superset) -> tuple[list, int]:
-    """Columns.serializer.deserializeSubset for supersets < 64 columns:
-    unsigned-vint bitmap, set bit i = superset column i is ABSENT."""
+    """Columns.serializer.deserializeSubset (Cassandra 3.x Columns.java).
+
+    First unsigned vint ``encoded``: 0 means every superset column is
+    present. For supersets < 64 columns ``encoded`` is a bitmap (set bit
+    i = superset column i is ABSENT). At >= 64 columns the format
+    switches to the "large subset" encoding: ``encoded`` is the count of
+    missing columns (delta), followed by either the PRESENT column
+    indices (one uvint each, when columnCount < supersetCount/2) or the
+    MISSING indices (delta uvints, ascending) — mirroring
+    serializeLargeSubset/deserializeLargeSubset exactly, including the
+    integer-division branch condition."""
     encoded, o = read_unsigned_vint(buf, o)
     if encoded == 0:
         return list(superset), o
-    if len(superset) >= 64:
-        raise NotImplementedError(
-            "ma decode: >=64-column subset encoding not supported"
-        )
+    n = len(superset)
+    if n >= 64:
+        delta = encoded
+        column_count = n - delta
+        if column_count < 0:
+            raise ValueError("corrupt ma SSTable: column subset delta > superset")
+        if column_count < n // 2:
+            cols = []
+            for _ in range(column_count):
+                idx, o = read_unsigned_vint(buf, o)
+                if idx >= n:
+                    raise ValueError(
+                        "corrupt ma SSTable: column subset index out of range"
+                    )
+                cols.append(superset[idx])
+            return cols, o
+        missing = set()
+        for _ in range(delta):
+            idx, o = read_unsigned_vint(buf, o)
+            if idx >= n:
+                raise ValueError(
+                    "corrupt ma SSTable: column subset index out of range"
+                )
+            missing.add(idx)
+        return [c for i, c in enumerate(superset) if i not in missing], o
     cols = []
     for i, col in enumerate(superset):
         if not (encoded >> i) & 1:

@@ -296,14 +296,29 @@ def _serialize_row(h, r, clustering_sizes, static_meta, regular_meta, prev_size)
     if deletion:
         body += _dt_deltas(h, deletion[0], deletion[1])
     if not flags & HAS_ALL_COLUMNS:
-        # bitmap of MISSING superset columns (superset < 64)
         if len(meta) >= 64:
-            raise NotImplementedError("subset encoding for >=64 columns")
-        missing = 0
-        for i, (name, *_rest) in enumerate(meta):
-            if name not in seen:
-                missing |= 1 << i
-        body += _uv(missing)
+            # Columns.serializer.serializeLargeSubset: uvint delta (count
+            # of missing columns), then either the PRESENT indices (when
+            # columnCount < supersetCount/2) or the MISSING indices
+            n = len(meta)
+            present = [i for i, (name, *_r) in enumerate(meta) if name in seen]
+            delta = n - len(present)
+            body += _uv(delta)
+            if len(present) < n // 2:
+                for i in present:
+                    body += _uv(i)
+            else:
+                present_set = set(present)
+                for i in range(n):
+                    if i not in present_set:
+                        body += _uv(i)
+        else:
+            # bitmap of MISSING superset columns (superset < 64)
+            missing = 0
+            for i, (name, *_rest) in enumerate(meta):
+                if name not in seen:
+                    missing |= 1 << i
+            body += _uv(missing)
     # cells grouped per present column, columns in meta order
     cells_by_col: dict = {}
     for c in cells:

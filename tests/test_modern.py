@@ -1176,3 +1176,156 @@ def test_oa_version_rejected_with_clear_error(spark, tmp_path):
             f.rename(d1 / f.name.replace("ma-", "oa-", 1))
     with pytest.raises(UnsupportedVersionError, match="'oa'"):
         read_sstable_cells(spark, [str(d1)], skip_corrupt=True).count()
+
+
+# ---------------------------------------------------------------------------
+# >= 64-column "large subset" encoding (Columns.serializer)
+# ---------------------------------------------------------------------------
+
+def _wide_schema(n=65):
+    return [(f"col{i:03d}".encode(), UTF8) for i in range(n)]
+
+
+def _decode_both(path):
+    """(python_cells, c_cells or None) for one Data.db, full-file scan."""
+    import pyarrow as pa
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import (
+        scan_data_buffer_batches as py_scan,
+    )
+
+    data = open(path, "rb").read()
+    p_tab = pa.Table.from_batches(list(py_scan(
+        data, version="ma", source_path=path)))
+    c_tab = None
+    if cparse.available():
+        c_tab = pa.Table.from_batches(list(cparse.scan_data_buffer_batches(
+            data, version="ma", source_path=path)))
+    return p_tab, c_tab
+
+
+@pytest.mark.parametrize("n_present", [5, 60])
+def test_large_subset_roundtrip_both_branches(tmp_path, n_present):
+    """65-column superset with 5 present (sparse branch: PRESENT indices
+    written) and 60 present (dense branch: MISSING indices written) —
+    writer->decoder round-trip, Python and C byte-identical."""
+    cols = _wide_schema(65)
+    present = [cols[i][0] for i in range(0, 65, 65 // n_present)][:n_present]
+    rows = [{"clustering": [b"ck"], "liveness": (1000,),
+             "cells": [{"column": c, "value": b"v-" + c} for c in present]}]
+    path = write_sstable_ma(
+        str(tmp_path / f"wide{n_present}"), [{"key": b"k", "rows": rows}],
+        clustering_types=[UTF8], regular_columns=cols, generation=1,
+    )
+    p_tab, c_tab = _decode_both(path)
+    present_set = set(present)
+    found = {c for c in present_set
+             if any(c in bytes(n) for n in p_tab.column("cell_name").to_pylist()
+                    if n is not None)}
+    assert found == present_set
+    # absent columns must NOT appear
+    absent = {c for c, _ in cols if c not in present_set}
+    leaked = {c for c in absent
+              if any(bytes(n).endswith(b"\x00" + bytes([len(c)]) + c + b"\x00")
+                     for n in p_tab.column("cell_name").to_pylist()
+                     if n is not None)}
+    assert not leaked, leaked
+    if c_tab is not None:
+        assert c_tab.equals(p_tab), "C scanner diverged on large subset"
+
+
+def test_large_subset_hand_pinned_bytes():
+    """The large-subset encoding decoded from hand-built bytes (not via
+    modern_writer): superset of 64, sparse row (2 present: uvint delta=62
+    then PRESENT indices 3, 40), dense row (missing 5, 9: delta=2 then
+    MISSING indices)."""
+    from aegisthus_spark.sstable.modern import (
+        _read_column_subset,
+        write_unsigned_vint,
+    )
+
+    superset = [f"c{i}" for i in range(64)]
+    sparse = write_unsigned_vint(62) + write_unsigned_vint(3) + write_unsigned_vint(40)
+    cols, o = _read_column_subset(sparse, 0, superset)
+    assert (cols, o) == (["c3", "c40"], len(sparse))
+    dense = write_unsigned_vint(2) + write_unsigned_vint(5) + write_unsigned_vint(9)
+    cols, o = _read_column_subset(dense, 0, superset)
+    assert cols == [c for i, c in enumerate(superset) if i not in (5, 9)]
+    assert o == len(dense)
+    # encoded == 0 short-circuits to the full superset regardless of size
+    cols, _ = _read_column_subset(write_unsigned_vint(0), 0, superset)
+    assert cols == superset
+    # out-of-range index is corrupt, not silent
+    bad = write_unsigned_vint(63) + write_unsigned_vint(99)
+    with pytest.raises(ValueError, match="out of range"):
+        _read_column_subset(bad, 0, superset)
+
+
+def test_large_subset_e2e_compact(spark, tmp_path):
+    """65-column table through the distributed source + compact: the C
+    fast path (or its per-partition fallback) and LWW both survive wide
+    subsets."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+
+    cols = _wide_schema(65)
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"ck"], "liveness": (1000,),
+             "cells": [{"column": b"col010", "value": b"old"}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=cols, generation=1,
+    )
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"ck"], "liveness": (2000,),
+             "cells": [{"column": b"col010", "value": b"new", "ts": 2000}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=cols, generation=2,
+    )
+    cells = read_sstable_cells(spark, [str(d1), str(d2)])
+    out = compacted_to_cells(compact(cells))
+    vals = {bytes(r.value) for r in out.collect()
+            if r.value not in (None, b"") and r.kind == "c"}
+    assert vals == {b"new"}
+
+
+def test_large_subset_hypothesis_roundtrip():
+    """Random present-sets over random superset sizes (64..200): the
+    writer's serializeLargeSubset twin and _read_column_subset agree."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aegisthus_spark.sstable.modern import (
+        _read_column_subset,
+        write_unsigned_vint,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        n = data.draw(st.integers(min_value=64, max_value=200))
+        superset = [f"c{i}" for i in range(n)]
+        present = sorted(data.draw(st.sets(
+            st.integers(min_value=0, max_value=n - 1), max_size=n - 1)))
+        # writer-twin encoding (mirrors modern_writer's subset branch)
+        delta = n - len(present)
+        out = write_unsigned_vint(delta)
+        if len(present) < n // 2:
+            for i in present:
+                out += write_unsigned_vint(i)
+        else:
+            pset = set(present)
+            for i in range(n):
+                if i not in pset:
+                    out += write_unsigned_vint(i)
+        cols, o = _read_column_subset(out, 0, superset)
+        assert o == len(out)
+        assert cols == [superset[i] for i in present]
+
+    check()
