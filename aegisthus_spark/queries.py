@@ -2429,6 +2429,39 @@ def sst_decode_ma(spark, sf_dir):
     )
 
 
+_MA_EXT_FIXTURES = "/root/repo/tests/fixtures/ma_external"
+_MA_EXT_GOLDEN = "/root/repo/tests/golden/decode_golden_ma_external.parquet"
+
+
+@register(
+    "sst_decode_ma_external",
+    f"SELECT line FROM read_parquet('{_MA_EXT_GOLDEN}') ORDER BY line",
+    doc="EXTERNALLY-DERIVED 3.x fixture decode: the input bytes were "
+        "assembled by hand from the public format spec "
+        "(tools/ma_external_fixture.py — no repo writer involved) and the "
+        "decode is pinned cell-by-cell against hand-derived expectations "
+        "in tests/test_ma_external.py, so a writer/decoder co-bug cannot "
+        "self-certify. Covers statics, column subsets, complex deletion "
+        "with collection paths, an EXCLUSIVE RT end, a boundary marker, "
+        "partition deletion, row TTL and a cell tombstone, compacted "
+        "with the header-derived comparator order",
+)
+def sst_decode_ma_external(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, name_sort_key_for_header
+
+    sk = name_sort_key_for_header(
+        header_for_data_file(f"{_MA_EXT_FIXTURES}/gen1/ma-1-big-Data.db")
+    )
+    cells = read_sstable_cells(spark, [f"{_MA_EXT_FIXTURES}/gen1"])
+    return (
+        to_aeg_json(compact(cells, name_sort_key=sk))
+        .select(F.col("value").alias("line"))
+        .orderBy("line")
+    )
+
+
 _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
 
 
