@@ -36,21 +36,31 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     # min-of-N guards against CPU-steal spikes from noisy neighbors; the
-    # plan+execution still runs end-to-end each rep (no caching between)
+    # plan+execution still runs end-to-end each rep (no caching between).
+    # Sub-second queries are fixed-overhead dominated (32-task stage
+    # scheduling) and wobble 2x run-to-run at min-of-2, which reads as
+    # regression in round-over-round diffs — they get extra reps (cheap
+    # by construction) so the reported min is stable to ~20%.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps_sub = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUB", "4")))
     timings: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     total = 0.0
     for name, q in REGISTRY.items():
-        best, n = None, 0
-        for _ in range(reps):
+        best, n, done = None, 0, 0
+        while True:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            done += 1
+            if done >= (reps_sub if best < 1.0 else reps):
+                break
         timings[name] = round(best, 3)
+        rep_counts[name] = done
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s ({n} rows, min of {done})", file=sys.stderr)
 
     detail = {
         "metric": "bench_total_query_time",
@@ -59,6 +69,8 @@ def main():
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "reps_sub_second": reps_sub,
+        "rep_counts": rep_counts,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
