@@ -435,14 +435,39 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     )
 
 
-#: PII span patterns, written in the RE2-compatible subset that Java and
-#: DuckDB regex engines evaluate identically (no lookaround, no \s
-#: shorthand inside classes, explicit quantifier bounds)
-PII_PATTERNS = {
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "phone": r"\+[0-9]{7,15}",
-}
+#: default PII pattern registry: (name, regex, replacement) triples,
+#: written in the RE2-compatible subset that Java and DuckDB regex
+#: engines evaluate identically (no lookaround, no \s shorthand inside
+#: classes, explicit quantifier bounds). Users extend/replace this list
+#: — e.g. SSN ('[0-9]{3}-[0-9]{2}-[0-9]{4}'), credit cards, API keys —
+#: and pass it to pii_scan/pii_redact; replacements apply IN ORDER, so
+#: earlier patterns win on overlapping spans.
+DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[PII]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[PII]"),
+    ("phone", r"\+[0-9]{7,15}", "[PII]"),
+]
+
+#: legacy name->regex view of the defaults (kept for callers of the
+#: pre-registry API)
+PII_PATTERNS = {name: rx for name, rx, _ in DEFAULT_PII_PATTERNS}
+
+
+def pii_redact(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Append ``out_col``: the text with every pattern span replaced by
+    its registry replacement, applied in registry order (pure JVM
+    regexp_replace chain — zero shuffle, rides the corpus partitioning).
+    """
+    red = F.col(text_col)
+    for _name, rx, repl in (DEFAULT_PII_PATTERNS if patterns is None else patterns):
+        red = F.regexp_replace(red, rx, repl)
+    return docs.withColumn(out_col, red)
 
 
 def pii_scan(
@@ -450,35 +475,44 @@ def pii_scan(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
-    """(id, n_email, n_ipv4, n_phone, n_pii, redacted_len): PII span
+    """(id, n_<name> per registry pattern, n_pii, redacted_len): PII span
     detection + redaction accounting — the C4/Dolma/FineWeb-style scrub
     stage every training pipeline runs before release.
+
+    ``patterns``: the ``(name, regex, replacement)`` registry (defaults
+    to :data:`DEFAULT_PII_PATTERNS`); one ``n_<name>`` count column per
+    entry, ``n_pii`` their sum, ``redacted_len`` the length after the
+    in-order replacement chain.
 
     Scale shape: pure per-row JVM regex expressions (regexp_extract_all /
     regexp_replace inside whole-stage codegen) — zero shuffle, zero
     Python; the scan rides whatever partitioning the corpus already has.
-    ``redacted_len`` is the post-replacement length (every span becomes
-    "[PII]"), so downstream token accounting can subtract scrubbed mass
-    without materializing the redacted corpus.
+    ``redacted_len`` lets downstream token accounting subtract scrubbed
+    mass without materializing the redacted corpus.
     """
+    pats = DEFAULT_PII_PATTERNS if patterns is None else list(patterns)
+    if not pats:
+        raise ValueError("pii_scan needs at least one (name, regex, replacement)")
     t = F.col(text_col)
     # Column-typed patterns, NOT F.expr: a SQL string literal would eat
     # the regex backslashes under the default parser escaping
-    counts = {
-        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0)))
         .cast("bigint")
-        .alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    }
+        .alias(f"n_{name}")
+        for name, rx, _ in pats
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
     red = t
-    for p in PII_PATTERNS.values():
-        red = F.regexp_replace(red, p, "[PII]")
+    for _name, rx, repl in pats:
+        red = F.regexp_replace(red, rx, repl)
     return docs.select(
         id_col,
-        counts["email"],
-        counts["ipv4"],
-        counts["phone"],
-        (counts["email"] + counts["ipv4"] + counts["phone"]).alias("n_pii"),
+        *counts,
+        total.alias("n_pii"),
         F.length(red).cast("bigint").alias("redacted_len"),
     ).orderBy(id_col)

@@ -3532,6 +3532,68 @@ def doc_pii_scan(spark, sf_dir):
     return _tx.pii_scan(aug)
 
 
+_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_CARD_RE = r"\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\b"
+
+
+@register(
+    "doc_pii_custom_registry",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                THEN ' card 4111 1111 1111 1111 on file'
+                ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_CARD_RE}')) AS BIGINT) AS n_card,
+           CAST(len(regexp_extract_all(text, '{_SSN_RE}'))
+              + len(regexp_extract_all(text, '{_CARD_RE}')) AS BIGINT) AS n_pii,
+           CAST(length(regexp_replace(regexp_replace(text,
+               '{_SSN_RE}', '[SSN]', 'g'),
+               '{_CARD_RE}', '[CARD]', 'g')) AS BIGINT) AS redacted_len
+    FROM aug ORDER BY doc_id
+    """,
+    doc="user-extensible PII pattern registry: the same pii_scan operator "
+        "driven by custom (name, regex, replacement) triples — SSN and "
+        "credit-card patterns with DISTINCT replacement tokens, proving "
+        "the registry plumbing (per-pattern count columns, in-order "
+        "replacement chain, replacement-specific redacted lengths) "
+        "end-to-end. Injection harness as in doc_pii_scan; patterns in "
+        "the RE2-compatible subset both engines evaluate identically",
+)
+def doc_pii_custom_registry(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0,
+                F.lit(" card 4111 1111 1111 1111 on file"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return _tx.pii_scan(
+        aug,
+        patterns=[
+            ("ssn", _SSN_RE, "[SSN]"),
+            ("card", _CARD_RE, "[CARD]"),
+        ],
+    )
+
+
 @register(
     "doc_export_shards",
     """

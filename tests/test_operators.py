@@ -1228,3 +1228,44 @@ def test_bloom_no_false_negatives_and_merge(spark):
     )
     one_shot = {(r.w, r.bits) for r in sketch.collect()}
     assert {(r.w, r.bits) for r in merged.collect()} == one_shot
+
+
+def test_pii_registry_custom_patterns_and_order(spark):
+    """The PII registry: per-pattern count columns, replacement-specific
+    tokens, and IN-ORDER application (an earlier pattern consumes
+    overlapping spans before later ones see them)."""
+    import pytest as _pytest
+
+    from aegisthus_spark.operators.text import pii_redact, pii_scan
+
+    docs = spark.createDataFrame(
+        [(1, "ssn 123-45-6789 card 4111 1111 1111 1111 ok"),
+         (2, "clean text"),
+         (3, "123-45-6789 and 999-88-7777")],
+        "doc_id long, text string",
+    )
+    pats = [("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+            ("card", r"\b[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}\b", "[CARD]")]
+    rows = {r.doc_id: r for r in pii_scan(docs, patterns=pats).collect()}
+    assert (rows[1].n_ssn, rows[1].n_card, rows[1].n_pii) == (1, 1, 2)
+    assert (rows[2].n_ssn, rows[2].n_card, rows[2].n_pii) == (0, 0, 0)
+    assert rows[3].n_ssn == 2
+    red = {r.doc_id: r.redacted for r in
+           pii_redact(docs, patterns=pats).collect()}
+    assert red[1] == "ssn [SSN] card [CARD] ok"
+    assert red[3] == "[SSN] and [SSN]"
+    assert rows[1].redacted_len == len(red[1])
+
+    # in-order application: a greedy early pattern shadows a later one
+    overlap = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    first_wins = pii_redact(
+        overlap, patterns=[("a", "ab", "X"), ("b", "b", "Y")]
+    ).collect()[0].redacted
+    assert first_wins == "X"
+    second_sees_rest = pii_redact(
+        overlap, patterns=[("b", "b", "Y"), ("a", "ab", "X")]
+    ).collect()[0].redacted
+    assert second_sees_rest == "aY"
+
+    with _pytest.raises(ValueError, match="at least one"):
+        pii_scan(docs, patterns=[])
