@@ -63,6 +63,10 @@ def main():
         .appName("driver_sim")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.showConsoleProgress", "false")
+        # local mode hosts every executor thread inside the driver JVM:
+        # the 1g default OOMs building broadcasts at sf1 scale
+        .config("spark.driver.memory",
+                os.environ.get("AEGISTHUS_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

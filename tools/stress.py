@@ -129,6 +129,68 @@ def decode_ma_bench(cpus: int, rows: int, files: int) -> None:
     print(f"staged parquet re-scan: {n2 / dt / 1e6:.2f}M cells/s")
 
 
+def pipeline_ma_bench(cpus: int, rows: int, files: int) -> None:
+    """FULL 3.x pipeline at stress scale: multi-generation ma input ->
+    distributed decode -> comparator-aware compact (LWW merge across
+    generations) -> aeg-JSON snapshot written to disk. The 2.x path has
+    this end-to-end via the CLI goldens; this is the ma twin, measuring
+    cells/s through every stage rather than decode alone."""
+    import tempfile
+    import time
+
+    from aegisthus_spark import job
+    from aegisthus_spark.session import get_spark
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+
+    d = tempfile.mkdtemp(prefix="stress_ma_pipe_")
+    # overlapping keys across generations: every partition merges + LWWs
+    for g in range(1, max(2, files) + 1):
+        make_sstable_ma(os.path.join(d, f"g{g}"), rows, gen=g)
+    n_files = max(2, files)
+    sz = os.path.getsize(os.path.join(d, "g1", "ma-1-big-Data.db"))
+    total_sz = sz * n_files
+    print(f"ma pipeline input: {n_files} x {sz / 1e6:.0f} MB "
+          f"({total_sz / 1e9:.2f} GB total), {rows} overlapping partitions each")
+
+    spark = get_spark("stress-ma-pipe", cpus=cpus)
+    target = max(total_sz // cpus, 1 << 20)
+    dirs = [os.path.join(d, f"g{g}") for g in range(1, n_files + 1)]
+    sk = name_sort_key_for_header(
+        header_for_data_file(os.path.join(d, "g1", "ma-1-big-Data.db"))
+    )
+
+    from aegisthus_spark.compact import compact
+
+    out_dir = tempfile.mkdtemp(prefix="stress_ma_snap_")
+    t = time.time()
+    cells = read_sstable_cells(spark, dirs, target_bytes=target)
+    n_cells = cells.count()  # decode-only baseline for the stage split
+    dt_decode = time.time() - t
+    t = time.time()
+    rows_written = job.write_snapshot_json(
+        compact(
+            read_sstable_cells(spark, dirs, target_bytes=target),
+            name_sort_key=sk,
+        ).sortWithinPartitions("partition_key"),
+        out_dir,
+    )
+    dt_full = time.time() - t
+    print(f"decode only ({cpus} cores): {n_cells / dt_decode / 1e6:.2f}M cells/s")
+    print(f"FULL pipeline decode->compact->aeg-JSON snapshot: "
+          f"{rows_written} rows, {n_cells / dt_full / 1e6:.2f}M cells/s, "
+          f"{total_sz / dt_full / 1e6:.0f} MB/s input "
+          f"({dt_full:.1f}s total; compact+render overhead "
+          f"{(dt_full - dt_decode) / dt_decode * 100:.0f}% over decode)")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def skew_bench(cpus: int, hot_cells: int, cold_keys: int) -> None:
     """compact() vs compact_salted() on a skewed cell set: one giant
     partition (hot_cells cells, duplicated across 3 generations) amid
@@ -511,6 +573,9 @@ def main() -> None:
     ap.add_argument("--semantic", action="store_true",
                     help="run the semantic-dedup k-scaling benchmark "
                          "(candidate pairs at N vs 2N, k scaled vs fixed)")
+    ap.add_argument("--pipeline-ma", action="store_true",
+                    help="full 3.x pipeline: decode -> compact -> aeg-JSON "
+                         "snapshot at stress scale")
     ap.add_argument("--decode-ma", action="store_true",
                     help="run the 3.x (ma) distributed decode benchmark "
                          "(--rows partitions per file, --files files)")
@@ -536,6 +601,9 @@ def main() -> None:
         return
     if args.decode_ma:
         decode_ma_bench(args.cpus, args.rows, args.files)
+        return
+    if args.pipeline_ma:
+        pipeline_ma_bench(args.cpus, args.rows, args.files)
         return
 
     from aegisthus_spark.session import get_spark
