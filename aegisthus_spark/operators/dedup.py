@@ -603,3 +603,124 @@ def containment_of_pairs(
     return scored.filter(
         (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
     ).orderBy("a", "b")
+
+
+def cross_doc_ngram_fraction(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, n_shared, shared_frac): per document, the fraction of
+    its DISTINCT word n-grams that also occur in at least one OTHER
+    document — the corpus-level repeated-span signal from "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., 2021):
+    documents with high shared-span mass are near-template text the exact
+    and MinHash passes miss.
+
+    Scale shape: explode distinct (doc, gram) pairs, hash each gram to a
+    64-bit md5 prefix so the shuffle carries 8-byte keys instead of raw
+    n-gram strings, one hash-aggregate for the gram->doc-count table
+    (map-side partial), one shuffle join back on the hash, one final
+    per-doc aggregate. No pair space, no windows — the same two-shuffle
+    budget as TF-IDF at any corpus size.
+    """
+    sep = "\\u001f"
+    grams_expr = (
+        f"CASE WHEN size(toks) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), '{sep}'))) END"
+    )
+    h64 = "cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)"
+    pairs = (
+        docs.select(id_col, F.split(text_col, " ").alias("toks"))
+        .select(id_col, F.explode(F.expr(grams_expr)).alias("gram"))
+        .select(id_col, F.expr(h64).alias("gh"))
+    )
+    counts = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        pairs.join(counts, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_shared").cast("double") / F.col("n_grams")
+            )
+            .alias("shared_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_paragraphs, n_dup_paragraphs, kept_frac): Dolma-style
+    paragraph-level exact dedup accounting — every paragraph occurrence
+    except the corpus-first one counts as a duplicate. First = smallest
+    (doc_id, position), so results are deterministic across engines.
+
+    The synthetic corpus has no newline structure, so "paragraphs" are
+    consecutive ``chunk_tokens``-token chunks (the splitter expression is
+    the only thing to swap for real data: split(text, '\\n\\n')).
+
+    Scale shape: one explode to (doc, pos, md5(paragraph)), one
+    hash-aggregate per paragraph hash taking min(struct(doc, pos))
+    (map-side partial combine — the shuffle carries one row per DISTINCT
+    paragraph), a join back on the hash, and a per-doc aggregate. This is
+    exactly the exact-dedup shape lifted from documents to paragraphs; no
+    pair space anywhere.
+    """
+    sep = "\\u001f"
+    chunks_expr = (
+        f"CASE WHEN size(toks) = 0 THEN array() "
+        f"ELSE transform(sequence(1, size(toks), {chunk_tokens}), "
+        f"i -> array_join(slice(toks, i, {chunk_tokens}), '{sep}')) END"
+    )
+    paras = (
+        docs.select(id_col, F.split(text_col, " ").alias("toks"))
+        .select(id_col, F.posexplode(F.expr(chunks_expr)).alias("pos", "para"))
+        .select(id_col, "pos", F.md5("para").alias("ph"))
+    )
+    firsts = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("first")
+    )
+    marked = paras.join(firsts, "ph").select(
+        id_col,
+        (
+            (F.col(id_col) != F.col("first.d")) | (F.col("pos") != F.col("first.p"))
+        ).alias("is_dup"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.count(F.when(F.col("is_dup"), F.lit(1))).alias("n_dup_paragraphs"),
+        )
+        .select(
+            id_col,
+            "n_paragraphs",
+            "n_dup_paragraphs",
+            (
+                (F.col("n_paragraphs") - F.col("n_dup_paragraphs")).cast("double")
+                / F.col("n_paragraphs")
+            ).alias("kept_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -1696,6 +1696,81 @@ def dedup_exact(spark, sf_dir):
     return _dd.exact_dedup_map(_t(spark, sf_dir, "documents"))
 
 
+_H64_SQL = "CAST(CONCAT('0x', SUBSTR(md5({col}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "dedup_cross_doc_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+                    ELSE [array_to_string(toks[i:i+4], chr(31))
+                          FOR i IN range(1, len(toks) - 3)] END)) AS gram
+      FROM t),
+    p AS (SELECT doc_id, {_H64_SQL.format(col='gram')} AS gh FROM g),
+    c AS (SELECT gh, COUNT(*) AS n_docs FROM p GROUP BY gh),
+    d AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE c.n_docs >= 2) AS n_shared
+      FROM p JOIN c USING (gh) GROUP BY p.doc_id)
+    SELECT docs.doc_id,
+           CAST(COALESCE(d.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(d.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN COALESCE(d.n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(d.n_shared AS DOUBLE) / d.n_grams END AS shared_frac
+    FROM documents docs LEFT JOIN d USING (doc_id) ORDER BY docs.doc_id
+    """,
+    doc="cross-document repeated-span signal (Lee et al. 2021 dedup "
+        "analysis): per doc, the fraction of its distinct 5-grams "
+        "occurring in >=2 documents. Grams hashed to 60-bit md5 prefixes "
+        "so the gram->doc-count shuffle carries 8-byte keys; two "
+        "hash-aggregates + one equi-join, no pair space",
+)
+def dedup_cross_doc_ngram(spark, sf_dir):
+    return _dd.cross_doc_ngram_fraction(_t(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "dedup_paragraph",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch0 AS (
+      SELECT doc_id,
+             unnest([{'pos': CAST((i - 1) // 10 AS INT),
+                      'ph': md5(array_to_string(toks[i:i+9], chr(31)))}
+                     FOR i IN range(1, len(toks) + 1, 10)]) AS u
+      FROM t),
+    ch AS (SELECT doc_id, u.pos AS pos, u.ph AS ph FROM ch0),
+    fd AS (SELECT ph, MIN(doc_id) AS d FROM ch GROUP BY ph),
+    f AS (SELECT ch.ph, fd.d, MIN(ch.pos) AS p
+          FROM ch JOIN fd ON ch.ph = fd.ph AND ch.doc_id = fd.d
+          GROUP BY ch.ph, fd.d),
+    m AS (SELECT ch.doc_id,
+                 (ch.doc_id <> f.d OR ch.pos <> f.p) AS is_dup
+          FROM ch JOIN f USING (ph))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT)
+             AS n_dup_paragraphs,
+           CAST(COUNT(*) - COUNT(*) FILTER (WHERE is_dup) AS DOUBLE)
+             / COUNT(*) AS kept_frac
+    FROM m GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Dolma-style paragraph-level exact dedup accounting: every "
+        "10-token-chunk occurrence except the corpus-first (min doc_id, "
+        "pos) counts as duplicate; chunking stands in for the paragraph "
+        "splitter on the newline-free synthetic corpus. One explode + "
+        "one min-struct hash-aggregate (map-side combine, one shuffle row "
+        "per DISTINCT paragraph) + join back — exact-dedup shape lifted "
+        "to paragraphs, no pair space",
+)
+def dedup_paragraph(spark, sf_dir):
+    return _dd.paragraph_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=10)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
