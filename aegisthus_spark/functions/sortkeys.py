@@ -69,7 +69,15 @@ _HEX_COMPLEMENT = ("0123456789ABCDEF", "FEDCBA9876543210")
 
 
 def _strip_pkg(name: str) -> str:
-    return name.rsplit(".", 1)[-1]
+    """Drop the package prefix from the OUTER class only — a plain rsplit
+    on '.' would split inside the parentheses of parameterized marshal
+    strings ('...ReversedType(...Int32Type)' -> 'Int32Type)'); nested
+    parameters are stripped recursively by their own handlers."""
+    name = name.strip()
+    i = name.find("(")
+    if i == -1:
+        return name.rsplit(".", 1)[-1]
+    return name[:i].rsplit(".", 1)[-1] + name[i:]
 
 
 def _u16_at(name: Column, pos: Column) -> Column:
@@ -163,10 +171,11 @@ def type_sort_key_hex(comp: Column, marshal: str) -> Column:
     t = _strip_pkg(marshal.strip())
     if t.startswith("ReversedType(") and t.endswith(")"):
         inner = type_sort_key_hex(comp, t[len("ReversedType(") : -1])
-        # complement every hex digit; high sentinel inverts prefix order
-        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
-            F.concat(F.translate(inner, *_HEX_COMPLEMENT), F.lit(_EOC_PLUS))
-        )
+        # complement every hex digit; the high sentinel both inverts
+        # prefix order AND places the EMPTY value last (its key is the
+        # bare sentinel 'Z', above every hex-leading non-empty key) —
+        # matching ReversedComparator's b'\xff' for empty (types.py)
+        return F.concat(F.translate(inner, *_HEX_COMPLEMENT), F.lit(_EOC_PLUS))
     if t in _BYTE_ORDERED:
         return F.hex(comp)
     if t in _SIGNED_WIDTH:
@@ -250,17 +259,23 @@ def composite_sort_key(
     return acc
 
 
-def comparator_sort_key(name: Column, spec: str) -> Column:
+def comparator_sort_key(name: Column, spec: str, *, n_extra: int = 2) -> Column:
     """Sort-key column for a full comparator spec (simple or CompositeType).
 
-    Matches ``types.get(spec).sort_key`` ordering, JVM-side.
+    Matches ``types.get(spec).sort_key`` ordering, JVM-side. ``n_extra``
+    trailing components past the declared CompositeType list (CQL column
+    name, collection cell path) compare as raw bytes — dropping them
+    would collapse distinct cell names to one sort key and LWW away whole
+    columns; the Python ``CompositeComparator._component_at`` fallback
+    compares unlimited extras, so specs whose names can exceed
+    declared+2 components should use the UDF path.
     """
     s = spec.strip()
     short = _strip_pkg(s.split("(", 1)[0])
     if short == "CompositeType":
         inner = s[s.index("(") + 1 : s.rindex(")")]
         comps = _split_top_level(inner)
-        return composite_sort_key(name, comps, n_extra=0)
+        return composite_sort_key(name, comps, n_extra=n_extra)
     return type_sort_key_hex(name, s)
 
 

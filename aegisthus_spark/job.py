@@ -69,7 +69,7 @@ def compact_snapshot(
         # types), so the typed name order needs no user DDL. 2.x files have
         # no type info on disk — they keep the raw-bytes default.
         from .sources.sstable_source import discover_data_files
-        from .sstable.descriptor import version_of
+        from .sstable.descriptor import check_modern_version, version_of
         from .sstable.modern import (
             header_for_data_file,
             name_sort_key_for_header,
@@ -78,10 +78,30 @@ def compact_snapshot(
         modern = [
             f for f in discover_data_files(inputs) if version_of(f) >= "ma"
         ]
+        for f in modern:
+            # reject unsupported versions (e.g. 5.0 'oa') BEFORE parsing
+            # their Statistics.db with the 3.x layout — the planner would
+            # catch it later, but a garbled header parse must not win
+            check_modern_version(version_of(f))
         if modern:
-            name_sort_key = name_sort_key_for_header(
-                header_for_data_file(modern[0])
-            )
+            header = header_for_data_file(modern[0])
+            try:
+                name_sort_key = name_sort_key_for_header(header)
+            except ValueError:
+                # clustering types with no JVM-side order-preserving
+                # encoding (DecimalType, varint): same Python fallback
+                # as the explicit-spec branch, built from the header
+                from . import types as aegtypes
+
+                comp = aegtypes.CompositeComparator(
+                    [aegtypes.get(t) for t in header.clustering_types]
+                )
+
+                @F.udf("binary")
+                def auto_sort_key(b):
+                    return comp.sort_key(bytes(b)) if b is not None else None
+
+                name_sort_key = auto_sort_key
     elif column_type not in ("BytesType", "UTF8Type", "AsciiType"):
         from . import types as aegtypes
         from .functions import sortkeys as _sortkeys

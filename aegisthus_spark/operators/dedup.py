@@ -621,11 +621,14 @@ def cross_doc_ngram_fraction(
 
     Scale shape: explode distinct (doc, gram) pairs, hash each gram to a
     64-bit md5 prefix so the shuffle carries 8-byte keys instead of raw
-    n-gram strings, one hash-aggregate for the gram->doc-count table
-    (map-side partial), one shuffle join back on the hash, one final
-    per-doc aggregate. No pair space, no windows — the same two-shuffle
-    budget as TF-IDF at any corpus size.
+    n-gram strings, then ONE shuffle on the hash with a partition-wide
+    count window (no join back — a groupBy+join formulation would
+    recompute the tokenize+explode+md5 lineage, the dominant stage, a
+    second time for the probe side), and a final per-doc aggregate. No
+    pair space; two shuffles total, single pass over the corpus.
     """
+    from pyspark.sql import Window
+
     sep = "\\u001f"
     grams_expr = (
         f"CASE WHEN size(toks) < {n} THEN array() "
@@ -638,14 +641,14 @@ def cross_doc_ngram_fraction(
         .select(id_col, F.explode(F.expr(grams_expr)).alias("gram"))
         .select(id_col, F.expr(h64).alias("gh"))
     )
-    counts = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
-    per_doc = (
-        pairs.join(counts, "gh")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).alias("n_shared"),
-        )
+    # gram-hash partitions are tiny (docs sharing one n-gram), so the
+    # unordered count window is a per-bucket aggregate, not a sort risk
+    marked = pairs.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("n_docs") >= 2, F.lit(1))).alias("n_shared"),
     )
     return (
         docs.select(id_col)
@@ -680,13 +683,14 @@ def paragraph_dedup(
     consecutive ``chunk_tokens``-token chunks (the splitter expression is
     the only thing to swap for real data: split(text, '\\n\\n')).
 
-    Scale shape: one explode to (doc, pos, md5(paragraph)), one
-    hash-aggregate per paragraph hash taking min(struct(doc, pos))
-    (map-side partial combine — the shuffle carries one row per DISTINCT
-    paragraph), a join back on the hash, and a per-doc aggregate. This is
-    exactly the exact-dedup shape lifted from documents to paragraphs; no
-    pair space anywhere.
+    Scale shape: one explode to (doc, pos, md5(paragraph)), ONE shuffle
+    on the paragraph hash with a min-struct window over each hash bucket
+    (the groupBy+join-back formulation would recompute the explode+md5
+    lineage twice), then a per-doc aggregate. This is the exact-dedup
+    shape lifted from documents to paragraphs; no pair space anywhere.
     """
+    from pyspark.sql import Window
+
     sep = "\\u001f"
     chunks_expr = (
         f"CASE WHEN size(toks) = 0 THEN array() "
@@ -698,10 +702,12 @@ def paragraph_dedup(
         .select(id_col, F.posexplode(F.expr(chunks_expr)).alias("pos", "para"))
         .select(id_col, "pos", F.md5("para").alias("ph"))
     )
-    firsts = paras.groupBy("ph").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("first")
-    )
-    marked = paras.join(firsts, "ph").select(
+    # hash buckets hold the occurrences of ONE distinct paragraph — the
+    # unordered window is a small per-bucket aggregate
+    first = F.min(
+        F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    ).over(Window.partitionBy("ph"))
+    marked = paras.withColumn("first", first).select(
         id_col,
         (
             (F.col(id_col) != F.col("first.d")) | (F.col("pos") != F.col("first.p"))

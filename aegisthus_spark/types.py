@@ -244,7 +244,10 @@ def _sk_decimal(b: bytes) -> bytes:
 
 def _sk_uuid(b: bytes) -> bytes:
     # UUIDType.compareCustom: version nibble first, v1s by embedded
-    # timestamp, otherwise unsigned byte order
+    # timestamp, otherwise unsigned byte order; empty sorts smallest
+    # (legal per Cassandra — same guard as _sk_signed_fixed/_sk_float)
+    if not b:
+        return bytes(b)
     ver = (b[6] >> 4) & 0x0F
     ts = _uuid.UUID(bytes=bytes(b)).time.to_bytes(8, "big") if ver == 1 else b""
     return bytes([ver]) + ts + bytes(b)
@@ -252,7 +255,9 @@ def _sk_uuid(b: bytes) -> bytes:
 
 def _sk_timeuuid(b: bytes) -> bytes:
     # TimeUUID sorts by its 60-bit timestamp: time_hi(12 bits sans version),
-    # time_mid, time_low, then the raw bytes as tiebreak
+    # time_mid, time_low, then the raw bytes as tiebreak; empty smallest
+    if not b:
+        return bytes(b)
     u = _uuid.UUID(bytes=bytes(b))
     return u.time.to_bytes(8, "big") + bytes(b)
 

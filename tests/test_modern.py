@@ -1329,3 +1329,94 @@ def test_large_subset_hypothesis_roundtrip():
         assert cols == [superset[i] for i in present]
 
     check()
+
+
+def test_auto_comparator_falls_back_to_udf_for_decimal_clustering(spark, tmp_path):
+    """DecimalType clustering has no JVM-side order-preserving encoding;
+    column_type='auto' must fall back to the Python types.sort_key UDF
+    (built from the header) instead of crashing."""
+    from aegisthus_spark import job
+
+    DECIMAL = "org.apache.cassandra.db.marshal.DecimalType"
+    # decimal encoding: i32 scale + big-endian two's-complement unscaled
+    def dec(scale, unscaled):
+        m = unscaled.to_bytes((unscaled.bit_length() + 8) // 8, "big",
+                              signed=True) or b"\x00"
+        return struct.pack(">i", scale) + m
+
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [dec(0, 7)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"seven"}]},
+            {"clustering": [dec(0, 100)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"hundred"}]},
+        ]}],
+        clustering_types=[DECIMAL], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    rows = job.compact_snapshot(spark, [str(d1)], column_type="auto").collect()
+    assert len(rows) == 1
+    vals = {bytes(c.value) for c in rows[0].columns if c.kind == "c"
+            and c.value not in (None, b"")}
+    assert {b"seven", b"hundred"} <= vals
+
+
+def test_auto_comparator_rejects_oa_before_header_parse(spark, tmp_path):
+    """column_type='auto' must raise the deliberate UnsupportedVersionError
+    for a 5.0 'oa' input, not a garbled Statistics.db misparse."""
+    from aegisthus_spark import job
+    from aegisthus_spark.sstable.descriptor import UnsupportedVersionError
+
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"x"}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    for f in sorted(d1.iterdir()):
+        if f.name.startswith("ma-"):
+            f.rename(d1 / f.name.replace("ma-", "oa-", 1))
+    with pytest.raises(UnsupportedVersionError, match="'oa'"):
+        job.compact_snapshot(spark, [str(d1)], column_type="auto")
+
+
+def test_header_sort_key_handles_reversed_clustering(spark, tmp_path):
+    """A DESC (ReversedType) clustering column — stored fully qualified in
+    the header — must produce a working JVM sort key with inverted order
+    and statics/RTs intact."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+
+    REV_LONG = f"org.apache.cassandra.db.marshal.ReversedType({LONG})"
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [struct.pack(">q", 5)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"five"}]},
+            {"clustering": [struct.pack(">q", 9)], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"nine"}]},
+        ]}],
+        clustering_types=[REV_LONG], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    sk = name_sort_key_for_header(
+        header_for_data_file(str(d1 / "ma-1-big-Data.db"))
+    )
+    cells = read_sstable_cells(spark, [str(d1)])
+    rows = compact(cells, name_sort_key=sk).collect()
+    assert len(rows) == 1
+    vals = [bytes(c.value) for c in rows[0].columns
+            if c.value not in (None, b"")]
+    # DESC order: clustering 9 before 5
+    assert vals == [b"nine", b"five"], vals

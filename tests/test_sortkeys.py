@@ -203,3 +203,61 @@ def test_python_composite_static_sorts_first():
     assert comp.sort_key(static) < comp.sort_key(regular)
     # extra components past the declared list render/compose as bytes
     assert comp.split(static) == [b"", b"owner"]
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+_MARSHAL = "org.apache.cassandra.db.marshal."
+
+
+def test_fully_qualified_parameterized_types(spark):
+    """_strip_pkg must not split inside parentheses: a real 3.x header
+    stores fully-qualified ReversedType(inner) strings for DESC
+    clustering columns."""
+    fq = f"{_MARSHAL}ReversedType({_MARSHAL}Int32Type)"
+    assert supported(fq)
+    values = [struct.pack(">i", v) for v in (-2, 0, 9)]
+    keys = _jvm_keys(spark, values, lambda c: type_sort_key_hex(c, fq))
+    ranked = [v for _, v in sorted(zip(keys, [-2, 0, 9]))]
+    assert ranked == [9, 0, -2]
+
+
+def test_comparator_sort_key_keeps_extra_components(spark):
+    """Cell names with components beyond the declared CompositeType spec
+    (CQL column name, collection path) must keep DISTINCT sort keys —
+    collapsing them would LWW away whole columns in compact()."""
+    spec = "CompositeType(UTF8Type)"
+    names = [
+        composite([b"ck"]) + b"\x00\x04col1\x00",
+        composite([b"ck"]) + b"\x00\x04col2\x00",
+    ]
+    keys = _jvm_keys(spark, names, lambda c: comparator_sort_key(c, spec))
+    assert keys[0] != keys[1]
+    assert keys[0] < keys[1]  # col1 < col2 in byte order
+
+
+def test_reversed_empty_value_sorts_last(spark):
+    """Under ReversedType the EMPTY value is the LARGEST (Cassandra swaps
+    operands; empty is smallest forward). Python and JVM must agree."""
+    values = [b"", b"a", b"zz"]
+    jvm = _jvm_keys(
+        spark, values, lambda c: type_sort_key_hex(c, "ReversedType(UTF8Type)")
+    )
+    ranked = [v for _, v in sorted(zip(jvm, values))]
+    assert ranked == [b"zz", b"a", b""], ranked
+    py = [aegtypes.get("ReversedType(UTF8Type)").sort_key(v) for v in values]
+    _assert_same_order(jvm, py, values, "reversed-empty")
+
+
+def test_uuid_sort_keys_accept_empty():
+    """Empty values are legal for every Cassandra type; the UUID sort
+    keys must not crash on them (they sort smallest, like the fixed-width
+    guards)."""
+    assert aegtypes.get("UUIDType").sort_key(b"") == b""
+    assert aegtypes.get("TimeUUIDType").sort_key(b"") == b""
+    u = uuid.uuid4().bytes
+    assert aegtypes.get("UUIDType").sort_key(b"") < aegtypes.get(
+        "UUIDType"
+    ).sort_key(u)
