@@ -1638,8 +1638,12 @@ _A_LIT = "[" + ",".join(str(a) for a in _dd.MINHASH_A) + "]"
 _B_LIT = "[" + ",".join(str(b) for b in _dd.MINHASH_B) + "]"
 
 def _shingles_cte(source: str = "documents") -> str:
+    # AS MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs inside
+    # WITH RECURSIVE statements, re-running the whole LSH funnel per
+    # PageRank/reach iteration — measured >28 GB of spill at sf1 before
+    # the hint, 35 s after. Semantics identical.
     return f"""
-sh AS (SELECT DISTINCT doc_id,
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
               unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS shingle
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {source}))
 """
@@ -1669,15 +1673,15 @@ def _lsh_band_ctes(p: str = "") -> str:
     relation. ONE definition serves both the dedup_minhash_lsh oracle and
     _LSH_PAIRS_CTE, so the banding/hash scheme cannot silently fork."""
     return f"""
-    {p}hh AS (SELECT doc_id, {_H32_SQL.format(col="shingle")} AS h FROM sh),
-    {p}mh AS (SELECT doc_id, i,
+    {p}hh AS MATERIALIZED (SELECT doc_id, {_H32_SQL.format(col="shingle")} AS h FROM sh),
+    {p}mh AS MATERIALIZED (SELECT doc_id, i,
                   MIN(({_A_LIT}[i + 1] * h + {_B_LIT}[i + 1]) % {_dd.MINHASH_P}) AS m
            FROM {p}hh, (SELECT unnest(range({_dd.MINHASH_K})) AS i)
            GROUP BY doc_id, i),
-    {p}bands AS (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
+    {p}bands AS MATERIALIZED (SELECT doc_id, i // {_dd.LSH_ROWS_PER_BAND} AS band,
                      string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS key
               FROM {p}mh GROUP BY doc_id, i // {_dd.LSH_ROWS_PER_BAND}),
-    {p}cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    {p}cand AS MATERIALIZED (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
              FROM {p}bands l JOIN {p}bands r
                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
 
@@ -2068,13 +2072,13 @@ def mm_frame_plan(spark, sf_dir):
 # spurious red row in every downstream consumer.
 _LSH_PAIRS_CTE = f"""
 {_lsh_band_ctes("l")},
-lhn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-lcommon AS (
+lhn AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+lcommon AS MATERIALIZED (
   SELECT c.a, c.b, COUNT(*) AS common
   FROM lcand c JOIN sh sa ON sa.doc_id = c.a
                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
   GROUP BY c.a, c.b),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT lcommon.a, lcommon.b
   FROM lcommon JOIN lhn na ON na.doc_id = lcommon.a
                JOIN lhn nb ON nb.doc_id = lcommon.b
@@ -2088,7 +2092,7 @@ pairs AS (
     WITH RECURSIVE
     {_SHINGLES_CTE},
     {_LSH_PAIRS_CTE},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
       SELECT doc_id, doc_id FROM documents
@@ -3082,7 +3086,7 @@ def doc_decontaminate(spark, sf_dir):
           WHERE len(string_split(text, ' ')) >= 30),
     {_shingles_cte("q")},
     {_LSH_PAIRS_CTE},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
       SELECT doc_id, doc_id FROM q
@@ -3150,7 +3154,7 @@ def doc_curate_pipeline(spark, sf_dir):
     WITH RECURSIVE
     {_SHINGLES_CTE},
     {_LSH_PAIRS_CTE},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     reach(v, w) AS (
       SELECT doc_id, doc_id FROM documents
@@ -3415,7 +3419,7 @@ def sim_hybrid_rrf(spark, sf_dir):
                   / (sqrt({_DOT_F_SQL.format(a='ea.embedding', b='ea.embedding')})
                      * sqrt({_DOT_F_SQL.format(a='eb.embedding', b='eb.embedding')})),
                   6) >= 0.4),
-    sedges AS (SELECT a AS src, b AS dst FROM pairs
+    sedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
                UNION SELECT b, a FROM pairs),
     sreach(v, w) AS (
       SELECT vec_id, vec_id FROM embeddings
@@ -4034,7 +4038,7 @@ def doc_sample_weighted(spark, sf_dir):
     WITH RECURSIVE
     {_SHINGLES_CTE},
     {_LSH_PAIRS_CTE},
-    edges AS (SELECT a AS src, b AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
               UNION SELECT b, a FROM pairs),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM documents),
