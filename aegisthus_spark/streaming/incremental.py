@@ -99,9 +99,16 @@ def read_snapshot(spark: SparkSession, snapshot_root: str) -> DataFrame | None:
 
 
 def merge_batch(
-    spark: SparkSession, batch_cells: DataFrame, snapshot_root: str
+    spark: SparkSession, batch_cells: DataFrame, snapshot_root: str,
+    *, name_sort_key=None,
 ) -> int:
-    """Merge one batch of cells into the snapshot; returns the new version."""
+    """Merge one batch of cells into the snapshot; returns the new version.
+
+    ``name_sort_key``: comparator-aware ordering passed through to
+    ``compact()`` — required for typed (non-byte-ordered) cell names,
+    e.g. 3.x input via ``modern.name_sort_key_for_header``; the bucketed
+    fast path (``merge_bucketed``/``merge_compacted``) keeps the
+    byte-ordered contract instead."""
     from ..compact import compact
 
     prev = read_snapshot(spark, snapshot_root)
@@ -109,7 +116,9 @@ def merge_batch(
     cells = batch_cells
     if prev is not None:
         cells = rows_to_cells(prev).unionByName(batch_cells)
-    merged = compact(cells, keep_range_tombstones=True).sortWithinPartitions(
+    merged = compact(
+        cells, keep_range_tombstones=True, name_sort_key=name_sort_key
+    ).sortWithinPartitions(
         "partition_key"
     )
     new_version = 0 if prev_version is None else prev_version + 1
@@ -176,6 +185,7 @@ def start_incremental_snapshot(
     *,
     max_files_per_trigger: int | None = None,
     available_now: bool = False,
+    name_sort_key=None,
 ):
     """Tail a cell-parquet directory and maintain a compacted snapshot.
 
@@ -191,7 +201,10 @@ def start_incremental_snapshot(
     stream = reader.parquet(cells_dir)
 
     def for_each_batch(batch_df: DataFrame, batch_id: int):
-        merge_batch(batch_df.sparkSession, batch_df, snapshot_root)
+        merge_batch(
+            batch_df.sparkSession, batch_df, snapshot_root,
+            name_sort_key=name_sort_key,
+        )
 
     writer = stream.writeStream.foreachBatch(for_each_batch).option(
         "checkpointLocation", checkpoint_dir
