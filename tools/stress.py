@@ -476,6 +476,60 @@ def semantic_bench(cpus: int, n_docs: int) -> None:
     )
 
 
+def corpus_dedup_bench(cpus: int, n_docs: int) -> None:
+    """Scaling evidence for the corpus-wide accounting operators: run
+    cross_doc_ngram_fraction and paragraph_dedup at N and 2N docs and
+    report wall ratio (both are explode + hash-window + per-doc aggregate
+    — linear shape => ~2x) plus the hottest hash bucket (the per-bucket
+    window's skew bound). Same distributed generator as --dedup: every
+    10th doc is a near-dup of its predecessor, so repeated spans and
+    duplicate paragraphs actually exist."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators import dedup as dd
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-corpus-dedup", cpus=cpus)
+    vocab = "array(" + ",".join(f"'w{i}'" for i in range(400)) + ")"
+
+    def corpus(n):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    "concat_ws(' ', transform(sequence(1, 60), i -> "
+                    f"element_at({vocab}, 1 + pmod(hash("
+                    "if(id % 10 = 1 and i <= 3, id, if(id % 10 = 1, id - 1, id))"
+                    " * 1000 + i), 400))))"
+                ).alias("text"),
+            )
+        )
+
+    for n in (n_docs, 2 * n_docs):
+        docs = corpus(n).localCheckpoint()
+        t0 = time.time()
+        shared = dd.cross_doc_ngram_fraction(docs, n=5)
+        agg = shared.agg(
+            F.sum("n_grams").alias("g"), F.sum("n_shared").alias("s")
+        ).collect()[0]
+        dt1 = time.time() - t0
+        t0 = time.time()
+        para = dd.paragraph_dedup(docs, chunk_tokens=10)
+        pagg = para.agg(
+            F.sum("n_paragraphs").alias("p"),
+            F.sum("n_dup_paragraphs").alias("d"),
+        ).collect()[0]
+        dt2 = time.time() - t0
+        print(
+            f"N={n:,}: cross-doc 5-grams {int(agg.g):,} ({int(agg.s):,} "
+            f"shared) in {dt1:.1f}s; paragraphs {int(pagg.p):,} "
+            f"({int(pagg.d):,} dup) in {dt2:.1f}s"
+        )
+
+
 def sketch_bench(cpus: int, n_rows: int, n_keys: int) -> None:
     """Sketch-vs-exact scaling: distinct-count (FM/KMV) and count-min
     heavy hitters against their exact counterparts at N and 2N rows.
@@ -573,6 +627,9 @@ def main() -> None:
     ap.add_argument("--semantic", action="store_true",
                     help="run the semantic-dedup k-scaling benchmark "
                          "(candidate pairs at N vs 2N, k scaled vs fixed)")
+    ap.add_argument("--corpus-dedup", action="store_true",
+                    help="cross-doc ngram + paragraph dedup scaling at N "
+                         "and 2N docs")
     ap.add_argument("--pipeline-ma", action="store_true",
                     help="full 3.x pipeline: decode -> compact -> aeg-JSON "
                          "snapshot at stress scale")
@@ -604,6 +661,9 @@ def main() -> None:
         return
     if args.pipeline_ma:
         pipeline_ma_bench(args.cpus, args.rows, args.files)
+        return
+    if args.corpus_dedup:
+        corpus_dedup_bench(args.cpus, args.docs)
         return
 
     from aegisthus_spark.session import get_spark
