@@ -212,15 +212,24 @@ def composite_sort_key(
     component_types: Sequence[str],
     *,
     n_extra: int = 2,
+    path_types_by_column: dict[bytes, str] | None = None,
 ) -> Column:
     """2.x composite cell name -> order-preserving string sort key.
 
     ``component_types``: marshal classes of the typed leading components
     (the clustering columns for ma-mapped names). Up to ``n_extra``
     trailing components (CQL column name, collection cell path) are
-    compared as raw bytes. Bounds with fewer components (range-tombstone
-    prefixes) and the 0xFFFF static prefix are handled per Cassandra's
-    composite comparator; see the module docstring for the encoding.
+    compared as raw bytes by default. Bounds with fewer components
+    (range-tombstone prefixes) and the 0xFFFF static prefix are handled
+    per Cassandra's composite comparator; see the module docstring for
+    the encoding.
+
+    ``path_types_by_column``: optional column-name-bytes -> marshal class
+    map for the LAST extra component (the collection cell path): list
+    paths compare as TimeUUIDs, set paths as the element type, map paths
+    as the key type. The column-name component (second-to-last extra)
+    dispatches the transform at runtime, so each collection column's
+    paths order by its real comparator while everything else stays raw.
 
     The expression is unrolled per component — component counts above ~10
     produce very large Catalyst trees; such schemas should use the Python
@@ -232,13 +241,16 @@ def composite_sort_key(
             f"composite_sort_key unrolls {len(types_)} components — "
             "expression too large; use the types.sort_key UDF fallback"
         )
+    path_idx = len(types_) - 1 if (path_types_by_column and n_extra >= 2) else None
+    name_idx = path_idx - 1 if path_idx is not None else None
     total = F.length(name)
     is_static = (total >= 2) & (
         F.hex(F.substring(name, F.lit(1), F.lit(2))) == "FFFF"
     )
     acc = F.when(is_static, F.lit("0")).otherwise(F.lit("1"))
     pos = F.when(is_static, F.lit(3)).otherwise(F.lit(1)).cast("int")
-    for t in types_:
+    name_comp = None
+    for i, t in enumerate(types_):
         ln = _u16_at(name, pos)
         comp = F.substring(name, pos + F.lit(2), ln)
         eocb = F.coalesce(
@@ -252,7 +264,18 @@ def composite_sort_key(
             .when(eocb < 128, F.lit(_EOC_PLUS))
             .otherwise(F.lit(_EOC_MINUS))
         )
-        seg = F.concat(type_sort_key_hex(comp, t), F.lit(_EOC_MINUS), eocc)
+        if i == name_idx:
+            name_comp = comp
+        if i == path_idx and name_comp is not None:
+            key = type_sort_key_hex(comp, t)
+            for col_name, marshal in path_types_by_column.items():
+                key = F.when(
+                    name_comp == F.lit(col_name),
+                    type_sort_key_hex(comp, marshal),
+                ).otherwise(key)
+        else:
+            key = type_sort_key_hex(comp, t)
+        seg = F.concat(key, F.lit(_EOC_MINUS), eocc)
         has = (pos + F.lit(1)) <= total  # the u16 length prefix is present
         acc = F.when(has, F.concat(acc, seg)).otherwise(acc)
         pos = F.when(has, pos + F.lit(3) + ln).otherwise(pos).cast("int")

@@ -888,5 +888,22 @@ def name_sort_key_for_header(header: SerializationHeader):
             f"{unsupported}; pass a types.sort_key UDF to compact() instead"
         )
     types_ = list(header.clustering_types)
+    # collection cell paths order by the collection's path comparator
+    # (CellPath semantics): list -> TimeUUID, set -> element type,
+    # map -> key type. The header names every collection column, so the
+    # path transform dispatches on the column-name component at runtime;
+    # unsupported path types just stay raw bytes (display-order nit only
+    # — LWW groups on the full name either way).
+    path_types: dict[bytes, str] = {}
+    for cname, t in tuple(header.regular_columns) + tuple(header.static_columns):
+        base, args = parse_marshal(unwrap_reversed(t))
+        if base == "ListType":
+            path_types[bytes(cname)] = "TimeUUIDType"
+        elif base == "SetType" and args and supported(args[0]):
+            path_types[bytes(cname)] = args[0]
+        elif base == "MapType" and args and supported(args[0]):
+            path_types[bytes(cname)] = args[0]
     # +2 untyped trailing components: CQL column name, collection cell path
-    return lambda c: composite_sort_key(c, types_, n_extra=2)
+    return lambda c: composite_sort_key(
+        c, types_, n_extra=2, path_types_by_column=path_types or None
+    )

@@ -261,3 +261,90 @@ def test_uuid_sort_keys_accept_empty():
     assert aegtypes.get("UUIDType").sort_key(b"") < aegtypes.get(
         "UUIDType"
     ).sort_key(u)
+
+
+def test_collection_paths_order_by_path_comparator(spark):
+    """List cell paths are TimeUUIDs: with path_types_by_column the list
+    elements order by embedded time, not raw bytes; a set<int> orders
+    paths numerically; non-collection columns stay raw."""
+    import uuid as _uuid
+
+    def tu(t):
+        return _uuid.UUID(fields=(t & 0xFFFFFFFF, (t >> 32) & 0xFFFF,
+                                  0x1000 | ((t >> 48) & 0x0FFF), 0x80, 0x01,
+                                  0xABCDEF)).bytes
+
+    # two timeuuids where RAW byte order != time order: time_low is
+    # serialized first, so a SMALL time_low with a LARGE time_mid gives
+    # small raw bytes but a late embedded time
+    early, late = tu(0x0000000100000002), tu(0x0000000F00000001)
+    assert early > late  # raw bytes disagree with time order
+    name = lambda col, path: (
+        composite([b"ck"]) + struct.pack(">H", len(col)) + col + b"\x00"
+        + struct.pack(">H", len(path)) + path + b"\x00"
+    )
+    names = [
+        name(b"tags", early), name(b"tags", late),
+        name(b"nums", struct.pack(">i", -5)), name(b"nums", struct.pack(">i", 3)),
+        name(b"blob", b"\x01"), name(b"blob", b"\x02"),
+    ]
+    pt = {b"tags": "TimeUUIDType", b"nums": "Int32Type"}
+    keys = _jvm_keys(
+        spark, names,
+        lambda c: composite_sort_key(c, ["UTF8Type"], n_extra=2,
+                                     path_types_by_column=pt),
+    )
+    k = dict(zip(["tags_early", "tags_late", "neg", "pos", "b1", "b2"], keys))
+    # list: early-TIME uuid sorts first despite larger raw bytes
+    assert k["tags_early"] < k["tags_late"]
+    # set<int>: negative before positive (raw bytes would invert)
+    assert k["neg"] < k["pos"]
+    # untyped column: raw order
+    assert k["b1"] < k["b2"]
+
+
+def test_header_sort_key_types_list_paths(tmp_path, spark):
+    """name_sort_key_for_header wires the collection path types from the
+    header: a list column's cells order by embedded-time paths through
+    compact()'s A3 sort."""
+    import uuid as _uuid
+
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+    from aegisthus_spark.sstable.modern_writer import write_sstable_ma
+
+    def tu(t):
+        return _uuid.UUID(fields=(t & 0xFFFFFFFF, (t >> 32) & 0xFFFF,
+                                  0x1000 | ((t >> 48) & 0x0FFF), 0x80, 0x01,
+                                  0xABCDEF)).bytes
+
+    early, late = tu(0x0000000100000002), tu(0x0000000F00000001)
+    assert early > late  # raw order disagrees
+    UTF8_T = "org.apache.cassandra.db.marshal.UTF8Type"
+    LIST_T = f"org.apache.cassandra.db.marshal.ListType({UTF8_T})"
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c"], "liveness": (100,),
+             "cells": [
+                 {"column": b"tags", "value": b"second", "path": late},
+                 {"column": b"tags", "value": b"first", "path": early},
+             ]},
+        ]}],
+        clustering_types=[UTF8_T], regular_columns=[(b"tags", LIST_T)],
+        generation=1,
+    )
+    sk = name_sort_key_for_header(
+        header_for_data_file(str(d1 / "ma-1-big-Data.db"))
+    )
+    rows = compact(
+        read_sstable_cells(spark, [str(d1)]), name_sort_key=sk
+    ).collect()
+    vals = [bytes(c.value) for c in rows[0].columns
+            if c.value not in (None, b"")]
+    assert vals == [b"first", b"second"], vals
