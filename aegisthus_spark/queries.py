@@ -2523,7 +2523,10 @@ _MA_EXT_GOLDEN = "/root/repo/tests/golden/decode_golden_ma_external.parquet"
         "self-certify. Covers statics, column subsets, complex deletion "
         "with collection paths, an EXCLUSIVE RT end, a boundary marker, "
         "partition deletion, row TTL and a cell tombstone, compacted "
-        "with the header-derived comparator order",
+        "with the header-derived comparator order. Generation 2 is "
+        "DEFLATE-chunked with a hand-built CompressionInfo.db (32-byte "
+        "chunks), so the compressed random-access path and "
+        "cross-generation LWW are certified by the same external bytes",
 )
 def sst_decode_ma_external(spark, sf_dir):
     from .output import to_aeg_json
@@ -2531,9 +2534,9 @@ def sst_decode_ma_external(spark, sf_dir):
     from .sstable.modern import header_for_data_file, name_sort_key_for_header
 
     sk = name_sort_key_for_header(
-        header_for_data_file(f"{_MA_EXT_FIXTURES}/gen1/ma-1-big-Data.db")
+        header_for_data_file(f"{_MA_EXT_FIXTURES}/table/ma-1-big-Data.db")
     )
-    cells = read_sstable_cells(spark, [f"{_MA_EXT_FIXTURES}/gen1"])
+    cells = read_sstable_cells(spark, [f"{_MA_EXT_FIXTURES}/table"])
     return (
         to_aeg_json(compact(cells, name_sort_key=sk))
         .select(F.col("value").alias("line"))

@@ -304,3 +304,76 @@ def write_fixture(dirpath: str) -> str:
     with open(os.path.join(dirpath, "ma-1-big-Statistics.db"), "wb") as f:
         f.write(build_statistics_db())
     return data_path
+
+
+def build_gen2_data_raw() -> bytes:
+    """Second generation (overwrites for cross-generation LWW), raw bytes."""
+    out = bytearray()
+    out += _U16.pack(2) + b"p1"
+    out += _I32.pack(NO_DELETION_LDT) + _I64.pack(LONG_MIN)
+    # static owner overwrite: ts 80 > gen1's 10
+    out += _row(0x80 | 0x20, _b(0x00, 80, 3) + b"bob", extended=0x01)
+    # row 'a' name overwrite: ts 90 > gen1's 21 (subset: only 'name')
+    out += _row(
+        0x04,
+        _b(89, 6) + _b(0x00, 90, 5) + b"ALPHA",
+        clustering=_b(0x00, 1) + b"a",
+    )
+    # four fresh rows so the stream spans multiple 32-byte chunks
+    for i, ck in enumerate((b"w0", b"w1", b"w2", b"w3")):
+        out += _row(
+            0x04,
+            _b(91 + i, 6) + _b(0x00, 95 + i, 4) + b"new" + bytes([0x30 + i]),
+            clustering=_b(0x00, 2) + ck,
+        )
+    out += _b(0x01)
+    return bytes(out)
+
+
+def build_gen2_compressed() -> tuple[bytes, bytes]:
+    """(Data.db, CompressionInfo.db) for gen2, DEFLATE-chunked by hand per
+    the public sidecar layout (CompressionMetadata.java:37-107): UTF
+    compressor simple name, i32 option count, i32 chunk length, i64 total
+    uncompressed length, i32 chunk count + i64 offsets; each Data.db
+    chunk is [zlib deflate][4-byte CRC32 checksum, skipped by readers].
+    A 32-byte chunk length forces MULTIPLE chunks so the chunk-map random
+    access is actually exercised."""
+    import struct as _struct
+    import zlib
+
+    raw = build_gen2_data_raw()
+    chunk_len = 32
+    chunks = [raw[i : i + chunk_len] for i in range(0, len(raw), chunk_len)]
+    assert len(chunks) >= 2, "fixture must span multiple chunks"
+    data = bytearray()
+    offsets = []
+    for ch in chunks:
+        offsets.append(len(data))
+        comp = zlib.compress(ch, 6)
+        data += comp
+        data += _struct.pack(">I", zlib.crc32(comp) & 0xFFFFFFFF)
+    name = b"DeflateCompressor"
+    info = bytearray()
+    info += _U16.pack(len(name)) + name
+    info += _I32.pack(0)  # no options
+    info += _I32.pack(chunk_len)
+    info += _I64.pack(len(raw))
+    info += _I32.pack(len(offsets))
+    for off in offsets:
+        info += _I64.pack(off)
+    return bytes(data), bytes(info)
+
+
+def write_fixture_gen2(dirpath: str) -> str:
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    data, info = build_gen2_compressed()
+    data_path = os.path.join(dirpath, "ma-2-big-Data.db")
+    with open(data_path, "wb") as f:
+        f.write(data)
+    with open(os.path.join(dirpath, "ma-2-big-CompressionInfo.db"), "wb") as f:
+        f.write(info)
+    with open(os.path.join(dirpath, "ma-2-big-Statistics.db"), "wb") as f:
+        f.write(build_statistics_db())
+    return data_path
