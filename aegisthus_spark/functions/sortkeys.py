@@ -46,11 +46,14 @@ numeric encodings have no prefix-order-preserving hex form): ``supported``
 returns False and callers fall back to the Python ``types.sort_key`` UDF
 or reject, with a clear error from ``comparator_sort_key``.
 
-Collection cell paths are compared as raw bytes (BytesType), not as the
-collection-key comparator: LWW groups per full name so merge results are
-unaffected; only the intra-row display order of list elements with
-non-monotonic timeuuid encodings could differ, and cql.py re-orders list
-elements by embedded time during assembly anyway (cql.py:459).
+Collection cell paths compare as raw bytes by DEFAULT; pass
+``path_types_by_column`` (which ``modern.name_sort_key_for_header`` does
+automatically for every collection column) to order them by the real
+path comparator — TimeUUID for lists, the element type for sets, the
+key type for maps — dispatched on the column-name component at runtime.
+All typed transforms carry an injectivity guard for malformed widths:
+LWW dedups on the sort key, so two distinct names must never encode to
+one key (see ``_malformed_guard``).
 """
 
 from __future__ import annotations
@@ -87,6 +90,20 @@ def _u16_at(name: Column, pos: Column) -> Column:
     )
 
 
+def _malformed_guard(comp: Column, width: int, out: Column) -> Column:
+    """Fixed-width transforms are only injective at their expected width;
+    a wrong-length value must never COLLIDE with a well-formed key (LWW
+    dedups on the SORT KEY, compact.py _LWW_EXPR, so a collision would
+    silently merge distinct cell names). Malformed lengths get a '.'
+    prefix (0x2E, below every hex digit) + raw hex: deterministic,
+    injective, sorts before well-formed values of the same position."""
+    return (
+        F.when(F.length(comp) == 0, F.lit(""))
+        .when(F.length(comp) == width, out)
+        .otherwise(F.concat(F.lit("."), F.hex(comp)))
+    )
+
+
 def _flip_sign_hex(comp: Column, width: int) -> Column:
     """Signed big-endian fixed-width -> sign-flipped hex (order-preserving)."""
     digits = width * 2
@@ -101,7 +118,7 @@ def _flip_sign_hex(comp: Column, width: int) -> Column:
         full = F.lit(str(1 << 64)).cast("decimal(21,0)")
         flipped = ((v + half).cast("decimal(21,0)") % full).cast("decimal(20,0)")
         out = F.lpad(F.conv(flipped.cast("string"), 10, 16), digits, "0")
-    return F.when(F.length(comp) == 0, F.lit("")).otherwise(out)
+    return _malformed_guard(comp, width, out)
 
 
 def _ieee_hex(comp: Column, width: int) -> Column:
@@ -119,7 +136,7 @@ def _ieee_hex(comp: Column, width: int) -> Column:
         full_m1 = F.lit(str((1 << 64) - 1)).cast("decimal(20,0)")
         mapped = F.when(v >= half, full_m1 - v).otherwise(v + half)
         out = F.lpad(F.conv(mapped.cast("string"), 10, 16), digits, "0")
-    return F.when(F.length(comp) == 0, F.lit("")).otherwise(out)
+    return _malformed_guard(comp, width, out)
 
 
 def _timeuuid_key(h: Column) -> Column:
@@ -186,18 +203,18 @@ def type_sort_key_hex(comp: Column, marshal: str) -> Column:
         return _ieee_hex(comp, 8)
     if t == "TimeUUIDType":
         h = F.hex(comp)
-        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
-            F.concat(_timeuuid_key(h), h)
-        )
+        return _malformed_guard(comp, 16, F.concat(_timeuuid_key(h), h))
     if t == "UUIDType":
         h = F.hex(comp)
         ver = F.substring(h, 13, 1)
-        return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+        return _malformed_guard(
+            comp,
+            16,
             F.concat(
                 ver,
                 F.when(ver == "1", _timeuuid_key(h)).otherwise(F.lit("")),
                 h,
-            )
+            ),
         )
     raise ValueError(
         f"no JVM-side sort key for comparator {marshal}: variable-length "

@@ -892,8 +892,9 @@ def name_sort_key_for_header(header: SerializationHeader):
     # (CellPath semantics): list -> TimeUUID, set -> element type,
     # map -> key type. The header names every collection column, so the
     # path transform dispatches on the column-name component at runtime;
-    # unsupported path types just stay raw bytes (display-order nit only
-    # — LWW groups on the full name either way).
+    # unsupported path types stay raw bytes (hex is injective, so LWW
+    # grouping — which dedups on the SORT KEY — is unaffected; only the
+    # intra-row order of those paths keeps raw-byte order).
     path_types: dict[bytes, str] = {}
     for cname, t in tuple(header.regular_columns) + tuple(header.static_columns):
         base, args = parse_marshal(unwrap_reversed(t))

@@ -23,8 +23,12 @@ them as ``kind='t'`` column entries (min bound in ``name``, max bound in
 ``value``), :func:`rows_to_cells` restores them to RT cell records, and
 ``merge_compacted`` applies + re-emits them — so a cell arriving N batches
 late, older than an already-applied RT, is still shadowed. Row tombstones
-are likewise retained via ``deleted_at``. RT bounds compare as raw bytes:
-the snapshot pipeline's contract is byte-ordered comparators.
+are likewise retained via ``deleted_at``. RT bounds compare as raw bytes
+by default — correct for byte-ordered comparators; ``merge_batch`` /
+``start_incremental_snapshot`` accept ``name_sort_key`` for typed names
+(e.g. 3.x input via ``modern.name_sort_key_for_header``), while the
+bucketed fast path (``merge_bucketed``/``merge_compacted``) keeps the
+byte-ordered contract.
 """
 
 from __future__ import annotations

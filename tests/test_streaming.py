@@ -264,3 +264,65 @@ def test_stream_stream_join_matches_batch_and_evicts(spark, tmp_path):
         for op in pr.get("stateOperators", [])
     )
     assert removed > 0, "watermark never evicted join state"
+
+
+def test_incremental_snapshot_typed_sort_key_rt_across_merges(spark, tmp_path):
+    """The typed incremental path: a range tombstone over VARIABLE-LENGTH
+    UTF8 clustering arrives one merge AFTER the cells it shadows — the
+    name_sort_key passed to merge_batch must apply it through the
+    rows_to_cells round-trip (raw bytes would rank 'ab' above bound 'c'
+    and resurrect the cell)."""
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+    from aegisthus_spark.sstable.modern_writer import UTF8, write_sstable_ma
+    from aegisthus_spark.streaming.incremental import (
+        merge_batch,
+        read_snapshot,
+    )
+
+    kw = dict(clustering_types=[UTF8], regular_columns=[(b"val", UTF8)])
+    d1 = tmp_path / "g1"
+    d2 = tmp_path / "g2"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"ab"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"doomed"}]},
+            {"clustering": [b"zz"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"survivor"}]},
+        ]}],
+        generation=1, **kw,
+    )
+    from aegisthus_spark.sstable.modern import (
+        KIND_INCL_END_BOUND,
+        KIND_INCL_START_BOUND,
+    )
+
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+             "deletion": (5000, 1442880500)},
+            {"marker": KIND_INCL_END_BOUND, "clustering": [b"c"],
+             "deletion": (5000, 1442880500)},
+        ]}],
+        generation=2, **kw,
+    )
+    sk = name_sort_key_for_header(
+        header_for_data_file(str(d1 / "ma-1-big-Data.db"))
+    )
+    snap_root = str(tmp_path / "snap")
+    merge_batch(spark, read_sstable_cells(spark, [str(d1)]), snap_root,
+                name_sort_key=sk)
+    merge_batch(spark, read_sstable_cells(spark, [str(d2)]), snap_root,
+                name_sort_key=sk)
+    final = read_snapshot(spark, snap_root)
+    vals = set()
+    for r in final.collect():
+        for c in r.columns:
+            if c.kind == "c" and c.value not in (None, b""):
+                vals.add(bytes(c.value))
+    assert b"survivor" in vals and b"doomed" not in vals, vals

@@ -338,7 +338,6 @@ def build_gen2_compressed() -> tuple[bytes, bytes]:
     chunk is [zlib deflate][4-byte CRC32 checksum, skipped by readers].
     A 32-byte chunk length forces MULTIPLE chunks so the chunk-map random
     access is actually exercised."""
-    import struct as _struct
     import zlib
 
     raw = build_gen2_data_raw()
@@ -351,7 +350,7 @@ def build_gen2_compressed() -> tuple[bytes, bytes]:
         offsets.append(len(data))
         comp = zlib.compress(ch, 6)
         data += comp
-        data += _struct.pack(">I", zlib.crc32(comp) & 0xFFFFFFFF)
+        data += struct.pack(">I", zlib.crc32(comp))
     name = b"DeflateCompressor"
     info = bytearray()
     info += _U16.pack(len(name)) + name

@@ -523,10 +523,21 @@ def corpus_dedup_bench(cpus: int, n_docs: int) -> None:
             F.sum("n_dup_paragraphs").alias("d"),
         ).collect()[0]
         dt2 = time.time() - t0
+        # the skew bound: the per-bucket window is quadratic in nothing,
+        # but its sort/aggregate cost tracks the hottest hash bucket
+        sep = "\\u001f"
+        hot = (
+            docs.select(F.explode(F.expr(
+                "array_distinct(transform(sequence(1, size(split(text,' ')) - 4), "
+                f"i -> array_join(slice(split(text,' '), i, 5), '{sep}')))"
+            )).alias("g"))
+            .groupBy("g").count().agg(F.max("count").alias("m"))
+        ).collect()[0].m
         print(
             f"N={n:,}: cross-doc 5-grams {int(agg.g):,} ({int(agg.s):,} "
             f"shared) in {dt1:.1f}s; paragraphs {int(pagg.p):,} "
-            f"({int(pagg.d):,} dup) in {dt2:.1f}s"
+            f"({int(pagg.d):,} dup) in {dt2:.1f}s; hottest gram bucket "
+            f"{int(hot):,} docs"
         )
 
 
