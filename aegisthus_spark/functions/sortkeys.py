@@ -104,39 +104,46 @@ def _malformed_guard(comp: Column, width: int, out: Column) -> Column:
     )
 
 
+_REST = (1 << 31) - 1  # substring length literal: "to the end"
+
+
+def _flip_first_byte_hex(comp: Column) -> Column:
+    """hex(comp) with the FIRST byte's sign bit flipped — the string-wise
+    form of the two's-complement sign flip (identical order for any
+    fixed-width signed value, same construction as the Python
+    ``_sk_signed_fixed``). Injective at ANY input length (output length
+    tracks input length), so no malformed-width guard is needed, and the
+    expression is a fraction of the size of the old width-specific
+    decimal-conv arithmetic — which showed up as whole seconds of
+    analysis/codegen time per query on ma inputs."""
+    first = F.conv(F.hex(F.substring(comp, 1, 1)), 16, 10).cast("int")
+    flipped = (first + F.lit(128)) % F.lit(256)
+    return F.concat(
+        F.lpad(F.conv(flipped.cast("string"), 10, 16), 2, "0"),
+        F.hex(F.substring(comp, F.lit(2), F.lit(_REST))),
+    )
+
+
 def _flip_sign_hex(comp: Column, width: int) -> Column:
     """Signed big-endian fixed-width -> sign-flipped hex (order-preserving)."""
-    digits = width * 2
-    if width <= 4:
-        v = F.conv(F.hex(comp), 16, 10).cast("long")
-        flipped = (v + F.lit(1 << (width * 8 - 1))) % F.lit(1 << (width * 8))
-        out = F.lpad(F.conv(flipped.cast("string"), 10, 16), digits, "0")
-    else:
-        # u64 overflows long: decimal arithmetic (exact to 38 digits)
-        v = F.conv(F.hex(comp), 16, 10).cast("decimal(20,0)")
-        half = F.lit(str(1 << 63)).cast("decimal(20,0)")
-        full = F.lit(str(1 << 64)).cast("decimal(21,0)")
-        flipped = ((v + half).cast("decimal(21,0)") % full).cast("decimal(20,0)")
-        out = F.lpad(F.conv(flipped.cast("string"), 10, 16), digits, "0")
-    return _malformed_guard(comp, width, out)
+    return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+        _flip_first_byte_hex(comp)
+    )
 
 
 def _ieee_hex(comp: Column, width: int) -> Column:
-    """IEEE-754 float/double -> total-order hex: sign-negative inverts all
-    bits, else sets the sign bit (the classic radix-sortable float map)."""
-    digits = width * 2
-    if width == 4:
-        v = F.conv(F.hex(comp), 16, 10).cast("long")
-        half, full_m1 = F.lit(1 << 31), F.lit((1 << 32) - 1)
-        mapped = F.when(v >= half, full_m1 - v).otherwise(v + half)
-        out = F.lpad(F.conv(mapped.cast("string"), 10, 16), digits, "0")
-    else:
-        v = F.conv(F.hex(comp), 16, 10).cast("decimal(20,0)")
-        half = F.lit(str(1 << 63)).cast("decimal(20,0)")
-        full_m1 = F.lit(str((1 << 64) - 1)).cast("decimal(20,0)")
-        mapped = F.when(v >= half, full_m1 - v).otherwise(v + half)
-        out = F.lpad(F.conv(mapped.cast("string"), 10, 16), digits, "0")
-    return _malformed_guard(comp, width, out)
+    """IEEE-754 float/double -> total-order hex, string-wise: negative
+    (sign bit set: first hex digit >= '8') -> complement every digit,
+    positive -> flip the sign bit. The two branches land in disjoint
+    first-digit ranges ('0'-'7' vs '8'-'F'), so the map is injective at
+    any length; same order as Float.compare/the Python ``_sk_float``."""
+    h = F.hex(comp)
+    negative = F.substring(h, 1, 1).isin(*"89ABCDEF")
+    return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+        F.when(negative, F.translate(h, *_HEX_COMPLEMENT)).otherwise(
+            _flip_first_byte_hex(comp)
+        )
+    )
 
 
 def _timeuuid_key(h: Column) -> Column:
@@ -202,8 +209,12 @@ def type_sort_key_hex(comp: Column, marshal: str) -> Column:
     if t == "DoubleType":
         return _ieee_hex(comp, 8)
     if t == "TimeUUIDType":
+        # no malformed guard needed: the key appends the full hex, so
+        # equal-length inputs differ in the tail, and the output length
+        # strictly increases with input length (equal strings need equal
+        # lengths) — injective at any width
         h = F.hex(comp)
-        return _malformed_guard(comp, 16, F.concat(_timeuuid_key(h), h))
+        return F.concat(_timeuuid_key(h), h)
     if t == "UUIDType":
         h = F.hex(comp)
         ver = F.substring(h, 13, 1)
@@ -295,7 +306,13 @@ def composite_sort_key(
         seg = F.concat(key, F.lit(_EOC_MINUS), eocc)
         has = (pos + F.lit(1)) <= total  # the u16 length prefix is present
         acc = F.when(has, F.concat(acc, seg)).otherwise(acc)
-        pos = F.when(has, pos + F.lit(3) + ln).otherwise(pos).cast("int")
+        # pos advances UNCONDITIONALLY: past the end, _u16_at coalesces to
+        # 0 and `has` keeps gating the append, so correctness is
+        # unaffected — but a guarded pos (when(has, ...).otherwise(pos))
+        # references the previous pos tree ~5x per level instead of ~2x,
+        # and the resulting ~5^n expression blow-up showed up as whole
+        # seconds of analysis/codegen time per ma query
+        pos = (pos + F.lit(3) + ln).cast("int")
     return acc
 
 
