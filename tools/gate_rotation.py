@@ -36,13 +36,22 @@ def is_green(row: dict) -> bool:
     )
 
 
-def collect_last_green() -> dict[str, int]:
+def collect_last_green(max_round: int | None = None) -> dict[str, int]:
+    """Round of each query's latest green driver row.
+
+    max_round limits the scan to artifacts from rounds <= max_round, so a
+    caller can reconstruct what the history looked like BEFORE a newer
+    driver artifact landed (the test_registry freshness guard uses this to
+    distinguish "rotation pending" from a genuinely stale _LAST_GREEN).
+    """
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
