@@ -184,7 +184,7 @@ def scan_data_buffer_batches(
         yield from _modern_batches(
             data, start=start, end=end, source_path=source_path,
             generation=generation, batch_rows=batch_rows,
-            skip_corrupt=skip_corrupt,
+            skip_corrupt=skip_corrupt, version=version,
         )
         return
     acc = _Acc(source_path, generation)
@@ -218,7 +218,8 @@ def scan_data_buffer_batches(
 
 
 def _modern_batches(
-    data, *, start, end, source_path, generation, batch_rows, skip_corrupt
+    data, *, start, end, source_path, generation, batch_rows, skip_corrupt,
+    version="ma",
 ):
     """RecordBatches from the 3.x decoder's ROW_FIELDS tuples."""
     from .modern import scan_data_buffer_rows_modern
@@ -237,7 +238,7 @@ def _modern_batches(
     try:
         for row in scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
-            generation=generation,
+            generation=generation, version=version,
         ):
             rows.append(row)
             if len(rows) >= batch_rows:

@@ -125,7 +125,7 @@ def scan_data_file(
         data = f.read()
         for row in scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
-            generation=generation,
+            generation=generation, version=version,
         ):
             yield dict(zip(ROW_FIELDS, row))
         return
@@ -240,7 +240,7 @@ def scan_data_buffer(
         check_modern_version(version)
         for row in scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
-            generation=generation,
+            generation=generation, version=version,
         ):
             yield dict(zip(ROW_FIELDS, row))
         return
@@ -393,7 +393,7 @@ def scan_data_buffer_rows(
         check_modern_version(version)
         yield from scan_data_buffer_rows_modern(
             data, start=start, end=end, source_path=source_path,
-            generation=generation,
+            generation=generation, version=version,
         )
         return
     has_rs_cc = version < "ja"

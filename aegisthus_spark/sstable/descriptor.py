@@ -23,13 +23,28 @@ from dataclasses import dataclass
 CURRENT_VERSION = "jb"
 
 #: modern (3.x row format) versions the decoder is verified against:
-#: 3.x "ma".."me" and 4.x "na".."nc" keep the same row-body layout (the
-#: format-breaking changes in that range live in Statistics.db fields the
-#: parser skips). Cassandra 5.0's "oa" changed DeletionTime serialization
-#: (CASSANDRA-14227 extends localDeletionTime past 2038) — parsing it
-#: with the 3.0 layout would misalign silently, so it is rejected.
+#: 3.x "ma".."me" and 4.x "na".."nc" keep the same row-body layout, and
+#: 5.0's "oa" differs only in the fixed-width DeletionTime encoding
+#: (CASSANDRA-14227: localDeletionTime becomes an UNSIGNED int with
+#: 0xFFFFFFFF as the live sentinel, extending expirations past 2038) plus
+#: Statistics-metadata-level fields the row scan doesn't read. Statistics
+#: parsing is version-gated separately: 4.0+ ("na"..) adds CRC32 metadata
+#: checksums to Statistics.db (MetadataSerializer hasMetadataChecksum).
 MODERN_VERSION_MIN = "ma"
-MODERN_VERSION_MAX = "nc"
+MODERN_VERSION_MAX = "oa"
+
+
+def has_metadata_checksum(version: str) -> bool:
+    """4.0+ Statistics.db carries CRC32 checksums after the TOC and each
+    component (Cassandra BigFormat hasMetadataChecksum: version >= na)."""
+    return version >= "na"
+
+
+def has_uint_deletion_time(version: str) -> bool:
+    """5.0+ serializes fixed-width localDeletionTime as an unsigned int
+    with 0xFFFFFFFF = no-deletion (BigFormat hasUIntDeletionTime:
+    version >= oa; CASSANDRA-14227)."""
+    return version >= "oa"
 
 
 class UnsupportedVersionError(Exception):
@@ -48,8 +63,8 @@ def check_modern_version(version: str) -> None:
             f"SSTable format version '{version}' is not supported: the "
             f"modern-format decoder is verified for "
             f"'{MODERN_VERSION_MIN}'..'{MODERN_VERSION_MAX}' (Cassandra "
-            "3.x/4.x); 5.0's 'oa' changed DeletionTime serialization and "
-            "would misparse with this layout"
+            "3.x/4.x/5.0 big format); later versions may change the row "
+            "layout and would misparse silently if guessed"
         )
 
 _LEGACY = re.compile(

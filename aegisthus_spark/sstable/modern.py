@@ -77,7 +77,18 @@ U64_MASK = (1 << 64) - 1
 TIMESTAMP_EPOCH = 1442880000 * 1_000_000  # micros
 DELETION_TIME_EPOCH = 1442880000  # seconds
 TTL_EPOCH = 0
-NO_DELETION_LDT = 2147483647  # Integer.MAX_VALUE = DeletionTime.LIVE ldt
+NO_DELETION_LDT = 2147483647  # Integer.MAX_VALUE = DeletionTime.LIVE ldt (<5.0)
+INT32_MAX = 2147483647
+
+# Cassandra 5.0 (format "oa", CASSANDRA-14227) widens localDeletionTime:
+# in memory it is a long with Cell.NO_DELETION_TIME = Long.MAX_VALUE as the
+# live sentinel; the fixed-width on-disk encoding becomes an UNSIGNED int
+# where 0xFFFFFFFF means no-deletion (Cell.deletionTimeUnsignedIntegerToLong)
+# and real values reach 2106 instead of 2038. Vint-delta encodings inside
+# row bodies are structurally unchanged (still unsigned vints against the
+# EncodingStats minima), only the sentinel VALUE differs.
+NO_DELETION_LDT_5 = (1 << 63) - 1  # Long.MAX_VALUE
+LIVE_LDT_UINT = 0xFFFFFFFF
 
 # UnfilteredSerializer flags
 END_OF_PARTITION = 0x01
@@ -110,7 +121,21 @@ KIND_EXCL_START_BOUND = 7
 
 _U16 = struct.Struct(">H")
 _I32 = struct.Struct(">i")
+_U32 = struct.Struct(">I")
 _I64 = struct.Struct(">q")
+
+
+def _sat_ldt(ldt: int) -> int:
+    """Clamp a local-deletion-time into the canonical int32 cell schema.
+
+    Only 5.0+ ("oa") inputs can legitimately exceed Integer.MAX_VALUE
+    (CASSANDRA-14227 extends expirations to 2106); the 2.x-canonical cell
+    schema keeps its int32 ldt, so post-2038 values saturate to
+    Integer.MAX_VALUE — which is also the legacy live sentinel the 5.0
+    in-memory sentinel (Long.MAX_VALUE) must map back to. ldt is
+    gc-grace/rendering metadata only: LWW reconciliation and tombstone
+    coverage decide on ts/markedForDeleteAt, which stay exact."""
+    return ldt if ldt <= INT32_MAX else INT32_MAX
 
 _MARSHAL = "org.apache.cassandra.db.marshal."
 
@@ -243,17 +268,55 @@ def _read_with_vint_length(buf, o: int) -> tuple[bytes, int]:
     return bytes(buf[o : o + n]), o + n
 
 
-def parse_serialization_header(data: bytes) -> SerializationHeader:
-    """Parse Statistics.db bytes -> the HEADER component."""
+def parse_serialization_header(
+    data: bytes, version: str = "ma"
+) -> SerializationHeader:
+    """Parse Statistics.db bytes -> the HEADER component.
+
+    Version-gated layout (MetadataSerializer.java): 3.x writes
+    ``i32 count, count x (i32 type, i32 position), components...``;
+    4.0+ (``hasMetadataChecksum``, version >= na) interleaves CRC32s —
+    one over the count int, one over count+TOC ints (a single running
+    CRC, FBUtilities.updateChecksumInt big-endian), and one FRESH CRC
+    after each component over that component's serialized bytes. The
+    checksums are verified here: a mismatch raises ValueError (corrupt),
+    exactly what a real 4.x/5.0 reader does."""
+    import zlib
+
+    from .descriptor import has_metadata_checksum
+
     buf = memoryview(data)
     (count,) = _I32.unpack_from(buf, 0)
+    checksummed = has_metadata_checksum(version)
+    toc_off = 8 if checksummed else 4
+    if checksummed:
+        (count_crc,) = _U32.unpack_from(buf, 4)
+        if count_crc != zlib.crc32(bytes(buf[0:4])):
+            raise ValueError("corrupt Statistics.db: component-count CRC mismatch")
+        (toc_crc,) = _U32.unpack_from(buf, toc_off + 8 * count)
+        if toc_crc != zlib.crc32(
+            bytes(buf[0:4]) + bytes(buf[toc_off : toc_off + 8 * count])
+        ):
+            raise ValueError("corrupt Statistics.db: TOC CRC mismatch")
     header_off = None
+    positions = []
     for i in range(count):
-        typ, off = struct.unpack_from(">ii", buf, 4 + 8 * i)
+        typ, off = struct.unpack_from(">ii", buf, toc_off + 8 * i)
+        positions.append(off)
         if typ == METADATA_HEADER:
             header_off = off
     if header_off is None:
         raise ValueError("Statistics.db has no serialization-header component")
+    if checksummed:
+        # component span ends 4 bytes (its CRC) before the next position
+        # (components are written in TOC order) or before EOF for the last
+        later = [p for p in positions if p > header_off]
+        comp_end = (min(later) if later else len(buf)) - 4
+        (comp_crc,) = _U32.unpack_from(buf, comp_end)
+        if comp_crc != zlib.crc32(bytes(buf[header_off:comp_end])):
+            raise ValueError(
+                "corrupt Statistics.db: serialization-header CRC mismatch"
+            )
     o = header_off
     # EncodingStats: three unsigned-vint deltas against the fixed epochs
     d, o = read_unsigned_vint_signed64(buf, o)
@@ -298,7 +361,7 @@ def header_for_data_file(data_path: str) -> SerializationHeader:
     d = parse_filename(data_path)
     stats = os.path.join(os.path.dirname(data_path), d.sibling("Statistics.db"))
     with open(stats, "rb") as f:
-        return parse_serialization_header(f.read())
+        return parse_serialization_header(f.read(), version=d.version)
 
 
 # ---------------------------------------------------------------------------
@@ -444,11 +507,14 @@ def _s64(v: int) -> int:
 
 
 def _read_deletion_time_deltas(buf, o: int, h: SerializationHeader):
-    """SerializationHeader.readDeletionTime: mfda then ldt, both deltas."""
+    """SerializationHeader.readDeletionTime: mfda then ldt, both deltas.
+
+    ldt is saturated into the canonical int32 schema (only 5.0+ inputs
+    can exceed it — see ``_sat_ldt``)."""
     d, o = read_unsigned_vint_signed64(buf, o)
     mfda = _s64(h.min_timestamp + d)
     d, o = read_unsigned_vint_signed64(buf, o)
-    ldt = _s64(h.min_local_deletion_time + d)
+    ldt = _sat_ldt(_s64(h.min_local_deletion_time + d))
     return mfda, ldt, o
 
 
@@ -460,14 +526,24 @@ def scan_data_buffer_rows_modern(
     start: int = 0,
     end: int | None = None,
     header: SerializationHeader | None = None,
+    version: str = "ma",
 ) -> Iterator[tuple]:
     """Decode a 3.x big-format Data.db byte range into canonical
     ROW_FIELDS tuples (see module docstring for the mapping). ``start``
     must sit on a partition boundary (Index.db offsets); partitions that
     START before ``end`` are decoded completely, mirroring the 2.x split
-    contract."""
+    contract.
+
+    ``version``: "ma".."nc" share this row layout byte-for-byte; "oa"
+    (5.0) differs only in the partition-level DeletionTime, whose
+    localDeletionTime becomes an unsigned int (0xFFFFFFFF = live) — see
+    ``_sat_ldt`` for how 5.0's widened ldts map into the canonical int32
+    cell schema."""
     if header is None:
         header = header_for_data_file(source_path)
+    from .descriptor import has_uint_deletion_time
+
+    uint_ldt = has_uint_deletion_time(version)
     ctx = _Ctx.build(header, source_path, generation)
     buf = memoryview(data) if not isinstance(data, memoryview) else data
     h = ctx.header
@@ -484,8 +560,18 @@ def scan_data_buffer_rows_modern(
             raise ValueError("corrupt ma SSTable: key extends past buffer")
         key = bytes(buf[o : o + keysize])
         o += keysize
-        # partition-level DeletionTime is PLAIN (not delta): i32 ldt, i64 mfda
-        (part_ldt,) = _I32.unpack_from(buf, o)
+        # partition-level DeletionTime is PLAIN (not delta): i32 ldt (u32
+        # with an 0xFFFFFFFF live sentinel from "oa" on), i64 mfda. Only
+        # mfda reaches the canonical tuples (deleted_at); the sentinel
+        # check still distinguishes live from deleted for u32 readers.
+        if uint_ldt:
+            (part_ldt_u,) = _U32.unpack_from(buf, o)
+            part_ldt = (
+                NO_DELETION_LDT if part_ldt_u == LIVE_LDT_UINT
+                else _sat_ldt(part_ldt_u)
+            )
+        else:
+            (part_ldt,) = _I32.unpack_from(buf, o)
         (part_mfda,) = _I64.unpack_from(buf, o + 4)
         o += 12
         deleted_at = part_mfda
@@ -538,7 +624,7 @@ def scan_data_buffer_rows_modern(
                 d, o = read_unsigned_vint_signed64(buf, o)
                 row_ttl = h.min_ttl + d
                 d, o = read_unsigned_vint_signed64(buf, o)
-                row_ldt = h.min_local_deletion_time + d
+                row_ldt = _sat_ldt(h.min_local_deletion_time + d)
 
             if flags & HAS_DELETION:
                 del_mfda, del_ldt, o = _read_deletion_time_deltas(buf, o, h)
@@ -642,7 +728,7 @@ def _decode_cell(
             ldt, ttl = row_ldt, row_ttl
         else:
             d, o = read_unsigned_vint_signed64(buf, o)
-            ldt = h.min_local_deletion_time + d
+            ldt = _sat_ldt(h.min_local_deletion_time + d)
             if is_expiring:
                 d, o = read_unsigned_vint_signed64(buf, o)
                 ttl = h.min_ttl + d

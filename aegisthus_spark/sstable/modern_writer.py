@@ -34,6 +34,7 @@ import struct
 
 from .modern import (
     CELL_HAS_EMPTY_VALUE,
+    LIVE_LDT_UINT,
     CELL_IS_DELETED,
     CELL_IS_EXPIRING,
     CELL_USE_ROW_TIMESTAMP,
@@ -190,13 +191,36 @@ def _serialize_header_component(h: SerializationHeader) -> bytes:
     return bytes(out)
 
 
-def write_statistics_db(path: str, h: SerializationHeader) -> None:
+def write_statistics_db(
+    path: str, h: SerializationHeader, version: str = "ma"
+) -> None:
     """Statistics.db with a single-component TOC (HEADER) — sufficient
-    for decode; real files also carry VALIDATION/COMPACTION/STATS."""
+    for decode; real files also carry VALIDATION/COMPACTION/STATS.
+
+    4.0+ ("na"..) metadata is checksummed (MetadataSerializer
+    hasMetadataChecksum): a running CRC32 written after the count int and
+    again after the TOC ints, then a fresh CRC32 after each component
+    over its serialized bytes."""
+    import zlib
+
+    from .descriptor import has_metadata_checksum
+
     comp = _serialize_header_component(h)
-    toc = _I32.pack(1) + struct.pack(">ii", METADATA_HEADER, 4 + 8)
+    if has_metadata_checksum(version):
+        count = _I32.pack(1)
+        toc_entry = struct.pack(">ii", METADATA_HEADER, 4 + 4 + 8 + 4)
+        out = (
+            count
+            + struct.pack(">I", zlib.crc32(count))
+            + toc_entry
+            + struct.pack(">I", zlib.crc32(count + toc_entry))
+            + comp
+            + struct.pack(">I", zlib.crc32(comp))
+        )
+    else:
+        out = _I32.pack(1) + struct.pack(">ii", METADATA_HEADER, 4 + 8) + comp
     with open(path, "wb") as f:
-        f.write(toc + comp)
+        f.write(out)
 
 
 def _dt_deltas(h, mfda, ldt) -> bytes:
@@ -374,7 +398,9 @@ def _serialize_marker(h, r, clustering_sizes, prev_size) -> bytes:
     return bytes(out)
 
 
-def serialize_partition(h: SerializationHeader, p: dict) -> bytes:
+def serialize_partition(
+    h: SerializationHeader, p: dict, version: str = "ma"
+) -> bytes:
     clustering_sizes = tuple(fixed_size_of(t) for t in h.clustering_types)
     static_meta = tuple(
         (name, t, fixed_size_of(t), is_complex(t)) for name, t in h.static_columns
@@ -388,8 +414,15 @@ def serialize_partition(h: SerializationHeader, p: dict) -> bytes:
     if p.get("deletion"):
         mfda, ldt = p["deletion"]
     else:
-        mfda, ldt = LONG_MIN, NO_DELETION_LDT
-    out += _I32.pack(ldt) + _I64.pack(mfda)
+        mfda, ldt = LONG_MIN, None  # live
+    from .descriptor import has_uint_deletion_time
+
+    if has_uint_deletion_time(version):
+        # 5.0 "oa": unsigned int ldt, 0xFFFFFFFF = live (CASSANDRA-14227)
+        out += struct.pack(">I", LIVE_LDT_UINT if ldt is None else ldt)
+    else:
+        out += _I32.pack(NO_DELETION_LDT if ldt is None else ldt)
+    out += _I64.pack(mfda)
     prev = 0
     for r in p.get("rows", ()):
         if "marker" in r:
@@ -415,8 +448,9 @@ def write_sstable_ma(
     generation: int = 1,
     compress: bool = False,
     chunk_length: int = 4096,
+    version: str = "ma",
 ) -> str:
-    """Write ma-1-big-{Data,Statistics,Index}.db into ``out_dir``;
+    """Write {version}-1-big-{Data,Statistics,Index}.db into ``out_dir``;
     returns the Data.db path. Partitions are written in input order (the
     caller is responsible for partitioner order, as with the 2.x writer);
     columns must be name-sorted (Columns order).
@@ -435,19 +469,21 @@ def write_sstable_ma(
         sorted(static_columns or []),
         sorted(regular_columns or []),
     )
-    data_path = os.path.join(out_dir, f"ma-{generation}-big-Data.db")
-    index_path = os.path.join(out_dir, f"ma-{generation}-big-Index.db")
-    stats_path = os.path.join(out_dir, f"ma-{generation}-big-Statistics.db")
+    data_path = os.path.join(out_dir, f"{version}-{generation}-big-Data.db")
+    index_path = os.path.join(out_dir, f"{version}-{generation}-big-Index.db")
+    stats_path = os.path.join(
+        out_dir, f"{version}-{generation}-big-Statistics.db"
+    )
     offsets = []
     raw = bytearray()
     for p in partitions:
         offsets.append((p["key"], len(raw)))
-        raw += serialize_partition(h, p)
+        raw += serialize_partition(h, p, version=version)
     if compress:
         import zlib
 
         info_path = os.path.join(
-            out_dir, f"ma-{generation}-big-CompressionInfo.db"
+            out_dir, f"{version}-{generation}-big-CompressionInfo.db"
         )
         chunk_offs = []
         with open(data_path, "wb") as f:
@@ -472,5 +508,5 @@ def write_sstable_ma(
             # big-format ma index entry: u16 key + uvint position +
             # uvint promoted-index size (0: none)
             f.write(_U16.pack(len(key)) + key + _uv(off) + _uv(0))
-    write_statistics_db(stats_path, h)
+    write_statistics_db(stats_path, h, version=version)
     return data_path

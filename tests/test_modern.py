@@ -545,13 +545,15 @@ def test_ma_compressed_matches_uncompressed(spark, tmp_path):
 
 def test_mb_mc_version_variants_decode(spark, tmp_path):
     """mb/mc (3.0.7+/3.0.8+) change only Statistics metadata the scan
-    doesn't read; the row format is ma's. Renamed components must decode
-    identically through version-gated dispatch. na/nb (4.0) kept the 3.0
-    row format too (the 4.0 changes are stats-metadata-level: pending
-    repair, transient flag, originating host) so the same routing covers
-    them — noting honestly that no real 4.0-written fixture exists in
-    this environment, so 4.0 coverage is format-analysis + routing, not
-    a golden."""
+    doesn't read; the row format is ma's, so renamed components decode
+    identically through version-gated dispatch. na/nb/nc (4.0/4.1) keep
+    the 3.0 row format but CHECKSUM the Statistics metadata
+    (MetadataSerializer hasMetadataChecksum), and oa (5.0) additionally
+    switches partition DeletionTime to the unsigned-int encoding — those
+    are written per-version by the writer, exercising the real layouts
+    (no real Cassandra-written 4.x/5.0 file exists in this environment,
+    so 4.x/5.0 coverage is format-analysis + layout round-trip plus the
+    hand-placed external fixtures, not a Cassandra golden)."""
     import shutil
 
     from aegisthus_spark.sources import read_sstable_cells
@@ -559,7 +561,7 @@ def test_mb_mc_version_variants_decode(spark, tmp_path):
 
     src = tmp_path / "ma"
     _fixture_dir(src, n_keys=10)
-    for version in ("mb", "mc", "na", "nb"):
+    for version in ("mb", "mc"):
         d = tmp_path / version
         d.mkdir()
         for comp in ("Data", "Index", "Statistics"):
@@ -569,6 +571,114 @@ def test_mb_mc_version_variants_decode(spark, tmp_path):
         path = str(d / f"{version}-1-big-Data.db")
         assert version_of(path) == version
         assert read_sstable_cells(spark, [str(d)]).count() == 20
+    for version in ("na", "nb", "nc", "oa"):
+        d = tmp_path / version
+        parts = [
+            {"key": f"k{i:04d}".encode(), "rows": [
+                {"clustering": [b"c1"], "liveness": (1000,),
+                 "cells": [{"column": b"val", "value": b"v1", "ts": 1001}]},
+            ]}
+            for i in range(10)
+        ]
+        path = write_sstable_ma(
+            str(d), parts, clustering_types=[UTF8],
+            regular_columns=[(b"val", UTF8)], version=version,
+        )
+        assert version_of(path) == version
+        assert read_sstable_cells(spark, [str(d)]).count() == 20
+
+
+def test_na_statistics_checksums_validated(tmp_path):
+    """A flipped byte anywhere in a checksummed (4.0+) Statistics.db must
+    fail CRC validation — and the same bytes parsed as 'ma' (no
+    checksums) must NOT accidentally parse, proving the layout really is
+    version-gated rather than sniffed."""
+    import pytest
+
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        parse_serialization_header,
+    )
+
+    path = _fixture_dir(tmp_path, n_keys=3)
+    import os
+    import shutil
+
+    d = tmp_path / "na"
+    d.mkdir()
+    for comp in ("Data", "Index"):
+        shutil.copy(
+            tmp_path / f"ma-1-big-{comp}.db", d / f"na-1-big-{comp}.db"
+        )
+    from aegisthus_spark.sstable.modern_writer import write_statistics_db
+
+    h = header_for_data_file(path)
+    stats_na = d / "na-1-big-Statistics.db"
+    write_statistics_db(str(stats_na), h, version="na")
+    assert header_for_data_file(str(d / "na-1-big-Data.db")) == h
+
+    raw = bytearray(stats_na.read_bytes())
+    for pos in (2, 9, len(raw) - 2):  # count, TOC, component body
+        mut = bytearray(raw)
+        mut[pos] ^= 0xFF
+        stats_na.write_bytes(bytes(mut))
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            header_for_data_file(str(d / "na-1-big-Data.db"))
+    stats_na.write_bytes(bytes(raw))
+
+    # ma-layout stats under an na name: CRC validation rejects it (the
+    # pre-4.0 layout has TOC ints where the checksums would sit)
+    shutil.copy(tmp_path / "ma-1-big-Statistics.db", stats_na)
+    with pytest.raises(ValueError):
+        header_for_data_file(str(d / "na-1-big-Data.db"))
+
+
+def test_oa_post_2038_ldt_saturates(tmp_path):
+    """5.0 deletion times past 2038 (the whole point of CASSANDRA-14227)
+    decode with exact mfda and an int32-saturated ldt in the canonical
+    cell schema; a live partition's 0xFFFFFFFF sentinel reads as live."""
+    from aegisthus_spark.sstable.modern import (
+        INT32_MAX,
+        LONG_MIN,
+        header_for_data_file,
+        scan_data_buffer_rows_modern,
+    )
+
+    ldt_2100 = 4_102_444_800  # 2100-01-01 UTC, > INT32_MAX
+    ts = 4_102_444_800_000_000
+    parts = [
+        {"key": b"k1", "deletion": (ts, ldt_2100), "rows": []},
+        {"key": b"k2", "rows": [
+            {"clustering": [b"a"], "deletion": (ts + 1, ldt_2100 + 5),
+             "cells": []},
+            {"clustering": [b"b"], "liveness": (ts + 2,),
+             "cells": [{"column": b"val", "value": b"x", "ts": ts + 3,
+                        "deleted": ldt_2100 + 9}]},
+        ]},
+    ]
+    path = write_sstable_ma(
+        str(tmp_path), parts, clustering_types=[UTF8],
+        regular_columns=[(b"val", UTF8)], version="oa",
+    )
+    rows = list(scan_data_buffer_rows_modern(
+        open(path, "rb").read(), source_path=path,
+        header=header_for_data_file(path), version="oa",
+    ))
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r[4], []).append(r)
+    # deleted empty partition: exact mfda
+    (p1,) = by_kind["r"]
+    assert p1[2] == b"k1" and p1[3] == ts
+    # row tombstone: exact mfda, saturated ldt
+    (rt,) = by_kind["t"]
+    assert rt[8] == ts + 1 and rt[10] == INT32_MAX
+    # cell tombstone: saturated ldt in both the field and the i32 value
+    (dc,) = by_kind["d"]
+    assert dc[8] == ts + 3 and dc[10] == INT32_MAX
+    assert dc[7] == (INT32_MAX).to_bytes(4, "big")
+    # live rows from the k2 partition carry no partition deletion
+    assert all(r[3] == LONG_MIN for r in by_kind["c"])
 
 
 # ---------------------------------------------------------------------------
@@ -1153,11 +1263,12 @@ def test_read_value_fixed_width_truncation_raises(spark, tmp_path):
         list(scan_data_buffer_rows_modern(cut, source_path=path))
 
 
-def test_oa_version_rejected_with_clear_error(spark, tmp_path):
-    """Cassandra 5.0 'oa' changed DeletionTime serialization — parsing it
-    with the 3.0 layout would misalign silently. The planner rejects it
-    with UnsupportedVersionError even under skip_corrupt (a capability
-    gap is not corrupt data)."""
+def test_future_version_rejected_with_clear_error(spark, tmp_path):
+    """Format versions past the verified range ('oa' is now the max) may
+    change the row layout — parsing them with the 5.0 layout could
+    misalign silently. The planner rejects them with
+    UnsupportedVersionError even under skip_corrupt (a capability gap is
+    not corrupt data)."""
     from aegisthus_spark.sources import read_sstable_cells
     from aegisthus_spark.sstable.descriptor import UnsupportedVersionError
 
@@ -1173,8 +1284,8 @@ def test_oa_version_rejected_with_clear_error(spark, tmp_path):
     )
     for f in sorted(d1.iterdir()):
         if f.name.startswith("ma-"):
-            f.rename(d1 / f.name.replace("ma-", "oa-", 1))
-    with pytest.raises(UnsupportedVersionError, match="'oa'"):
+            f.rename(d1 / f.name.replace("ma-", "ob-", 1))
+    with pytest.raises(UnsupportedVersionError, match="'ob'"):
         read_sstable_cells(spark, [str(d1)], skip_corrupt=True).count()
 
 
@@ -1363,9 +1474,13 @@ def test_auto_comparator_falls_back_to_udf_for_decimal_clustering(spark, tmp_pat
     assert {b"seven", b"hundred"} <= vals
 
 
-def test_auto_comparator_rejects_oa_before_header_parse(spark, tmp_path):
+def test_auto_comparator_rejects_future_version_before_header_parse(
+    spark, tmp_path
+):
     """column_type='auto' must raise the deliberate UnsupportedVersionError
-    for a 5.0 'oa' input, not a garbled Statistics.db misparse."""
+    for a post-5.0 input, not a garbled Statistics.db misparse — and a
+    properly written 5.0 'oa' table (checksummed stats, uint partition
+    deletion) must compact end-to-end through auto mode."""
     from aegisthus_spark import job
     from aegisthus_spark.sstable.descriptor import UnsupportedVersionError
 
@@ -1377,13 +1492,27 @@ def test_auto_comparator_rejects_oa_before_header_parse(spark, tmp_path):
              "cells": [{"column": b"val", "value": b"x"}]},
         ]}],
         clustering_types=[UTF8], regular_columns=[(b"val", UTF8)],
+        generation=1, version="oa",
+    )
+    rows = job.compact_snapshot(spark, [str(d1)], column_type="auto").collect()
+    assert len(rows) == 1  # one partition
+    assert len(rows[0].columns) == 2  # row marker + cell
+
+    d2 = tmp_path / "g2"
+    write_sstable_ma(
+        str(d2),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"c"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"x"}]},
+        ]}],
+        clustering_types=[UTF8], regular_columns=[(b"val", UTF8)],
         generation=1,
     )
-    for f in sorted(d1.iterdir()):
+    for f in sorted(d2.iterdir()):
         if f.name.startswith("ma-"):
-            f.rename(d1 / f.name.replace("ma-", "oa-", 1))
-    with pytest.raises(UnsupportedVersionError, match="'oa'"):
-        job.compact_snapshot(spark, [str(d1)], column_type="auto")
+            f.rename(d2 / f.name.replace("ma-", "ob-", 1))
+    with pytest.raises(UnsupportedVersionError, match="'ob'"):
+        job.compact_snapshot(spark, [str(d2)], column_type="auto")
 
 
 def test_header_sort_key_handles_reversed_clustering(spark, tmp_path):
