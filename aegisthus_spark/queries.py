@@ -2544,6 +2544,43 @@ def sst_decode_ma_external(spark, sf_dir):
     )
 
 
+_OA_EXT_FIXTURES = "/root/repo/tests/fixtures/oa_external"
+_OA_EXT_GOLDEN = "/root/repo/tests/golden/decode_golden_oa_external.parquet"
+
+
+@register(
+    "sst_decode_oa_external",
+    f"SELECT line FROM read_parquet('{_OA_EXT_GOLDEN}') ORDER BY line",
+    doc="EXTERNALLY-DERIVED Cassandra 5.0 'oa' decode: input bytes "
+        "hand-assembled from the public 5.0 format "
+        "(tools/oa_external_fixture.py — no repo writer involved), pinned "
+        "cell-by-cell against hand-derived tuples in "
+        "tests/test_oa_external.py. Certifies the 5.0 unsigned "
+        "DeletionTime (live sentinel + a year-2100 partition deletion), a "
+        "post-2038 vint-delta ldt saturating into the canonical int32 "
+        "schema, the CHECKSUMMED multi-component Statistics TOC (4.0+ "
+        "MetadataSerializer layout, CRCs verified), and TYPED clustering "
+        "(LongType + ReversedType(UTF8)) whose range-tombstone coverage "
+        "depends on comparator order — raw composite bytes would keep the "
+        "doomed row (proven by a control test), so a green row certifies "
+        "the JVM typed sort keys against external bytes",
+)
+def sst_decode_oa_external(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, name_sort_key_for_header
+
+    sk = name_sort_key_for_header(
+        header_for_data_file(f"{_OA_EXT_FIXTURES}/table/oa-1-big-Data.db")
+    )
+    cells = read_sstable_cells(spark, [f"{_OA_EXT_FIXTURES}/table"])
+    return (
+        to_aeg_json(compact(cells, name_sort_key=sk))
+        .select(F.col("value").alias("line"))
+        .orderBy("line")
+    )
+
+
 _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
 
 
