@@ -15,7 +15,9 @@ is skipped, as in the reference (CompressionInputStream.java:125-126).
 LZ4 chunks carry a 4-byte little-endian uncompressed-length prefix
 (Cassandra's LZ4Compressor convention); the block itself is standard LZ4
 block format, decoded here in pure Python (no lz4 wheel in this env).
-DeflateCompressor uses zlib. SnappyCompressor raises until a codec is
+DeflateCompressor uses zlib. ZstdCompressor (Cassandra >= 4.0) chunks are
+standard zstd frames, decoded via the zstandard wheel when present, else
+pyarrow's bundled codec. SnappyCompressor raises until a codec is
 available.
 """
 
@@ -176,6 +178,22 @@ def decompress_chunk(compressor: str, raw: bytes, uncompressed_length: int) -> b
         return lz4_block_decompress(raw[4:], ulen)
     if compressor == "DeflateCompressor":
         return zlib.decompress(raw)
+    if compressor == "ZstdCompressor":
+        # Cassandra >= 4.0 ships ZstdCompressor (zstd-jni): each chunk is
+        # one standard zstd frame, no extra prefix. Probe the dedicated
+        # wheel first (same pattern as LZ4), else pyarrow's bundled codec
+        # (always present in this stack; needs the exact output size,
+        # which the chunk map provides).
+        try:
+            import zstandard  # type: ignore
+
+            return zstandard.ZstdDecompressor().decompress(
+                raw, max_output_size=uncompressed_length
+            )
+        except ImportError:
+            import pyarrow as pa
+
+            return bytes(pa.Codec("zstd").decompress(raw, uncompressed_length))
     if compressor == "SnappyCompressor":
         try:
             import snappy  # type: ignore

@@ -449,18 +449,21 @@ def write_sstable_ma(
     compress: bool = False,
     chunk_length: int = 4096,
     version: str = "ma",
+    compressor: str = "DeflateCompressor",
 ) -> str:
     """Write {version}-1-big-{Data,Statistics,Index}.db into ``out_dir``;
     returns the Data.db path. Partitions are written in input order (the
     caller is responsible for partitioner order, as with the 2.x writer);
     columns must be name-sorted (Columns order).
 
-    ``compress``: chunked Deflate Data.db + CompressionInfo.db sidecar
-    (the 3.x CompressionMetadata layout is the same as 2.x: algo simple
-    name, options, chunk length, uncompressed data length, chunk offsets;
-    each chunk trailed by a 4-byte checksum) — 3.x clusters compress by
-    default, so the compressed shape is the realistic one. Index.db
-    offsets stay UNCOMPRESSED positions, exactly like real files."""
+    ``compress``: chunked Data.db + CompressionInfo.db sidecar (the 3.x
+    CompressionMetadata layout is the same as 2.x: algo simple name,
+    options, chunk length, uncompressed data length, chunk offsets; each
+    chunk trailed by a 4-byte checksum) — 3.x clusters compress by
+    default, so the compressed shape is the realistic one. ``compressor``
+    selects DeflateCompressor (zlib) or ZstdCompressor (standard zstd
+    frames, Cassandra >= 4.0's shipped option). Index.db offsets stay
+    UNCOMPRESSED positions, exactly like real files."""
     os.makedirs(out_dir, exist_ok=True)
     stats = _collect_stats(partitions)
     h = stats.header(
@@ -482,6 +485,15 @@ def write_sstable_ma(
     if compress:
         import zlib
 
+        if compressor == "DeflateCompressor":
+            compress_fn = zlib.compress
+        elif compressor == "ZstdCompressor":
+            import pyarrow as pa
+
+            _codec = pa.Codec("zstd")
+            compress_fn = lambda b: bytes(_codec.compress(b))  # noqa: E731
+        else:
+            raise ValueError(f"unsupported fixture compressor: {compressor}")
         info_path = os.path.join(
             out_dir, f"{version}-{generation}-big-CompressionInfo.db"
         )
@@ -489,10 +501,10 @@ def write_sstable_ma(
         with open(data_path, "wb") as f:
             for pos in range(0, len(raw), chunk_length):
                 chunk_offs.append(f.tell())
-                f.write(zlib.compress(bytes(raw[pos : pos + chunk_length])))
+                f.write(compress_fn(bytes(raw[pos : pos + chunk_length])))
                 f.write(b"\x00\x00\x00\x00")  # checksum trailer (unchecked)
         with open(info_path, "wb") as f:
-            name = b"DeflateCompressor"
+            name = compressor.encode()
             f.write(_U16.pack(len(name)) + name)
             f.write(_I32.pack(0))  # no options
             f.write(_I32.pack(chunk_length))
