@@ -33,7 +33,14 @@ lexicographic order equals the comparator's):
 - Int32/Long/Timestamp/Date/ShortType/ByteType/CounterColumn: sign bit
   flipped (two's-complement big-endian becomes unsigned-ordered).
 - Float/Double: IEEE-754 total order (negative -> all bits inverted,
-  positive -> sign bit set), NaN last like ``Double.compare``.
+  positive -> sign bit set). Deviation from Cassandra's Float/Double
+  compare, which places EVERY NaN above +Infinity: sign-bit NaN bit
+  patterns (0xFF8...) sort below -Infinity here (total order treats
+  them as "negative"); quiet-positive NaNs (0x7F8...) sort above
+  +Infinity as Cassandra does. JVM/Python key parity holds (the Python
+  ``_sk_float`` twin uses the same total order), so compaction is
+  self-consistent; only ordering vs a live Cassandra node diverges, and
+  only for negative-payload NaN clustering bytes.
 - TimeUUID: embedded v1 timestamp (time_hi, time_mid, time_low) then the
   full uuid for a stable tie-break.
 - UUID: version nibble first, v1s by embedded timestamp, otherwise
@@ -41,10 +48,19 @@ lexicographic order equals the comparator's):
 - ReversedType(inner): inner transform with every hex digit complemented
   (``translate``) plus a high sentinel so shorter-prefix order inverts.
 
-Unsupported JVM-side (DecimalType, IntegerType varints — variable-length
-numeric encodings have no prefix-order-preserving hex form): ``supported``
-returns False and callers fall back to the Python ``types.sort_key`` UDF
-or reject, with a clear error from ``comparator_sort_key``.
+- IntegerType (varint): minimal-two's-complement normalization, then a
+  sign class + length field + bytes (see ``_varint_hex``) — exact at any
+  width, pure string ops.
+- DecimalType: sign class + shifted adjusted exponent + normalized
+  mantissa digits (see ``_decimal_hex``) — exact for unscaled values up
+  to 8 bytes (~19 significant digits); wider values raise_error at
+  runtime with guidance to use the ``types.sort_key`` UDF fallback
+  (conv is 64-bit, so silently misordering them is not an option).
+
+Every marshal class the repo's Python comparators know is now JVM-side;
+``supported`` returning False (an unknown/custom comparator) falls back
+to the Python ``types.sort_key`` UDF with a clear error from
+``comparator_sort_key``.
 
 Collection cell paths compare as raw bytes by DEFAULT; pass
 ``path_types_by_column`` (which ``modern.name_sort_key_for_header`` does
@@ -136,7 +152,10 @@ def _ieee_hex(comp: Column, width: int) -> Column:
     (sign bit set: first hex digit >= '8') -> complement every digit,
     positive -> flip the sign bit. The two branches land in disjoint
     first-digit ranges ('0'-'7' vs '8'-'F'), so the map is injective at
-    any length; same order as Float.compare/the Python ``_sk_float``."""
+    any length; same order as the Python ``_sk_float`` twin. NaN caveat:
+    this is IEEE total order, NOT Float.compare — sign-bit NaN payloads
+    sort below -Infinity instead of joining positive NaNs above
+    +Infinity (see the module docstring)."""
     h = F.hex(comp)
     negative = F.substring(h, 1, 1).isin(*"89ABCDEF")
     return F.when(F.length(comp) == 0, F.lit("")).otherwise(
@@ -186,7 +205,142 @@ def supported(marshal: str) -> bool:
     return (
         t in _BYTE_ORDERED
         or t in _SIGNED_WIDTH
-        or t in ("FloatType", "DoubleType", "UUIDType", "TimeUUIDType")
+        or t in ("FloatType", "DoubleType", "UUIDType", "TimeUUIDType",
+                 "IntegerType", "DecimalType")
+    )
+
+
+_DIGIT_COMPLEMENT = ("0123456789", "9876543210")
+_U32_MAX = (1 << 32) - 1
+#: adjusted-exponent shift/complement for the decimal key: scale is an
+#: i32 and conv-digitized mantissas are <= 20 digits, so the adjusted
+#: exponent fits comfortably in (-(2**36), 2**36)
+_ADJ_SHIFT = 1 << 36
+_ADJ_COMPL = (1 << 37) - 1
+
+
+def _varint_hex(comp: Column) -> Column:
+    """Cassandra IntegerType (varint: variable-length big-endian two's
+    complement, compared numerically) -> order-preserving string key,
+    pure string ops at ANY width (no 64-bit conv bound):
+
+        normalize to the MINIMAL two's-complement form (strip redundant
+        sign-extension bytes — numerically equal encodings must collapse
+        to one key, since LWW dedups on it), then
+        negative:     '0' + hex(0xFFFFFFFF - bytelen) + hex(minimal)
+        zero/positive:'2' + hex(bytelen)              + hex(minimal)
+
+    Minimal-length classes partition the number line into disjoint
+    ascending ranges, and within one class big-endian two's-complement
+    bytes compare numerically (equal sign bits), so length-then-bytes is
+    numeric order; the complemented length makes longer negatives (more
+    negative) sort first. Zero ('00', length 1) lands below every
+    positive of length 1 ('01'..'7F') — between the classes, as required.
+    """
+    h = F.hex(comp)
+    neg = F.substring(h, 1, 1).isin(*"89ABCDEF")
+    # minimal form: a leading 0x00 is redundant iff the next byte is
+    # < 0x80; a leading 0xFF iff the next byte is >= 0x80 (BigInteger
+    # minimal two's complement; IntegerType.compare skips such padding)
+    norm_pos = F.regexp_replace(h, "^(?:00(?=[0-7]))+", "")
+    norm_neg = F.regexp_replace(h, "^(?:FF(?=[89A-F]))+", "")
+    len_pos = (F.length(norm_pos) / 2).cast("long")
+    len_neg = (F.length(norm_neg) / 2).cast("long")
+    pos_key = F.concat(
+        F.lit("2"),
+        F.lpad(F.conv(len_pos.cast("string"), 10, 16), 8, "0"),
+        norm_pos,
+    )
+    neg_key = F.concat(
+        F.lit("0"),
+        F.lpad(F.conv((F.lit(_U32_MAX) - len_neg).cast("string"), 10, 16), 8, "0"),
+        norm_neg,
+    )
+    return F.when(F.length(comp) == 0, F.lit("")).otherwise(
+        F.when(neg, neg_key).otherwise(pos_key)
+    )
+
+
+def _decimal_hex(comp: Column) -> Column:
+    """Cassandra DecimalType (i32 scale + varint unscaled, compared as
+    BigDecimal) -> order-preserving string key, mirroring the Python
+    ``types._sk_decimal`` normalization (sign class, shifted adjusted
+    exponent, normalized mantissa digits + terminator):
+
+        negative: '0' + complemented adjusted-exponent hex
+                      + digit-complemented mantissa + 'Z'
+        zero:     '1'
+        positive: '2' + shifted adjusted-exponent hex + mantissa + '!'
+
+    The terminators order a shorter mantissa against its extensions
+    ('!' < '0' puts 5e2 before 5.1e2; 'Z' > '9' inverts that for
+    negatives). Digitizing the unscaled value goes through ``conv``,
+    which is exact only to 64 bits — unscaled values wider than 8 bytes
+    RAISE (raise_error) with guidance to use the ``types.sort_key`` UDF
+    fallback rather than silently misordering; bounded-width is the
+    overwhelmingly common shape for decimal clustering keys. Values
+    shorter than the 4-byte scale prefix + 1 take the injective '.'
+    malformed guard."""
+    scale_u = F.conv(F.hex(F.substring(comp, 1, 4)), 16, 10).cast("long")
+    scale = F.when(scale_u >= F.lit(1 << 31), scale_u - F.lit(1 << 32)).otherwise(
+        scale_u
+    )
+    un = F.substring(comp, 5, F.lit(_REST))
+    uh = F.hex(un)
+    neg = F.substring(uh, 1, 1).isin(*"89ABCDEF")
+    # unscaled as exact decimal: unsigned conv, then two's-complement
+    # sign adjustment by the width's power of two
+    u_dec = F.conv(uh, 16, 10).cast("decimal(21,0)")
+    from decimal import Decimal as _Dec
+
+    two_pow = F.lit(0).cast("decimal(21,0)")
+    for w in range(1, 9):
+        # Decimal literals: 2**64 overflows a Java long in F.lit
+        two_pow = F.when(
+            F.length(un) == w, F.lit(_Dec(1 << (8 * w))).cast("decimal(21,0)")
+        ).otherwise(two_pow)
+    value = F.when(neg, u_dec - two_pow).otherwise(u_dec)
+    mag = F.abs(value)
+    digits = mag.cast("decimal(21,0)").cast("string")
+    adjusted = (F.length(digits) - F.lit(1)).cast("long") - scale
+    mant = F.regexp_replace(digits, "0+$", "")
+    pos_key = F.concat(
+        F.lit("2"),
+        F.lpad(F.conv((adjusted + F.lit(_ADJ_SHIFT)).cast("string"), 10, 16),
+               10, "0"),
+        mant,
+        F.lit("!"),
+    )
+    neg_key = F.concat(
+        F.lit("0"),
+        F.lpad(
+            F.conv(
+                (F.lit(_ADJ_COMPL) - (adjusted + F.lit(_ADJ_SHIFT))).cast("string"),
+                10, 16,
+            ),
+            10, "0",
+        ),
+        F.translate(mant, *_DIGIT_COMPLEMENT),
+        F.lit("Z"),
+    )
+    key = F.when(u_dec == 0, F.lit("1")).otherwise(
+        F.when(neg, neg_key).otherwise(pos_key)
+    )
+    wide = F.raise_error(
+        F.concat(
+            F.lit(
+                "DecimalType clustering value with unscaled wider than 8 "
+                "bytes has no exact JVM-side sort key (conv is 64-bit); "
+                "use compact(name_sort_key=<udf over types.sort_key>): 0x"
+            ),
+            F.hex(comp),
+        )
+    ).cast("string")
+    return (
+        F.when(F.length(comp) == 0, F.lit(""))
+        .when(F.length(comp) < 5, F.concat(F.lit("."), F.hex(comp)))
+        .when(F.length(un) > 8, wide)
+        .otherwise(key)
     )
 
 
@@ -227,11 +381,13 @@ def type_sort_key_hex(comp: Column, marshal: str) -> Column:
                 h,
             ),
         )
+    if t == "IntegerType":
+        return _varint_hex(comp)
+    if t == "DecimalType":
+        return _decimal_hex(comp)
     raise ValueError(
-        f"no JVM-side sort key for comparator {marshal}: variable-length "
-        "numeric encodings (DecimalType, IntegerType) have no prefix-order-"
-        "preserving hex form; use compact(name_sort_key=<udf over "
-        "types.get(spec).sort_key>) instead"
+        f"no JVM-side sort key for comparator {marshal}; use "
+        "compact(name_sort_key=<udf over types.get(spec).sort_key>) instead"
     )
 
 
@@ -277,9 +433,18 @@ def composite_sort_key(
     )
     acc = F.when(is_static, F.lit("0")).otherwise(F.lit("1"))
     pos = F.when(is_static, F.lit(3)).otherwise(F.lit(1)).cast("int")
+    # injectivity guard for structurally broken composites: each level is
+    # clean iff the name ended exactly before it (pos > total) or the full
+    # component fits (u16 + ln value bytes + eoc byte). Truncated shapes —
+    # a dangling byte, a length claiming past the end, a missing eoc —
+    # would otherwise encode like a well-formed sibling and let LWW merge
+    # distinct corrupt names (the per-component _malformed_guard covers
+    # wrong WIDTHS, not truncated length prefixes).
+    clean = F.lit(True)
     name_comp = None
     for i, t in enumerate(types_):
         ln = _u16_at(name, pos)
+        clean = clean & ((pos > total) | ((pos + F.lit(2) + ln) <= total))
         comp = F.substring(name, pos + F.lit(2), ln)
         eocb = F.coalesce(
             F.conv(
@@ -313,7 +478,16 @@ def composite_sort_key(
         # and the resulting ~5^n expression blow-up showed up as whole
         # seconds of analysis/codegen time per ma query
         pos = (pos + F.lit(3) + ln).cast("int")
-    return acc
+    # a name with MORE components than the unrolled levels would also
+    # collapse onto its truncation; with every level consumed cleanly,
+    # final pos <= total means unencoded bytes remain
+    clean = clean & (pos > total)
+    # broken shapes fall back to '.' + full raw hex: trivially injective,
+    # deterministic, and (like _malformed_guard) sorted below well-formed
+    # keys' content without colliding with them. The tree cost is linear
+    # in the level count (each `clean` term references the shared pos
+    # trees, not a 5-way guarded recurrence).
+    return F.when(clean, acc).otherwise(F.concat(F.lit("."), F.hex(name)))
 
 
 def comparator_sort_key(name: Column, spec: str, *, n_extra: int = 2) -> Column:

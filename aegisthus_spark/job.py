@@ -72,6 +72,7 @@ def compact_snapshot(
         from .sstable.descriptor import check_modern_version, version_of
         from .sstable.modern import (
             header_for_data_file,
+            is_complex,
             name_sort_key_for_header,
         )
 
@@ -79,12 +80,38 @@ def compact_snapshot(
             f for f in discover_data_files(inputs) if version_of(f) >= "ma"
         ]
         for f in modern:
-            # reject unsupported versions (e.g. 5.0 'oa') BEFORE parsing
-            # their Statistics.db with the 3.x layout — the planner would
+            # reject unsupported versions BEFORE parsing their
+            # Statistics.db with the wrong layout — the planner would
             # catch it later, but a garbled header parse must not win
             check_modern_version(version_of(f))
         if modern:
-            header = header_for_data_file(modern[0])
+            # ONE comparator governs the whole compaction: parse every
+            # file's header and demand agreement on everything the sort
+            # key derives from (clustering types; collection columns,
+            # whose cell paths order by their own comparators). Trusting
+            # modern[0] alone would silently compact inputs spanning
+            # differently-clustered tables under the wrong order.
+            headers = {f: header_for_data_file(f) for f in modern}
+            header = headers[modern[0]]
+
+            def _sort_inputs(h):
+                colls = tuple(
+                    (bytes(n), t)
+                    for n, t in tuple(h.regular_columns) + tuple(h.static_columns)
+                    if is_complex(t)
+                )
+                return (h.clustering_types, tuple(sorted(colls)))
+
+            want = _sort_inputs(header)
+            for f, h in headers.items():
+                if _sort_inputs(h) != want:
+                    raise ValueError(
+                        "column_type='auto' needs one clustering schema "
+                        "across all modern inputs, but headers disagree: "
+                        f"{modern[0]!r} has {want}, {f!r} has "
+                        f"{_sort_inputs(h)} — run per-table jobs or pass "
+                        "an explicit column_type/name_sort_key"
+                    )
             try:
                 name_sort_key = name_sort_key_for_header(header)
             except ValueError:

@@ -961,9 +961,11 @@ def name_sort_key_for_header(header: SerializationHeader):
     Returns a ``Column -> Column`` callable (pure JVM expressions, no
     Python UDF — the plan stays inside whole-stage codegen); ``compact``
     applies it to both ``cell_name`` and ``cell_name_max`` so RT bounds
-    compare in the same encoding. Raises ValueError for clustering types
-    with no JVM-side order-preserving encoding (DecimalType, IntegerType
-    varints) — fall back to a ``types.sort_key`` UDF for those.
+    compare in the same encoding. Raises ValueError only for comparator
+    classes the JVM library doesn't know (custom types) — fall back to a
+    ``types.sort_key`` UDF for those. DecimalType clustering is JVM-side
+    but exact only to 8-byte unscaled values; wider values raise at
+    runtime with UDF-fallback guidance (sortkeys._decimal_hex).
     """
     from ..functions.sortkeys import composite_sort_key, supported
 

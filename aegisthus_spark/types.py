@@ -248,6 +248,14 @@ def _sk_uuid(b: bytes) -> bytes:
     # (legal per Cassandra — same guard as _sk_signed_fixed/_sk_float)
     if not b:
         return bytes(b)
+    if len(b) != 16:
+        # malformed width: deterministic + injective (0x10 is disjoint
+        # from the 0x00-0x0F version-nibble lead of well-formed keys),
+        # mirroring the JVM _malformed_guard's degrade-not-crash posture.
+        # NOTE the relative placement differs (JVM's '.' prefix sorts
+        # malformed BELOW well-formed, this sorts them above) — fine,
+        # since one compact() uses exactly one of the two key paths.
+        return b"\x10" + bytes(b)
     ver = (b[6] >> 4) & 0x0F
     ts = _uuid.UUID(bytes=bytes(b)).time.to_bytes(8, "big") if ver == 1 else b""
     return bytes([ver]) + ts + bytes(b)

@@ -1292,6 +1292,39 @@ def test_compact_snapshot_auto_comparator_on_ma_input(spark, tmp_path):
     assert "BatchEvalPython" not in plan
 
 
+def test_auto_comparator_rejects_disagreeing_headers(spark, tmp_path):
+    """column_type='auto' must refuse inputs whose self-describing
+    headers disagree on anything the sort key derives from — trusting
+    the first file would silently compact a differently-clustered
+    table's names under the wrong order."""
+    from aegisthus_spark import job
+
+    LONG = "org.apache.cassandra.db.marshal.LongType"
+    d1 = tmp_path / "t1"
+    d2 = tmp_path / "t2"
+    part = [{"key": b"k", "rows": [
+        {"clustering": [b"\x00" * 8], "liveness": (100,),
+         "cells": [{"column": b"val", "value": b"x"}]},
+    ]}]
+    write_sstable_ma(str(d1), part, clustering_types=[LONG],
+                     regular_columns=[(b"val", UTF8)], generation=1)
+    part2 = [{"key": b"k", "rows": [
+        {"clustering": [b"c"], "liveness": (100,),
+         "cells": [{"column": b"val", "value": b"x"}]},
+    ]}]
+    write_sstable_ma(str(d2), part2, clustering_types=[UTF8],
+                     regular_columns=[(b"val", UTF8)], generation=2)
+    with pytest.raises(ValueError, match="headers disagree"):
+        job.compact_snapshot(spark, [str(d1), str(d2)], column_type="auto")
+    # same schema in both dirs still flows through
+    write_sstable_ma(str(d2 / "same"), part, clustering_types=[LONG],
+                     regular_columns=[(b"val", UTF8)], generation=3)
+    out = job.compact_snapshot(
+        spark, [str(d1), str(d2 / "same")], column_type="auto"
+    )
+    assert out.count() == 1
+
+
 def test_read_value_fixed_width_truncation_raises(spark, tmp_path):
     """A file truncated inside a fixed-size clustering value must raise
     the corrupt-contract ValueError (memoryview slicing silently yields a

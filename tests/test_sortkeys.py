@@ -95,10 +95,176 @@ def test_reversed_type_inverts_order(spark):
 
 
 def test_unsupported_types_raise_with_guidance():
-    with pytest.raises(ValueError, match="DecimalType"):
-        type_sort_key_hex(F.lit(b""), "DecimalType")
-    assert not supported("IntegerType")
+    with pytest.raises(ValueError, match="sort_key"):
+        type_sort_key_hex(F.lit(b""), "SomeCustomType")
+    assert not supported("SomeCustomType")
+    assert supported("IntegerType")
+    assert supported("DecimalType")
     assert supported("ReversedType(LongType)")
+    assert supported("ReversedType(DecimalType)")
+
+
+def _enc_varint(n: int) -> bytes:
+    """Minimal big-endian two's complement (BigInteger.toByteArray)."""
+    if n == 0:
+        return b"\x00"
+    return n.to_bytes((n.bit_length() + 8) // 8, "big", signed=True)
+
+
+def _enc_decimal(unscaled: int, scale: int) -> bytes:
+    w = max(1, (unscaled.bit_length() + 8) // 8)
+    return struct.pack(">i", scale) + unscaled.to_bytes(w, "big", signed=True)
+
+
+def test_varint_key_matches_numeric_and_python_order(spark):
+    """IntegerType (varint) JVM key: numeric order at any width, equal
+    keys for numerically-equal NON-minimal encodings (redundant
+    sign-extension bytes), same order as the Python types.sort_key."""
+    vals = [-(10 ** 30), -65536, -256, -255, -129, -128, -1, 0, 1, 127,
+            128, 255, 256, 10 ** 30]
+    raw = [_enc_varint(v) for v in vals]
+    raw += [b"\x00" + _enc_varint(127), b"\xff" + _enc_varint(-200)]
+    vals += [127, 200 * -1]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "IntegerType"))
+    py = [aegtypes.get("IntegerType").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "varint-python")
+    ranked = [v for _, v in sorted(zip(keys, range(len(vals))))]
+    assert [vals[i] for i in ranked] == sorted(vals)
+    # non-minimal encodings collapse to the minimal key (LWW contract)
+    assert keys[raw.index(b"\x00" + _enc_varint(127))] == \
+        keys[raw.index(_enc_varint(127))]
+
+
+def test_decimal_key_matches_numeric_and_python_order(spark):
+    """DecimalType JVM key: BigDecimal numeric order (scale-independent
+    equality, negative scales, mantissa-prefix cases), same order as the
+    Python types.sort_key; unscaled wider than 8 bytes raises with
+    UDF-fallback guidance instead of misordering."""
+    from decimal import Decimal
+
+    cases = [(0, 0), (0, 5), (1, 0), (1, 2), (-1, 2), (5, 1), (50, 2),
+             (51, 2), (-50, 2), (-51, 2), (123456789012345678, 9),
+             (-123456789012345678, 9), (1, -10), (-1, -10), (99, -3),
+             (10, 0), (100, 1)]
+    raw = [_enc_decimal(u, s) for u, s in cases]
+    dvals = [Decimal(u).scaleb(-s) for u, s in cases]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "DecimalType"))
+    py = [aegtypes.get("DecimalType").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "decimal-python")
+    for (i, x), (j, y) in itertools.combinations(enumerate(keys), 2):
+        assert ((x > y) - (x < y)) == (
+            (dvals[i] > dvals[j]) - (dvals[i] < dvals[j])
+        ), (dvals[i], dvals[j])
+    # equal values at different scales collapse to one key (5e1 == 50)
+    k = _jvm_keys(spark, [_enc_decimal(5, -1), _enc_decimal(50, 0),
+                          _enc_decimal(5000, 2)],
+                  lambda c: type_sort_key_hex(c, "DecimalType"))
+    assert len(set(k)) == 1
+    with pytest.raises(Exception, match="wider than 8 bytes"):
+        _jvm_keys(spark, [_enc_decimal(10 ** 40, 0)],
+                  lambda c: type_sort_key_hex(c, "DecimalType"))
+
+
+@settings(max_examples=25, deadline=None)
+@given(ints=st.lists(st.integers(min_value=-(10 ** 25), max_value=10 ** 25),
+                     min_size=2, max_size=6))
+def test_varint_hypothesis_parity(spark, ints):
+    raw = [_enc_varint(v) for v in ints]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "IntegerType"))
+    py = [aegtypes.get("IntegerType").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "varint-fuzz")
+
+
+@settings(max_examples=25, deadline=None)
+@given(cases=st.lists(
+    st.tuples(st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=2, max_size=6))
+def test_decimal_hypothesis_parity(spark, cases):
+    raw = [_enc_decimal(u, s) for u, s in cases]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "DecimalType"))
+    py = [aegtypes.get("DecimalType").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "decimal-fuzz")
+
+
+def test_truncated_composites_stay_injective(spark):
+    """Structurally broken composites (dangling byte after a component,
+    a length prefix claiming past the end, a missing eoc byte, extra
+    components beyond the unroll) must each get a DISTINCT key — LWW
+    dedups on the sort key, so a collision merges distinct corrupt
+    names. Broken shapes take the '.' + full-hex fallback, which also
+    never collides with a well-formed key ('.' < '0'/'1' leads)."""
+    base = composite([b"ab"])
+    names = [
+        base,                                   # well-formed
+        base + b"\x07",                         # dangling byte (value 7)
+        base + b"\x09",                         # dangling byte (value 9)
+        composite([b"ab"])[:-1],                # missing eoc byte
+        b"\x00\x05" + b"ab",                    # length 5, only 2 bytes
+        b"\x00\x09" + b"ab",                    # length 9, only 2 bytes
+        composite([b"ab", b"c", b"d", b"e"]),   # beyond 1 + n_extra levels
+        composite([b"ab", b"c", b"d", b"f"]),
+    ]
+    keys = _jvm_keys(
+        spark, names, lambda c: composite_sort_key(c, ["UTF8Type"], n_extra=2)
+    )
+    assert len(set(keys)) == len(names), keys
+    assert keys[0][0] in "01"          # well-formed key unchanged
+    for k in keys[1:]:
+        assert k.startswith("."), k    # every broken shape is guarded
+
+
+def test_sk_uuid_malformed_widths_degrade_not_crash():
+    """Python-UDF fallback parity with the JVM _malformed_guard posture:
+    non-16-byte UUID bytes must produce a deterministic, injective key
+    instead of IndexError/ValueError mid-job."""
+    sk = aegtypes.get("UUIDType").sort_key
+    short = sk(b"\x01\x02")
+    other = sk(b"\x01\x03")
+    assert short != other
+    assert sk(b"") == b""
+    well = sk(uuid.uuid4().bytes)
+    assert short != well
+
+
+def test_integer_clustered_compact_stays_jvm_side(spark, tmp_path):
+    """An IntegerType-clustered 3.x table compacts through the
+    header-derived sort key with NO BatchEvalPython in the plan (the old
+    Python-UDF fallback is gone) and applies an RT over varint order
+    that raw bytes would miss (-5 covered by [-10..0] despite 0xFB
+    sorting above 0x0A raw)."""
+    from aegisthus_spark.compact import compact, compacted_to_cells
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sstable.modern import (
+        header_for_data_file,
+        name_sort_key_for_header,
+    )
+    from aegisthus_spark.sstable.modern_writer import write_sstable_ma
+
+    INTEGER = "org.apache.cassandra.db.marshal.IntegerType"
+    UTF8 = "org.apache.cassandra.db.marshal.UTF8Type"
+    path = write_sstable_ma(
+        str(tmp_path / "t"),
+        [{"key": b"p", "rows": [
+            {"marker": 1, "clustering": [_enc_varint(-10)],
+             "deletion": (4000, 1_500_000_000)},
+            {"clustering": [_enc_varint(-5)], "liveness": (100,),
+             "cells": [{"column": b"v", "value": b"doomed"}]},
+            {"marker": 6, "clustering": [_enc_varint(0)],
+             "deletion": (4000, 1_500_000_000)},
+            {"clustering": [_enc_varint(10)], "liveness": (200,),
+             "cells": [{"column": b"v", "value": b"keep"}]},
+        ]}],
+        clustering_types=[INTEGER], regular_columns=[(b"v", UTF8)],
+    )
+    sk = name_sort_key_for_header(header_for_data_file(path))
+    cells = read_sstable_cells(spark, [str(tmp_path / "t")])
+    out = compacted_to_cells(compact(cells, name_sort_key=sk))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    vals = {bytes(r.value) for r in out.collect()
+            if r.value not in (None, b"") and r.kind == "c"}
+    assert vals == {b"keep"}
 
 
 # ---------------------------------------------------------------------------
