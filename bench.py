@@ -40,27 +40,48 @@ def main():
     # Sub-second queries are fixed-overhead dominated (32-task stage
     # scheduling) and wobble 2x run-to-run at min-of-2, which reads as
     # regression in round-over-round diffs — they get extra reps (cheap
-    # by construction) so the reported min is stable to ~20%.
+    # by construction). Round 6 showed the MULTI-second queries carry the
+    # complementary problem: at min-of-2 a uniform ~30% session-age/box
+    # inflation survives into the reported min (85.6 s vs 111.2 s for
+    # identical code), so queries > 1.5 s also get a third rep, a
+    # System.gc() runs between queries (outside the timers) to decouple
+    # JVM aging from query identity, and the per-query rep SPREAD
+    # ((max-min)/min) is recorded in BENCH_DETAIL.json so a cross-run
+    # delta can be judged against the measured noise floor instead of
+    # read as a plan regression.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     reps_sub = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUB", "4")))
+    reps_heavy = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_HEAVY", "3")))
     timings: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name, q in REGISTRY.items():
-        best, n, done = None, 0, 0
+        try:
+            spark._jvm.System.gc()  # outside the timers
+        except Exception:
+            pass
+        best, worst, n, done = None, None, 0, 0
         while True:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
             done += 1
-            if done >= (reps_sub if best < 1.0 else reps):
+            target = reps_sub if best < 1.0 else (reps_heavy if best > 1.5 else reps)
+            if done >= target:
                 break
         timings[name] = round(best, 3)
         rep_counts[name] = done
+        spreads[name] = round((worst - best) / best, 3) if best else 0.0
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows, min of {done})", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows, min of {done}, "
+            f"spread {spreads[name]:.0%})",
+            file=sys.stderr,
+        )
 
     detail = {
         "metric": "bench_total_query_time",
@@ -70,7 +91,9 @@ def main():
         "sf": sf,
         "reps": reps,
         "reps_sub_second": reps_sub,
+        "reps_heavy": reps_heavy,
         "rep_counts": rep_counts,
+        "rep_spread": spreads,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
