@@ -67,10 +67,109 @@ def _decode_fake(payload: bytes) -> list[float]:
     return [d[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
+def _decode_bmp_gray_grid(payload: bytes) -> list[float]:
+    """Uncompressed 24-bit BMP -> FEATURE_DIM mean-luminance grid features
+    (4x4), pure stdlib (the BMP container is a public fixed layout:
+    14-byte file header, BITMAPINFOHEADER, bottom-up BGR rows padded to 4
+    bytes). Deterministic; values in [0, 1]."""
+    import struct as _s
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = _s.unpack_from("<I", payload, 10)
+    hdr_size, width, height = _s.unpack_from("<Iii", payload, 14)
+    planes, bpp = _s.unpack_from("<HH", payload, 26)
+    (compression,) = _s.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or hdr_size < 40:
+        raise ValueError("only uncompressed 24-bit BMP is stdlib-decodable")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    side = 4  # 4x4 grid -> FEATURE_DIM cells
+    sums = [0.0] * (side * side)
+    counts = [0] * (side * side)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        base = data_off + src_y * row_stride
+        gy = min(side - 1, y * side // height)
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            lum = 0.299 * r + 0.587 * g + 0.114 * b
+            cell = gy * side + min(side - 1, x * side // width)
+            sums[cell] += lum
+            counts[cell] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def _decode_wav_envelope(payload: bytes) -> list[float]:
+    """PCM WAV -> FEATURE_DIM-segment RMS envelope, pure stdlib (RIFF
+    chunks, 'fmt ' + 'data', 16-bit little-endian samples).
+    Deterministic; values in [0, 1]."""
+    import struct as _s
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    o, bits, data = 12, None, None
+    while o + 8 <= len(payload):
+        cid = payload[o : o + 4]
+        (clen,) = _s.unpack_from("<I", payload, o + 4)
+        body = payload[o + 8 : o + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, _ch, _rate = _s.unpack_from("<HHI", body, 0)
+            (bits,) = _s.unpack_from("<H", body, 14)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV is stdlib-decodable")
+        elif cid == b"data":
+            data = body
+        o += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if bits is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    n = len(data) // 2
+    if n == 0:
+        return [0.0] * FEATURE_DIM
+    samples = _s.unpack(f"<{n}h", data[: 2 * n])
+    out = []
+    for i in range(FEATURE_DIM):
+        seg = samples[i * n // FEATURE_DIM : max(i * n // FEATURE_DIM + 1,
+                                                 (i + 1) * n // FEATURE_DIM)]
+        out.append((sum(s * s for s in seg) / len(seg)) ** 0.5 / 32768.0)
+    return out
+
+
 def _decode_real(payload: bytes, media_type: str) -> list[float]:
+    """Real codec path: library-backed when PIL/soundfile are installed,
+    stdlib-parsed for the self-describing uncompressed containers (24-bit
+    BMP, 16-bit PCM WAV) so the path is exercisable hermetically. The
+    Spark-side plumbing (mapInArrow batching, schema, partition
+    preservation) is identical to the fake backend's."""
+    if media_type == "image":
+        try:
+            from PIL import Image  # type: ignore
+            import io
+
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return [p / 255.0 for p in img.getdata()]
+        except ImportError:
+            return _decode_bmp_gray_grid(payload)
+    if media_type == "audio":
+        try:
+            import io
+
+            import numpy as np
+            import soundfile as sf  # type: ignore
+
+            samples, _rate = sf.read(io.BytesIO(payload), dtype="float64")
+            if samples.ndim > 1:
+                samples = samples.mean(axis=1)
+            segs = np.array_split(samples, FEATURE_DIM)
+            return [float(np.sqrt((s ** 2).mean())) if len(s) else 0.0
+                    for s in segs]
+        except ImportError:
+            return _decode_wav_envelope(payload)
     raise NotImplementedError(
-        "real media decode needs an image/audio backend (PIL/av); "
-        "not available in this environment — use decode_backend='fake'"
+        f"real decode for media_type={media_type!r} needs a codec backend "
+        "(e.g. av for video) not present in this environment — use "
+        "decode_backend='fake', or image/audio payloads in BMP/WAV"
     )
 
 
