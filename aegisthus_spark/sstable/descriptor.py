@@ -47,6 +47,34 @@ def has_uint_deletion_time(version: str) -> bool:
     return version >= "oa"
 
 
+#: BTI ("trie-index", Cassandra 5.0's second on-disk format, filenames
+#: <version>-<gen>-bti-<component>) version -> the BIG-format version with
+#: the identical Data.db/Statistics.db serialization. BtiFormat changes
+#: only the INDEX structures (Partitions.db/Rows.db tries replace
+#: Index.db/Summary.db); partition/row/cell bytes and the stats metadata
+#: are shared with the big format ("da" <-> "oa", both 5.0). Data files
+#: from BTI tables therefore decode through the oa path with whole-file
+#: splits (no Index.db to cut on; the trie sidecars are skipped).
+BTI_ROW_FORMAT_EQUIV = {"da": "oa"}
+
+
+def effective_version(version: str, fmt: str = "big") -> str:
+    """Filename version -> the big-format version whose row serialization
+    governs decode (identity for big/legacy versions). An unknown BTI
+    version is REJECTED rather than guessed: bti versions share no
+    lexical order with big versions ('db' would otherwise read as a
+    pre-3.0 legacy format and misparse)."""
+    if fmt == "bti":
+        if version not in BTI_ROW_FORMAT_EQUIV:
+            raise UnsupportedVersionError(
+                f"BTI format version '{version}' is not supported: known "
+                f"row-format equivalents exist for "
+                f"{sorted(BTI_ROW_FORMAT_EQUIV)} only"
+            )
+        return BTI_ROW_FORMAT_EQUIV[version]
+    return BTI_ROW_FORMAT_EQUIV.get(version, version)
+
+
 class UnsupportedVersionError(Exception):
     """SSTable format version outside the verified decode range.
 
@@ -71,7 +99,7 @@ _LEGACY = re.compile(
     r"^(?P<ks>[^-]+(?:-[^-]+)*)-(?P<table>[^-]+)-(?P<version>[a-z]{2})-(?P<gen>\d+)-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
 )
 _BIG = re.compile(
-    r"^(?P<version>[a-z]{2})-(?P<gen>\d+)-big-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
+    r"^(?P<version>[a-z]{2})-(?P<gen>\d+)-(?P<fmt>big|bti)-(?P<comp>[A-Za-z]+\.(?:db|txt|sha1|crc32))$"
 )
 
 
@@ -82,6 +110,7 @@ class Descriptor:
     version: str
     generation: int
     component: str
+    fmt: str = "big"  # "big" | "bti" (2.2+ layouts); legacy names are big
 
     @property
     def has_row_size_and_column_count(self) -> bool:
@@ -91,7 +120,7 @@ class Descriptor:
         """Filename of another component of the same SSTable."""
         if self.keyspace:
             return f"{self.keyspace}-{self.table}-{self.version}-{self.generation}-{component}"
-        return f"{self.version}-{self.generation}-big-{component}"
+        return f"{self.version}-{self.generation}-{self.fmt}-{component}"
 
 
 def parse_filename(path: str) -> Descriptor:
@@ -105,6 +134,7 @@ def parse_filename(path: str) -> Descriptor:
         return Descriptor(
             keyspace="", table=table or ks, version=m.group("version"),
             generation=int(m.group("gen")), component=m.group("comp"),
+            fmt=m.group("fmt"),
         )
     m = _LEGACY.match(name)
     if m:
@@ -118,9 +148,12 @@ def parse_filename(path: str) -> Descriptor:
 
 
 def version_of(path: str, default: str = CURRENT_VERSION) -> str:
-    """Version from filename; falls back to CURRENT like the reference
-    (SSTableRecordReader.java:99-104 swallows parse failures)."""
+    """EFFECTIVE row-format version from the filename (BTI versions map
+    to their big-format serialization twin); falls back to CURRENT like
+    the reference (SSTableRecordReader.java:99-104 swallows parse
+    failures)."""
     try:
-        return parse_filename(path).version
+        d = parse_filename(path)
     except ValueError:
         return default
+    return effective_version(d.version, d.fmt)

@@ -358,10 +358,14 @@ def header_for_data_file(data_path: str) -> SerializationHeader:
     """Locate + parse the Statistics.db sibling of a Data.db path."""
     from .descriptor import parse_filename
 
+    from .descriptor import effective_version
+
     d = parse_filename(data_path)
     stats = os.path.join(os.path.dirname(data_path), d.sibling("Statistics.db"))
     with open(stats, "rb") as f:
-        return parse_serialization_header(f.read(), version=d.version)
+        return parse_serialization_header(
+            f.read(), version=effective_version(d.version, d.fmt)
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -1292,6 +1292,63 @@ def test_compact_snapshot_auto_comparator_on_ma_input(spark, tmp_path):
     assert "BatchEvalPython" not in plan
 
 
+def test_bti_format_decodes_via_oa_row_path(spark, tmp_path):
+    """Cassandra 5.0's BTI (trie-index) format shares the big format's
+    Data.db/Statistics.db serialization — only the index sidecars differ
+    (Partitions.db/Rows.db tries replace Index.db). A 'da-N-bti-*' table
+    must be discovered, planned as whole-file splits (no Index.db), and
+    decode through the oa row path, with the trie sidecars skipped."""
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sources.sstable_source import (
+        DEFAULT_TARGET_SPLIT,
+        _plan_one,
+        discover_data_files,
+    )
+    from aegisthus_spark.sstable.descriptor import (
+        effective_version,
+        parse_filename,
+        version_of,
+    )
+
+    d = tmp_path / "bti"
+    parts = [
+        {"key": f"k{i}".encode(), "rows": [
+            {"clustering": [b"c"], "liveness": (100 + i,),
+             "cells": [{"column": b"val", "value": b"x%d" % i}]},
+        ]}
+        for i in range(5)
+    ]
+    write_sstable_ma(
+        str(d), parts, clustering_types=[UTF8],
+        regular_columns=[(b"val", UTF8)], version="oa",
+    )
+    (d / "oa-1-big-Index.db").unlink()
+    for f in sorted(d.iterdir()):
+        f.rename(d / f.name.replace("oa-1-big-", "da-1-bti-", 1))
+    # trie sidecars present but unused
+    (d / "da-1-bti-Partitions.db").write_bytes(b"\x00trie")
+    (d / "da-1-bti-Rows.db").write_bytes(b"\x00trie")
+
+    path = str(d / "da-1-bti-Data.db")
+    desc = parse_filename(path)
+    assert (desc.version, desc.fmt) == ("da", "bti")
+    assert desc.sibling("Statistics.db") == "da-1-bti-Statistics.db"
+    assert version_of(path) == "oa"  # effective row-format version
+    assert effective_version("da") == "oa"
+    assert discover_data_files([str(d)]) == [path]
+    splits = _plan_one(path, DEFAULT_TARGET_SPLIT)
+    assert len(splits) == 1 and splits[0][3] == "oa"  # whole-file, oa path
+    cells = read_sstable_cells(spark, [str(d)])
+    assert cells.count() == 10  # marker + cell per key
+    # a future/unknown bti version is rejected, not guessed
+    for f in sorted(d.iterdir()):
+        f.rename(d / f.name.replace("da-1-bti-", "db-1-bti-", 1))
+    from aegisthus_spark.sstable.descriptor import UnsupportedVersionError
+
+    with pytest.raises(UnsupportedVersionError):
+        read_sstable_cells(spark, [str(d)]).count()
+
+
 def test_auto_comparator_rejects_disagreeing_headers(spark, tmp_path):
     """column_type='auto' must refuse inputs whose self-describing
     headers disagree on anything the sort key derives from — trusting
