@@ -185,7 +185,7 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -203,7 +203,28 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax")))
+            # two sf1-scale determinism hazards, both engine-portable now:
+            # (1) a naive THREE-factor decimal product overflows precision
+            # 38, where Spark silently reduces scale while DuckDB keeps
+            # narrow widths — re-anchoring the two-factor intermediate to
+            # an exact DECIMAL(18,4) makes the second multiply land at
+            # precision exactly 38 (18+19+1) with NO lossy reduction;
+            # (2) casting a scale-6 decimal sum to DOUBLE double-rounds
+            # once the scaled integer exceeds 2^53 (DuckDB converts the
+            # backing int then divides; Spark rounds the decimal directly
+            # — 1-ulp splits at 6M rows), so the sum is ROUNDed to cents
+            # first, keeping the scaled value < 2^53 where both engines'
+            # casts are exact-then-correctly-rounded. ROUND, not a
+            # decimal cast: both engines' ROUND is half-away-from-zero,
+            # while DuckDB's decimal-narrowing CAST truncates ties
+            F.round(
+                F.sum(
+                    (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+                    .cast("decimal(18,4)")
+                    * (F.lit(1) + dec("l_tax"))
+                ),
+                2,
+            )
             .cast("double")
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
