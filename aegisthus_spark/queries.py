@@ -2602,6 +2602,40 @@ def sst_decode_oa_external(spark, sf_dir):
     )
 
 
+_VARINT_FIXTURES = "/root/repo/tests/fixtures/ma_varint"
+_VARINT_GOLDEN = "/root/repo/tests/golden/decode_golden_varint.parquet"
+
+
+@register(
+    "sst_decode_varint",
+    f"SELECT line FROM read_parquet('{_VARINT_GOLDEN}') ORDER BY line",
+    doc="varint/decimal-clustered decode + TYPED compact: a 4.0 (nb, "
+        "checksummed-stats) table clustered by (IntegerType, DecimalType) "
+        "— the comparators whose JVM-side sort keys round 7 added. The "
+        "golden is only reachable through typed order: an RT over varint "
+        "[-100..0] shadows exactly the ck0=-50 row (two's-complement raw "
+        "bytes scramble numeric order), +/-10^25 wide varints order "
+        "correctly, and two numerically-EQUAL decimal clustering values "
+        "under different encodings (5 vs 5.0) LWW-collapse to the newer "
+        "write. Plan stays in whole-stage codegen (no BatchEvalPython, "
+        "asserted in tests/test_plans.py + test_sortkeys.py)",
+)
+def sst_decode_varint(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, name_sort_key_for_header
+
+    sk = name_sort_key_for_header(
+        header_for_data_file(f"{_VARINT_FIXTURES}/gen1/nb-1-big-Data.db")
+    )
+    cells = read_sstable_cells(spark, [f"{_VARINT_FIXTURES}/gen1"])
+    return (
+        to_aeg_json(compact(cells, name_sort_key=sk))
+        .select(F.col("value").alias("line"))
+        .orderBy("line")
+    )
+
+
 _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
 
 
