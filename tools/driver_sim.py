@@ -76,6 +76,18 @@ def main():
     qs, oracles = entry.queries(), entry.oracle_sql()
 
     con = duckdb.connect()
+    # bound the oracle's appetite: at sf1 under memory pressure DuckDB
+    # spills to <cwd>/.tmp and once filled the entire disk (74 GB) before
+    # the OS killed the box's other work. A capped spill dir turns a
+    # pathological oracle plan into a clean per-query error instead.
+    con.execute("SET temp_directory='/tmp/duckdb_driver_sim_spill'")
+    con.execute(
+        "SET max_temp_directory_size='"
+        + os.environ.get("AEGISTHUS_DUCKDB_SPILL", "20GB") + "'"
+    )
+    con.execute(
+        "SET memory_limit='" + os.environ.get("AEGISTHUS_DUCKDB_MEM", "24GB") + "'"
+    )
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
