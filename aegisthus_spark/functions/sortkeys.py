@@ -84,7 +84,14 @@ _EOC_MINUS = "!"
 _EOC_ZERO = "+"
 _EOC_PLUS = "Z"
 
-_HEX_COMPLEMENT = ("0123456789ABCDEF", "FEDCBA9876543210")
+#: ReversedType complement map. Beyond the hex digits it must also swap
+#: the decimal key's mantissa terminators ('!' closes a positive
+#: mantissa BELOW its extensions, 'Z' closes a complemented negative one
+#: ABOVE them — see _decimal_hex): a terminator left fixed under the
+#: complement would keep mantissa-prefix pairs (5 vs 5.1) in ASC order
+#: inside a DESC clustering. The Python twin gets this for free by
+#: inverting every BYTE; the string encoding needs the explicit swap.
+_HEX_COMPLEMENT = ("0123456789ABCDEF!Z", "FEDCBA9876543210Z!")
 
 
 def _strip_pkg(name: str) -> str:
@@ -206,7 +213,7 @@ def supported(marshal: str) -> bool:
         t in _BYTE_ORDERED
         or t in _SIGNED_WIDTH
         or t in ("FloatType", "DoubleType", "UUIDType", "TimeUUIDType",
-                 "IntegerType", "DecimalType")
+                 "LexicalUUIDType", "IntegerType", "DecimalType")
     )
 
 
@@ -286,18 +293,25 @@ def _decimal_hex(comp: Column) -> Column:
         scale_u
     )
     un = F.substring(comp, 5, F.lit(_REST))
-    uh = F.hex(un)
-    neg = F.substring(uh, 1, 1).isin(*"89ABCDEF")
+    uh_raw = F.hex(un)
+    neg = F.substring(uh_raw, 1, 1).isin(*"89ABCDEF")
+    # normalize away redundant sign-extension padding BEFORE the width
+    # guard (same minimal-form rule as _varint_hex): a 9-byte encoding of
+    # a value that fits 8 must digitize, not abort
+    uh = F.when(
+        neg, F.regexp_replace(uh_raw, "^(?:FF(?=[89A-F]))+", "")
+    ).otherwise(F.regexp_replace(uh_raw, "^(?:00(?=[0-7]))+", ""))
     # unscaled as exact decimal: unsigned conv, then two's-complement
     # sign adjustment by the width's power of two
     u_dec = F.conv(uh, 16, 10).cast("decimal(21,0)")
     from decimal import Decimal as _Dec
 
     two_pow = F.lit(0).cast("decimal(21,0)")
+    norm_bytes = (F.length(uh) / 2).cast("int")
     for w in range(1, 9):
         # Decimal literals: 2**64 overflows a Java long in F.lit
         two_pow = F.when(
-            F.length(un) == w, F.lit(_Dec(1 << (8 * w))).cast("decimal(21,0)")
+            norm_bytes == w, F.lit(_Dec(1 << (8 * w))).cast("decimal(21,0)")
         ).otherwise(two_pow)
     value = F.when(neg, u_dec - two_pow).otherwise(u_dec)
     mag = F.abs(value)
@@ -339,7 +353,7 @@ def _decimal_hex(comp: Column) -> Column:
     return (
         F.when(F.length(comp) == 0, F.lit(""))
         .when(F.length(comp) < 5, F.concat(F.lit("."), F.hex(comp)))
-        .when(F.length(un) > 8, wide)
+        .when(F.length(uh) > 16, wide)
         .otherwise(key)
     )
 
@@ -379,6 +393,22 @@ def type_sort_key_hex(comp: Column, marshal: str) -> Column:
                 ver,
                 F.when(ver == "1", _timeuuid_key(h)).otherwise(F.lit("")),
                 h,
+            ),
+        )
+    if t == "LexicalUUIDType":
+        # UUID.compareTo: MSB then LSB as SIGNED longs -> flip the sign
+        # bit of byte 0 and byte 8 (the Python _sk_lexuuid twin)
+        flipped8 = (
+            F.conv(F.hex(F.substring(comp, 9, 1)), 16, 10).cast("int")
+            + F.lit(128)
+        ) % F.lit(256)
+        return _malformed_guard(
+            comp,
+            16,
+            F.concat(
+                _flip_first_byte_hex(F.substring(comp, 1, 8)),
+                F.lpad(F.conv(flipped8.cast("string"), 10, 16), 2, "0"),
+                F.hex(F.substring(comp, 10, 7)),
             ),
         )
     if t == "IntegerType":

@@ -90,8 +90,14 @@ def compact_snapshot(
             # key derives from (clustering types; collection columns,
             # whose cell paths order by their own comparators). Trusting
             # modern[0] alone would silently compact inputs spanning
-            # differently-clustered tables under the wrong order.
-            headers = {f: header_for_data_file(f) for f in modern}
+            # differently-clustered tables under the wrong order. Parsed
+            # through a thread pool like the split planner — a snapshot
+            # holds thousands of small Statistics.db files, and a serial
+            # open+read+CRC loop would dominate job setup on slow stores.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=20) as pool:
+                headers = dict(zip(modern, pool.map(header_for_data_file, modern)))
             header = headers[modern[0]]
 
             def _sort_inputs(h):

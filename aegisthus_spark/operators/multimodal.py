@@ -128,44 +128,62 @@ def _decode_wav_envelope(payload: bytes) -> list[float]:
     if n == 0:
         return [0.0] * FEATURE_DIM
     samples = _s.unpack(f"<{n}h", data[: 2 * n])
+    return [v / 32768.0 for v in _audio_envelope(samples, n)]
+
+
+def _audio_envelope(samples, n_samples: int) -> list[float]:
+    """FEATURE_DIM-segment RMS envelope with the SAME segment boundaries
+    regardless of decode library (i*n//DIM slicing, never empty) — the
+    stdlib WAV path and any library path must agree on identical input."""
     out = []
     for i in range(FEATURE_DIM):
-        seg = samples[i * n // FEATURE_DIM : max(i * n // FEATURE_DIM + 1,
-                                                 (i + 1) * n // FEATURE_DIM)]
-        out.append((sum(s * s for s in seg) / len(seg)) ** 0.5 / 32768.0)
+        lo = i * n_samples // FEATURE_DIM
+        hi = max(lo + 1, (i + 1) * n_samples // FEATURE_DIM)
+        seg = samples[lo:hi]
+        out.append((sum(s * s for s in seg) / len(seg)) ** 0.5)
     return out
 
 
 def _decode_real(payload: bytes, media_type: str) -> list[float]:
-    """Real codec path: library-backed when PIL/soundfile are installed,
-    stdlib-parsed for the self-describing uncompressed containers (24-bit
-    BMP, 16-bit PCM WAV) so the path is exercisable hermetically. The
+    """Real codec path. DETERMINISM RULE: the self-describing uncompressed
+    containers (24-bit BMP, 16-bit PCM WAV) ALWAYS take the stdlib
+    parsers — never an installed library — so the same payload yields the
+    same features on every host (PIL's resize resampling and rounded 'L'
+    conversion differ from exact box means). Installed libraries extend
+    coverage to OTHER formats only (PNG/JPEG via PIL, FLAC/OGG via
+    soundfile), where there is a single defined path per host class. The
     Spark-side plumbing (mapInArrow batching, schema, partition
     preservation) is identical to the fake backend's."""
     if media_type == "image":
-        try:
-            from PIL import Image  # type: ignore
-            import io
-
-            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
-            return [p / 255.0 for p in img.getdata()]
-        except ImportError:
+        if payload[:2] == b"BM":
             return _decode_bmp_gray_grid(payload)
-    if media_type == "audio":
         try:
             import io
 
-            import numpy as np
-            import soundfile as sf  # type: ignore
-
-            samples, _rate = sf.read(io.BytesIO(payload), dtype="float64")
-            if samples.ndim > 1:
-                samples = samples.mean(axis=1)
-            segs = np.array_split(samples, FEATURE_DIM)
-            return [float(np.sqrt((s ** 2).mean())) if len(s) else 0.0
-                    for s in segs]
+            from PIL import Image  # type: ignore
         except ImportError:
+            raise ValueError(
+                "not a BMP payload and no image library installed — "
+                "stdlib decode covers uncompressed 24-bit BMP only"
+            )
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return [p / 255.0 for p in img.getdata()]
+    if media_type == "audio":
+        if payload[:4] == b"RIFF":
             return _decode_wav_envelope(payload)
+        try:
+            import io
+
+            import soundfile as sf  # type: ignore
+        except ImportError:
+            raise ValueError(
+                "not a WAV payload and no audio library installed — "
+                "stdlib decode covers 16-bit PCM WAV only"
+            )
+        samples, _rate = sf.read(io.BytesIO(payload), dtype="float64")
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        return [min(1.0, v) for v in _audio_envelope(list(samples), len(samples))]
     raise NotImplementedError(
         f"real decode for media_type={media_type!r} needs a codec backend "
         "(e.g. av for video) not present in this environment — use "

@@ -33,6 +33,15 @@ CURRENT_VERSION = "jb"
 MODERN_VERSION_MIN = "ma"
 MODERN_VERSION_MAX = "oa"
 
+#: the exact big-format versions Cassandra ever released in the modern
+#: row format (BigFormat.java version history): 3.0/3.x ma..me, 4.0/4.1
+#: na..nc, 5.0 oa. An explicit set, NOT the lexical range [ma, oa] — a
+#: hypothetical future 'nd'..'nz' release could change the row layout
+#: and must be rejected, not guessed (same posture as post-oa versions).
+MODERN_VERSIONS = frozenset(
+    ["ma", "mb", "mc", "md", "me", "na", "nb", "nc", "oa"]
+)
+
 
 def has_metadata_checksum(version: str) -> bool:
     """4.0+ Statistics.db carries CRC32 checksums after the TOC and each
@@ -72,7 +81,9 @@ def effective_version(version: str, fmt: str = "big") -> str:
                 f"{sorted(BTI_ROW_FORMAT_EQUIV)} only"
             )
         return BTI_ROW_FORMAT_EQUIV[version]
-    return BTI_ROW_FORMAT_EQUIV.get(version, version)
+    # identity for big/legacy names: a (nonsensical) 'da-N-big-*' file
+    # must NOT silently borrow the bti mapping and decode as 5.0
+    return version
 
 
 class UnsupportedVersionError(Exception):
@@ -85,14 +96,14 @@ class UnsupportedVersionError(Exception):
 
 
 def check_modern_version(version: str) -> None:
-    """Reject modern-format versions beyond the verified range."""
-    if not (MODERN_VERSION_MIN <= version <= MODERN_VERSION_MAX):
+    """Reject modern-format versions outside the verified set."""
+    if version not in MODERN_VERSIONS:
         raise UnsupportedVersionError(
             f"SSTable format version '{version}' is not supported: the "
             f"modern-format decoder is verified for "
-            f"'{MODERN_VERSION_MIN}'..'{MODERN_VERSION_MAX}' (Cassandra "
-            "3.x/4.x/5.0 big format); later versions may change the row "
-            "layout and would misparse silently if guessed"
+            f"{sorted(MODERN_VERSIONS)} (Cassandra 3.x/4.x/5.0 big "
+            "format); other versions may change the row layout and would "
+            "misparse silently if guessed"
         )
 
 _LEGACY = re.compile(

@@ -261,6 +261,16 @@ def _sk_uuid(b: bytes) -> bytes:
     return bytes([ver]) + ts + bytes(b)
 
 
+def _sk_lexuuid(b: bytes) -> bytes:
+    # LexicalUUIDType compares via UUID.compareTo: most-significant then
+    # least-significant 64 bits as SIGNED longs — so flip the sign bit of
+    # byte 0 and byte 8 (raw bytes would misplace UUIDs whose MSB/LSB
+    # sign bits differ). Malformed widths keep raw bytes (injective).
+    if len(b) != 16:
+        return bytes(b)
+    return bytes([b[0] ^ 0x80]) + bytes(b[1:8]) + bytes([b[8] ^ 0x80]) + bytes(b[9:])
+
+
 def _sk_timeuuid(b: bytes) -> bytes:
     # TimeUUID sorts by its 60-bit timestamp: time_hi(12 bits sans version),
     # time_mid, time_low, then the raw bytes as tiebreak; empty smallest
@@ -301,7 +311,8 @@ _SIMPLE = {
             -int.from_bytes(b[:4], "big", signed=True)
         ),
     ),
-    "LexicalUUIDType": Comparator("LexicalUUIDType", T.StringType(), _render_uuid, None,
+    "LexicalUUIDType": Comparator("LexicalUUIDType", T.StringType(), _render_uuid,
+                                  _sk_lexuuid,
                                   lambda b: str(_uuid.UUID(bytes=bytes(b)))),
 }
 

@@ -1334,7 +1334,10 @@ def test_bti_format_decodes_via_oa_row_path(spark, tmp_path):
     assert (desc.version, desc.fmt) == ("da", "bti")
     assert desc.sibling("Statistics.db") == "da-1-bti-Statistics.db"
     assert version_of(path) == "oa"  # effective row-format version
-    assert effective_version("da") == "oa"
+    assert effective_version("da", "bti") == "oa"
+    # the mapping must NOT leak into big/legacy names: a (nonsensical)
+    # 'da' under fmt='big' stays 'da' and gets rejected downstream
+    assert effective_version("da") == "da"
     assert discover_data_files([str(d)]) == [path]
     splits = _plan_one(path, DEFAULT_TARGET_SPLIT)
     assert len(splits) == 1 and splits[0][3] == "oa"  # whole-file, oa path
@@ -1586,11 +1589,12 @@ def test_large_subset_hypothesis_roundtrip():
     check()
 
 
-def test_auto_comparator_falls_back_to_udf_for_decimal_clustering(spark, tmp_path):
-    """DecimalType clustering has no JVM-side order-preserving encoding;
-    column_type='auto' must fall back to the Python types.sort_key UDF
-    (built from the header) instead of crashing."""
+def test_auto_comparator_decimal_clustering_stays_jvm_side(spark, tmp_path):
+    """DecimalType clustering now has a JVM-side order-preserving
+    encoding (round 7): column_type='auto' must compact it with NO
+    BatchEvalPython in the plan."""
     from aegisthus_spark import job
+    from aegisthus_spark.plans import physical_plan
 
     DECIMAL = "org.apache.cassandra.db.marshal.DecimalType"
     # decimal encoding: i32 scale + big-endian two's-complement unscaled
@@ -1611,11 +1615,77 @@ def test_auto_comparator_falls_back_to_udf_for_decimal_clustering(spark, tmp_pat
         clustering_types=[DECIMAL], regular_columns=[(b"val", UTF8)],
         generation=1,
     )
-    rows = job.compact_snapshot(spark, [str(d1)], column_type="auto").collect()
+    out = job.compact_snapshot(spark, [str(d1)], column_type="auto")
+    assert "BatchEvalPython" not in physical_plan(out, "simple")
+    rows = out.collect()
     assert len(rows) == 1
     vals = {bytes(c.value) for c in rows[0].columns if c.kind == "c"
             and c.value not in (None, b"")}
     assert {b"seven", b"hundred"} <= vals
+
+
+def test_auto_comparator_unknown_type_errors_clearly(spark, tmp_path):
+    """A comparator class NEITHER sort-key path knows (JVM expressions
+    or the Python types registry) must surface a clear 'unsupported
+    comparator' ValueError from column_type='auto' — exercising the
+    except-ValueError fallback wiring in job.py (the JVM path raises,
+    the Python path is consulted, and ITS error propagates) rather than
+    compacting under a silently wrong order. Every comparator the
+    Python registry knows is now also JVM-side (asserted), so the UDF
+    fallback can only ever fire for user-supplied column_type specs."""
+    from aegisthus_spark import job
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.functions.sortkeys import supported
+
+    # the Python-known set is a subset of the JVM-supported set
+    assert all(supported(n) for n in aegtypes._SIMPLE)
+
+    # DynamicCompositeType: a real Cassandra comparator neither side
+    # implements (order depends on per-name aliases)
+    DYN = "org.apache.cassandra.db.marshal.DynamicCompositeType"
+    d1 = tmp_path / "g1"
+    write_sstable_ma(
+        str(d1),
+        [{"key": b"k", "rows": [
+            {"clustering": [b"a"], "liveness": (100,),
+             "cells": [{"column": b"val", "value": b"x"}]},
+        ]}],
+        clustering_types=[DYN], regular_columns=[(b"val", UTF8)],
+        generation=1,
+    )
+    assert not supported(DYN)
+    with pytest.raises(ValueError, match="unsupported comparator"):
+        job.compact_snapshot(spark, [str(d1)], column_type="auto").collect()
+
+
+def test_lexical_uuid_signed_long_order(spark):
+    """LexicalUUIDType orders by UUID.compareTo — MSB then LSB as SIGNED
+    longs — on both key paths; raw bytes would misplace UUIDs whose sign
+    bits differ."""
+    import uuid as _uuid
+
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.functions.sortkeys import type_sort_key_hex
+    from pyspark.sql import functions as F
+
+    def u(msb, lsb):
+        return (msb % (1 << 64)).to_bytes(8, "big") + (lsb % (1 << 64)).to_bytes(8, "big")
+
+    vals = [u(-5, 0), u(-1, -3), u(-1, 2), u(0, -1), u(0, 5), u(7, -9), u(7, 1)]
+    # expected order IS the list order (signed msb asc, then signed lsb)
+    comp = aegtypes.get("LexicalUUIDType")
+    py = [comp.sort_key(v) for v in vals]
+    assert py == sorted(py), "python signed order"
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, b binary"
+    )
+    rows = df.select("i", type_sort_key_hex(F.col("b"), "LexicalUUIDType")
+                     .alias("k")).collect()
+    jvm = [r.k for r in sorted(rows, key=lambda r: r.i)]
+    assert jvm == sorted(jvm), "jvm signed order"
+    # raw bytes would NOT be sorted (sign bits scramble), proving the
+    # transform is load-bearing
+    assert vals != sorted(vals)
 
 
 def test_auto_comparator_rejects_future_version_before_header_parse(

@@ -98,8 +98,14 @@ def test_multimodal_pipeline(spark, docs):
     assert feats.orderBy("media_id").collect() == again.orderBy("media_id").collect()
 
     # real backend: fake text payloads aren't valid containers -> clear
-    # error (NotImplementedError for video, ValueError for image/audio)
-    with pytest.raises(Exception, match="NotImplementedError|not a BMP|not a WAV"):
+    # error (NotImplementedError for video; ValueError for image/audio
+    # without libraries; the library's own identify error when PIL or
+    # soundfile is installed)
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|not a BMP|not a WAV|cannot identify"
+              "|Format not recognised|Error",
+    ):
         extract_features(media, decode_backend="real").first()
 
     plan = frame_sample_plan(media, every_ms=10000)
