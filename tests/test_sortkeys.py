@@ -165,6 +165,80 @@ def test_decimal_key_matches_numeric_and_python_order(spark):
                   lambda c: type_sort_key_hex(c, "DecimalType"))
 
 
+def test_reversed_decimal_inverts_mantissa_prefix_pairs(spark):
+    """Round-7 review regression: ReversedType(DecimalType) must invert
+    order for mantissa-PREFIX pairs (5 vs 5.1, 500 vs 510 — same
+    adjusted exponent, one mantissa extending the other). The decimal
+    key's '!'/'Z' terminators must swap under the ReversedType
+    complement; left fixed, DESC order silently kept such pairs
+    ascending while the Python byte-inverting twin flipped them."""
+    from decimal import Decimal
+
+    cases = [(500, 0), (510, 0), (5, 0), (51, 1), (-50, 1), (-51, 1),
+             (0, 0), (123, 2), (-5, 0), (7, 0), (100, 0)]
+    raw = [_enc_decimal(u, s) for u, s in cases]
+    dvals = [Decimal(u).scaleb(-s) for u, s in cases]
+    keys = _jvm_keys(spark, raw,
+                     lambda c: type_sort_key_hex(c, "ReversedType(DecimalType)"))
+    py = [aegtypes.get("ReversedType(DecimalType)").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "reversed-decimal-python")
+    for (i, x), (j, y) in itertools.combinations(enumerate(keys), 2):
+        assert ((x > y) - (x < y)) == (
+            (dvals[j] > dvals[i]) - (dvals[j] < dvals[i])
+        ), ("reversed numeric", dvals[i], dvals[j])
+
+
+def test_reversed_varint_and_lexuuid_parity(spark):
+    """ReversedType over the other round-7 additions keeps JVM/Python
+    order parity (the complement map must behave for every key
+    alphabet, not just hex digits)."""
+    ints = [-(10 ** 20), -255, -1, 0, 1, 127, 128, 10 ** 20]
+    raw = [_enc_varint(v) for v in ints]
+    keys = _jvm_keys(spark, raw,
+                     lambda c: type_sort_key_hex(c, "ReversedType(IntegerType)"))
+    py = [aegtypes.get("ReversedType(IntegerType)").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "reversed-varint-python")
+    ranked = [v for _, v in sorted(zip(keys, ints))]
+    assert ranked == sorted(ints, reverse=True)
+
+    uuids = [(m % (1 << 64)).to_bytes(8, "big") + (l % (1 << 64)).to_bytes(8, "big")
+             for m, l in [(-5, 0), (-1, 2), (0, -1), (0, 5), (7, 1)]]
+    keys = _jvm_keys(spark, uuids,
+                     lambda c: type_sort_key_hex(c, "ReversedType(LexicalUUIDType)"))
+    py = [aegtypes.get("ReversedType(LexicalUUIDType)").sort_key(b) for b in uuids]
+    _assert_same_order(keys, py, uuids, "reversed-lexuuid-python")
+
+
+@settings(max_examples=25, deadline=None)
+@given(cases=st.lists(
+    st.tuples(st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=2, max_size=5))
+def test_reversed_decimal_hypothesis_parity(spark, cases):
+    raw = [_enc_decimal(u, s) for u, s in cases]
+    keys = _jvm_keys(spark, raw,
+                     lambda c: type_sort_key_hex(c, "ReversedType(DecimalType)"))
+    py = [aegtypes.get("ReversedType(DecimalType)").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "reversed-decimal-fuzz")
+
+
+def test_decimal_nonminimal_unscaled_normalizes(spark):
+    """A decimal whose unscaled varint carries redundant sign-extension
+    padding (9 bytes encoding a value that fits 8) must digitize to the
+    same key as the minimal encoding, not abort with the width raise."""
+    import struct as _s
+
+    minimal = _enc_decimal(5, 1)
+    padded = _s.pack(">i", 1) + b"\x00" * 5 + (5).to_bytes(4, "big")
+    assert len(padded) - 4 == 9
+    neg_min = _enc_decimal(-5, 1)
+    neg_pad = _s.pack(">i", 1) + b"\xff" * 5 + (-5).to_bytes(4, "big", signed=True)
+    keys = _jvm_keys(spark, [minimal, padded, neg_min, neg_pad],
+                     lambda c: type_sort_key_hex(c, "DecimalType"))
+    assert keys[0] == keys[1]
+    assert keys[2] == keys[3]
+
+
 @settings(max_examples=25, deadline=None)
 @given(ints=st.lists(st.integers(min_value=-(10 ** 25), max_value=10 ** 25),
                      min_size=2, max_size=6))
