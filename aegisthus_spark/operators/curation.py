@@ -189,6 +189,61 @@ def sample_weighted(
     )
 
 
+def chunk_windows(
+    docs: DataFrame,
+    *,
+    window: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_word, n_words, chunk): overlapping
+    word-window chunks — the retrieval/RAG indexing shape (one row per
+    passage, deterministic ids, word offsets back into the source).
+
+    Chunk starts step by ``stride = window - overlap``; every document
+    yields at least one chunk, and the final partial chunk keeps the
+    tail words (standard passage-window semantics, e.g. DPR's 100-word
+    windows). Pure JVM expressions end-to-end: split once, explode a
+    ``sequence`` of starts, ``slice`` the word array per start — no
+    Python, no shuffle (the explode preserves input partitioning), so at
+    100 TB this runs at scan speed and the output is ready for the
+    similarity/BM25 operators downstream.
+    """
+    if not (0 <= overlap < window):
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}/{window}")
+    stride = window - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    # last start: the largest multiple of stride strictly below n (n >= 1
+    # word given non-empty text; empty text still yields chunk 0)
+    last = F.greatest(
+        F.lit(0), (F.ceil((n - F.lit(window)) / F.lit(stride))).cast("long") * stride
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0).cast("long"), last, F.lit(stride).cast("long")
+                )
+            ).alias("chunk_idx", "start_word"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.col("start_word").cast("int").alias("start_word"),
+            F.least(
+                F.lit(window), F.size("_w") - F.col("start_word").cast("int")
+            ).alias("n_words"),
+            F.array_join(
+                F.slice("_w", F.col("start_word").cast("int") + 1, window), " "
+            ).alias("chunk"),
+        )
+    )
+
+
 def export_shards(
     docs: DataFrame,
     out_dir: str,

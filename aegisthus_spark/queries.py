@@ -2276,10 +2276,10 @@ def ev_value_quantiles(spark, sf_dir):
     """
     SELECT coalesce(n_name, 'ALL') AS nation,
            coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
-           round(SUM(rev), 2) AS revenue
+           CAST(round(SUM(rev), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS yr,
-             l.l_extendedprice * (1 - l.l_discount) AS rev
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2301,12 +2301,16 @@ def q_rollup_revenue(spark, sf_dir):
         .select(
             F.col("n_name"),
             F.year("o_orderdate").alias("yr"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            # EXACT decimal addends (the q3 revenue pattern): a raw
+            # double SUM is order-dependent, and at sf1's 6M rows the
+            # partial-aggregation order split Spark and DuckDB across a
+            # cent-rounding boundary
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev"),
         )
     )
     return (
         joined.rollup("n_name", "yr")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
         .select(
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
@@ -2927,6 +2931,36 @@ def doc_pack_sequences(spark, sf_dir):
     return pack_sequences(
         _t(spark, sf_dir, "documents"), budget=2048, stratum_col="lang"
     ).withColumn("n_tokens", F.col("n_tokens").cast("int")).orderBy("doc_id")
+
+
+@register(
+    "doc_chunk_windows",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws, len(ws) AS n,
+                 GREATEST(0, CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) * 48)
+                   AS last
+          FROM w),
+    x AS (SELECT doc_id, ws, n, unnest(range(0, last + 1, 48)) AS start FROM s)
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_word,
+           CAST(LEAST(64, n - start) AS INT) AS n_words,
+           array_to_string(list_slice(ws, start + 1, start + 64), ' ') AS chunk
+    FROM x ORDER BY doc_id, chunk_idx
+    """,
+    doc="retrieval/RAG passage chunking: overlapping 64-word windows with "
+        "stride 48 (DPR-style), deterministic chunk ids and word offsets "
+        "back into the source; pure JVM split+sequence+posexplode+slice — "
+        "zero shuffle, runs at scan speed, output feeds the BM25/ANN "
+        "operators downstream",
+)
+def doc_chunk_windows(spark, sf_dir):
+    from .operators.curation import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), window=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
 
 
 def _knn_planes():

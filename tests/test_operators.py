@@ -311,6 +311,54 @@ def test_split_assign_deterministic_and_stable(spark):
     assert all(a[k] == v for k, v in c.items())
 
 
+def test_chunk_windows_semantics(spark):
+    """Overlapping word windows: full coverage of every word, stride
+    spacing, tail chunk kept, one chunk minimum (even empty text),
+    offsets that slice back into the source — and a shuffle-free plan."""
+    from aegisthus_spark.operators.curation import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),   # n=10 < window
+         (2, " ".join(f"w{i}" for i in range(4))),    # n == window
+         (3, " ".join(f"w{i}" for i in range(11))),   # tail chunk
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs, window=4, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.start_word, r.n_words, r.chunk)
+         for r in out.collect())
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[0], []).append(r)
+    # doc 2: exactly one chunk covering all 4 words
+    assert [(c[2], c[3]) for c in by_doc[2]] == [(0, 4)]
+    # doc 1 (10 words, stride 2): starts 0,2,4,6 — last window reaches 10
+    assert [c[2] for c in by_doc[1]] == [0, 2, 4, 6]
+    assert by_doc[1][-1][3] == 4 and by_doc[1][-1][4].endswith("w9")
+    # doc 3 (11 words): last start 8, tail n_words 3
+    assert by_doc[3][-1][2:4] == (8, 3)
+    # every word index covered by some chunk
+    covered = set()
+    for _, _, s, n, _ in by_doc[3]:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(11))
+    # empty text: one chunk, empty string
+    assert [(c[2], c[4]) for c in by_doc[4]] == [(0, "")]
+    # chunks slice back into the source exactly
+    src = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+    for d, _, s, n, chunk in rows:
+        assert chunk == " ".join(src[d][s : s + n])
+    # zero shuffle: explode preserves input partitioning
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_windows(docs, window=4, overlap=4)
+
+
 def test_pack_sequences_invariants(spark):
     from aegisthus_spark.operators.curation import pack_sequences
 
