@@ -217,13 +217,21 @@ def supported(marshal: str) -> bool:
     )
 
 
-_DIGIT_COMPLEMENT = ("0123456789", "9876543210")
 _U32_MAX = (1 << 32) - 1
-#: adjusted-exponent shift/complement for the decimal key: scale is an
-#: i32 and conv-digitized mantissas are <= 20 digits, so the adjusted
-#: exponent fits comfortably in (-(2**36), 2**36)
+#: adjusted-exponent shift for the decimal key: scale is an i32 and
+#: conv-digitized mantissas are <= 20 digits, so the SHIFTED adjusted
+#: exponent fits in (0, 2**37) — 10 lpad'd hex digits. The negative
+#: branch complements the whole body with _BODY_COMPLEMENT, so the
+#: field's arithmetic complement is (16**10 - 1) - x by construction.
 _ADJ_SHIFT = 1 << 36
-_ADJ_COMPL = (1 << 37) - 1
+
+#: complement for the decimal key BODY (everything after the sign-class
+#: char): hex digits invert pairwise and the mantissa terminator '!'
+#: (below every digit — a shorter mantissa sorts before its extensions)
+#: maps to 'Z' (above them — inverted for negatives). One translate over
+#: the shared positive-form body keeps the expression tree small: the
+#: digits/adjusted subtrees are referenced once, not once per branch.
+_BODY_COMPLEMENT = ("0123456789ABCDEF!", "FEDCBA9876543210Z")
 
 
 def _varint_hex(comp: Column) -> Column:
@@ -288,57 +296,48 @@ def _decimal_hex(comp: Column) -> Column:
     overwhelmingly common shape for decimal clustering keys. Values
     shorter than the 4-byte scale prefix + 1 take the injective '.'
     malformed guard."""
+    # EXPRESSION-TREE SIZE is the design constraint here (the round-6
+    # lesson): every reuse of a Column DUPLICATES its subtree, and this
+    # key sits under 4+ composite levels x2 bound columns, so compounding
+    # multiplies fast — the first version of this function spent ~9 s per
+    # query in analysis/codegen alone. Each layer below references its
+    # input ONCE (single combined normalization regex, pow() instead of
+    # an 8-way when-chain, sign adjustment as one subtraction, and one
+    # shared positive-form BODY that the negative branch derives from via
+    # a single translate instead of rebuilding adjusted+mantissa).
     scale_u = F.conv(F.hex(F.substring(comp, 1, 4)), 16, 10).cast("long")
-    scale = F.when(scale_u >= F.lit(1 << 31), scale_u - F.lit(1 << 32)).otherwise(
-        scale_u
-    )
+    # signed i32 with ONE reference: ((u + 2^31) mod 2^32) - 2^31
+    scale = ((scale_u + F.lit(1 << 31)) % F.lit(1 << 32)) - F.lit(1 << 31)
     un = F.substring(comp, 5, F.lit(_REST))
     uh_raw = F.hex(un)
     neg = F.substring(uh_raw, 1, 1).isin(*"89ABCDEF")
     # normalize away redundant sign-extension padding BEFORE the width
-    # guard (same minimal-form rule as _varint_hex): a 9-byte encoding of
-    # a value that fits 8 must digitize, not abort
-    uh = F.when(
-        neg, F.regexp_replace(uh_raw, "^(?:FF(?=[89A-F]))+", "")
-    ).otherwise(F.regexp_replace(uh_raw, "^(?:00(?=[0-7]))+", ""))
+    # guard (minimal-form rule, one regex for both signs: each
+    # alternative's lookahead only matches its own sign's padding)
+    uh = F.regexp_replace(uh_raw, "^(?:00(?=[0-7])|FF(?=[89A-F]))+", "")
     # unscaled as exact decimal: unsigned conv, then two's-complement
-    # sign adjustment by the width's power of two
+    # sign adjustment by the width's power of two (powers of two are
+    # exactly representable doubles at any exponent, so pow()->decimal
+    # is exact and replaces an 8-way when-chain over the uh subtree)
     u_dec = F.conv(uh, 16, 10).cast("decimal(21,0)")
-    from decimal import Decimal as _Dec
-
-    two_pow = F.lit(0).cast("decimal(21,0)")
-    norm_bytes = (F.length(uh) / 2).cast("int")
-    for w in range(1, 9):
-        # Decimal literals: 2**64 overflows a Java long in F.lit
-        two_pow = F.when(
-            norm_bytes == w, F.lit(_Dec(1 << (8 * w))).cast("decimal(21,0)")
-        ).otherwise(two_pow)
-    value = F.when(neg, u_dec - two_pow).otherwise(u_dec)
-    mag = F.abs(value)
-    digits = mag.cast("decimal(21,0)").cast("string")
+    two_pow = F.pow(F.lit(2.0), (F.length(uh) * 4).cast("double")).cast(
+        "decimal(21,0)"
+    )
+    value = u_dec - F.when(neg, two_pow).otherwise(F.lit(0))
+    digits = F.abs(value).cast("decimal(21,0)").cast("string")
     adjusted = (F.length(digits) - F.lit(1)).cast("long") - scale
     mant = F.regexp_replace(digits, "0+$", "")
-    pos_key = F.concat(
-        F.lit("2"),
+    # shared body: the positive form; negatives complement it wholesale
+    body = F.concat(
         F.lpad(F.conv((adjusted + F.lit(_ADJ_SHIFT)).cast("string"), 10, 16),
                10, "0"),
         mant,
         F.lit("!"),
     )
-    neg_key = F.concat(
-        F.lit("0"),
-        F.lpad(
-            F.conv(
-                (F.lit(_ADJ_COMPL) - (adjusted + F.lit(_ADJ_SHIFT))).cast("string"),
-                10, 16,
-            ),
-            10, "0",
-        ),
-        F.translate(mant, *_DIGIT_COMPLEMENT),
-        F.lit("Z"),
-    )
     key = F.when(u_dec == 0, F.lit("1")).otherwise(
-        F.when(neg, neg_key).otherwise(pos_key)
+        F.when(
+            neg, F.concat(F.lit("0"), F.translate(body, *_BODY_COMPLEMENT))
+        ).otherwise(F.concat(F.lit("2"), body))
     )
     wide = F.raise_error(
         F.concat(
