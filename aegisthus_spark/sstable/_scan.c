@@ -51,6 +51,13 @@ static inline int32_t rd_i32(const uint8_t *p) {
 static inline int64_t rd_i64(const uint8_t *p) {
     return (int64_t)(((uint64_t)rd_i32(p) << 32) | (uint32_t)rd_i32(p + 4));
 }
+/* clamp a local-deletion-time into the canonical int32 schema: only 5.0
+ * ("oa") inputs can exceed Integer.MAX_VALUE (CASSANDRA-14227 extends
+ * deletions to 2106); the Python twin saturates identically (_sat_ldt) —
+ * ldt is gc-grace/rendering metadata, LWW decides on ts/mfda. */
+static inline int32_t ma_sat_ldt(int64_t v) {
+    return v > 2147483647LL ? 2147483647 : (int32_t)v;
+}
 
 int scan_cells(
     const uint8_t *buf, int64_t total, int64_t start, int64_t end,
@@ -623,7 +630,7 @@ int scan_cells_ma(
                     ts[n] = end_mfda;
                     name_valid[n] = 1; max_valid[n] = 1; val_valid[n] = 0;
                     ttl_valid[n] = 0; tsd_valid[n] = 0;
-                    ldt_out[n] = (int32_t)end_ldt; ldt_valid[n] = 1;
+                    ldt_out[n] = ma_sat_ldt(end_ldt); ldt_valid[n] = 1;
                     MA_FINISH_CELL();
                     /* open the next range at the same prefix */
                     if (rt_depth >= MA_RT_STACK ||
@@ -672,7 +679,7 @@ int scan_cells_ma(
                 ts[n] = mfda;
                 name_valid[n] = 1; max_valid[n] = 1; val_valid[n] = 0;
                 ttl_valid[n] = 0; tsd_valid[n] = 0;
-                ldt_out[n] = (int32_t)ldtv; ldt_valid[n] = 1;
+                ldt_out[n] = ma_sat_ldt(ldtv); ldt_valid[n] = 1;
                 MA_FINISH_CELL();
                 continue;
             }
@@ -741,7 +748,7 @@ int scan_cells_ma(
                 ts[n] = del_mfda;
                 name_valid[n] = 1; max_valid[n] = 1; val_valid[n] = 0;
                 ttl_valid[n] = 0; tsd_valid[n] = 0;
-                ldt_out[n] = (int32_t)del_ldt; ldt_valid[n] = 1;
+                ldt_out[n] = ma_sat_ldt(del_ldt); ldt_valid[n] = 1;
                 MA_FINISH_CELL();
             }
 
@@ -799,7 +806,7 @@ int scan_cells_ma(
                 if (has_row_ttl) {
                     kind_out[n] = 'e';
                     ttl_out[n] = (int32_t)row_ttl; ttl_valid[n] = 1;
-                    ldt_out[n] = (int32_t)row_ldt; ldt_valid[n] = 1;
+                    ldt_out[n] = ma_sat_ldt(row_ldt); ldt_valid[n] = 1;
                 } else {
                     kind_out[n] = 'c';
                     ttl_valid[n] = 0; ldt_valid[n] = 0;
@@ -846,7 +853,7 @@ int scan_cells_ma(
                             name_valid[n] = 1; max_valid[n] = 1;
                             val_valid[n] = 0; ttl_valid[n] = 0;
                             tsd_valid[n] = 0;
-                            ldt_out[n] = (int32_t)cd_ldt; ldt_valid[n] = 1;
+                            ldt_out[n] = ma_sat_ldt(cd_ldt); ldt_valid[n] = 1;
                             MA_FINISH_CELL();
                         }
                     }
@@ -935,7 +942,7 @@ int scan_cells_ma(
                         /* 2.x DeletedColumn payload: i32 ldt big-endian
                          * (0 when the ldt is unset, like the Python twin,
                          * which also leaves the ldt COLUMN null then) */
-                        int32_t lv = ldt_set ? (int32_t)cldt : 0;
+                        int32_t lv = ldt_set ? ma_sat_ldt(cldt) : 0;
                         val_data[vb] = (uint8_t)((uint32_t)lv >> 24);
                         val_data[vb + 1] = (uint8_t)((uint32_t)lv >> 16);
                         val_data[vb + 2] = (uint8_t)((uint32_t)lv >> 8);
@@ -950,7 +957,7 @@ int scan_cells_ma(
                         if (vlen) { memcpy(val_data + vb, val, vlen); vb += vlen; }
                         kind_out[n] = 'e';
                         val_valid[n] = 1;
-                        if (ldt_set) { ldt_out[n] = (int32_t)cldt; ldt_valid[n] = 1; }
+                        if (ldt_set) { ldt_out[n] = ma_sat_ldt(cldt); ldt_valid[n] = 1; }
                         else ldt_valid[n] = 0;
                         if (ttl_set) { ttl_out[n] = (int32_t)cttl; ttl_valid[n] = 1; }
                         else ttl_valid[n] = 0;

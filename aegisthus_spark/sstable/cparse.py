@@ -229,20 +229,11 @@ def scan_data_buffer_batches(
         from .descriptor import check_modern_version
 
         check_modern_version(version)
-        if version >= "oa":
-            # 5.0 "oa": the C twin's ldt output arrays are int32 and its
-            # partition DeletionTime read is signed — route through the
-            # pure-Python decoder (which handles the unsigned encoding and
-            # int32 saturation) rather than risking silent overflow. A
-            # documented per-format fallback, never a wrong answer.
-            from .arrow_decode import _modern_batches
-
-            yield from _modern_batches(
-                data, start=start, end=end, source_path=source_path,
-                generation=generation, batch_rows=batch_rows,
-                skip_corrupt=skip_corrupt, version=version,
-            )
-            return
+        # "oa" (5.0) rides the same C path: the scanner never reads the
+        # partition-level localDeletionTime (only mfda at +4, so the
+        # unsigned encoding is moot) and every in-row ldt saturates at
+        # Integer.MAX_VALUE via ma_sat_ldt — byte-for-byte the Python
+        # twin's _sat_ldt behavior.
         yield from _scan_ma_batches(
             data, start=start, end=end, source_path=source_path,
             generation=generation, batch_rows=batch_rows,

@@ -122,6 +122,33 @@ def test_raw_byte_order_would_miss_the_rt(spark, tmp_path):
     assert b"doomed" in vals
 
 
+def test_external_oa_bytes_c_scanner_parity(tmp_path):
+    """The C twin now rides the oa path too (it never reads the
+    partition ldt, and ma_sat_ldt mirrors the Python _sat_ldt clamp):
+    batches must equal the pure-Python decode for the hand-built 5.0
+    bytes, including the year-2100 saturating deletions."""
+    import pyarrow as pa
+
+    from aegisthus_spark.sstable import cparse
+    from aegisthus_spark.sstable.arrow_decode import (
+        scan_data_buffer_batches as py_scan,
+    )
+
+    if not cparse.available():
+        pytest.skip("no C compiler on host")
+    path = ext.write_fixture(str(tmp_path / "table"))
+    data = ext.build_data_db()
+    c_tab = pa.Table.from_batches(list(cparse.scan_data_buffer_batches(
+        data, version="oa", source_path=path)))
+    p_tab = pa.Table.from_batches(list(py_scan(
+        data, version="oa", source_path=path)))
+    assert c_tab.equals(p_tab)
+    # the saturated ldt really flows through the C path
+    ldts = [v for v in c_tab.column("local_deletion_time").to_pylist()
+            if v is not None]
+    assert ext.INT32_MAX in ldts
+
+
 def test_committed_oa_fixture_files_match_builder():
     """The checked-in binaries are exactly the builder's bytes — the
     registered sst_decode_oa_external query reads the committed files,
