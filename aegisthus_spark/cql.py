@@ -283,16 +283,32 @@ def _compose_nonnull(b: Column, cql_type: str) -> Column:
     if cql_type == "blob":
         return b
     if cql_type == "decimal":
-        # i32 scale + unscaled big-endian int — Python registry fallback
-        from . import types as aegtypes
+        # i32 scale + any-width varint unscaled -> '<digits>E<-scale>'
+        # built JVM-side (functions/bignum digitization, exact at any
+        # width) and cast like the reference's BigDecimal; numerically
+        # equal strings cast to equal decimal(38,18) values, so this
+        # matches the former Python str(Decimal)-through-cast fallback
+        from .functions.bignum import (
+            is_negative_hex,
+            mag_digits,
+            negative_mag_hex,
+            normalize_hex,
+        )
 
-        comp = aegtypes.get("DecimalType")
-
-        @F.udf("string")
-        def dec(x):
-            return str(comp.compose(bytes(x))) if x is not None else None
-
-        return dec(b).cast("decimal(38,18)")
+        scale = (
+            (F.conv(F.hex(F.substring(b, 1, 4)), 16, 10).cast("long")
+             + F.lit(1 << 31)) % F.lit(1 << 32)
+        ) - F.lit(1 << 31)
+        uh = normalize_hex(F.hex(F.substring(b, 5, F.lit((1 << 31) - 1))))
+        neg = is_negative_hex(uh)
+        digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
+        s = F.concat(
+            F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit("")),
+            digits,
+            F.lit("E"),
+            (-scale).cast("string"),
+        )
+        return s.cast("decimal(38,18)")
     raise ValueError(f"unsupported CQL type: {cql_type}")
 
 

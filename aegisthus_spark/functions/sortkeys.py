@@ -52,10 +52,8 @@ lexicographic order equals the comparator's):
   sign class + length field + bytes (see ``_varint_hex``) — exact at any
   width, pure string ops.
 - DecimalType: sign class + shifted adjusted exponent + normalized
-  mantissa digits (see ``_decimal_hex``) — exact for unscaled values up
-  to 8 bytes (~19 significant digits); wider values raise_error at
-  runtime with guidance to use the ``types.sort_key`` UDF fallback
-  (conv is 64-bit, so silently misordering them is not an option).
+  mantissa digits (see ``_decimal_hex``) — exact at ANY unscaled width
+  via the ``functions.bignum`` higher-order-function digitization.
 
 Every marshal class the repo's Python comparators know is now JVM-side;
 ``supported`` returning False (an unknown/custom comparator) falls back
@@ -289,42 +287,26 @@ def _decimal_hex(comp: Column) -> Column:
 
     The terminators order a shorter mantissa against its extensions
     ('!' < '0' puts 5e2 before 5.1e2; 'Z' > '9' inverts that for
-    negatives). Digitizing the unscaled value goes through ``conv``,
-    which is exact only to 64 bits — unscaled values wider than 8 bytes
-    RAISE (raise_error) with guidance to use the ``types.sort_key`` UDF
-    fallback rather than silently misordering; bounded-width is the
-    overwhelmingly common shape for decimal clustering keys. Values
-    shorter than the 4-byte scale prefix + 1 take the injective '.'
-    malformed guard."""
-    # EXPRESSION-TREE SIZE is the design constraint here (the round-6
-    # lesson): every reuse of a Column DUPLICATES its subtree, and this
-    # key sits under 4+ composite levels x2 bound columns, so compounding
-    # multiplies fast — the first version of this function spent ~9 s per
-    # query in analysis/codegen alone. Each layer below references its
-    # input ONCE (single combined normalization regex, pow() instead of
-    # an 8-way when-chain, sign adjustment as one subtraction, and one
-    # shared positive-form BODY that the negative branch derives from via
-    # a single translate instead of rebuilding adjusted+mantissa).
+    negatives). The unscaled value digitizes through
+    ``functions.bignum.mag_digits`` — a higher-order-function short
+    division that is exact at ANY width (the pre-round-9 conv-based
+    version was 64-bit-bounded and raise_error'd on wider values) while
+    keeping the Catalyst tree SMALL: HOF lambda bodies are single nodes,
+    not unrolled per element, which matters because this key sits under
+    4+ composite levels x2 bound columns (the round-6 expression-tree
+    lesson). Values shorter than the 4-byte scale prefix + 1 take the
+    injective '.' malformed guard."""
+    from .bignum import is_negative_hex, mag_digits, negative_mag_hex, normalize_hex
+
     scale_u = F.conv(F.hex(F.substring(comp, 1, 4)), 16, 10).cast("long")
     # signed i32 with ONE reference: ((u + 2^31) mod 2^32) - 2^31
     scale = ((scale_u + F.lit(1 << 31)) % F.lit(1 << 32)) - F.lit(1 << 31)
-    un = F.substring(comp, 5, F.lit(_REST))
-    uh_raw = F.hex(un)
-    neg = F.substring(uh_raw, 1, 1).isin(*"89ABCDEF")
-    # normalize away redundant sign-extension padding BEFORE the width
-    # guard (minimal-form rule, one regex for both signs: each
-    # alternative's lookahead only matches its own sign's padding)
-    uh = F.regexp_replace(uh_raw, "^(?:00(?=[0-7])|FF(?=[89A-F]))+", "")
-    # unscaled as exact decimal: unsigned conv, then two's-complement
-    # sign adjustment by the width's power of two (powers of two are
-    # exactly representable doubles at any exponent, so pow()->decimal
-    # is exact and replaces an 8-way when-chain over the uh subtree)
-    u_dec = F.conv(uh, 16, 10).cast("decimal(21,0)")
-    two_pow = F.pow(F.lit(2.0), (F.length(uh) * 4).cast("double")).cast(
-        "decimal(21,0)"
-    )
-    value = u_dec - F.when(neg, two_pow).otherwise(F.lit(0))
-    digits = F.abs(value).cast("decimal(21,0)").cast("string")
+    # normalize away redundant sign-extension padding (minimal-form rule:
+    # numerically equal encodings must collapse to one key — LWW dedups
+    # on it)
+    uh = normalize_hex(F.hex(F.substring(comp, 5, F.lit(_REST))))
+    neg = is_negative_hex(uh)
+    digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
     adjusted = (F.length(digits) - F.lit(1)).cast("long") - scale
     mant = F.regexp_replace(digits, "0+$", "")
     # shared body: the positive form; negatives complement it wholesale
@@ -334,25 +316,14 @@ def _decimal_hex(comp: Column) -> Column:
         mant,
         F.lit("!"),
     )
-    key = F.when(u_dec == 0, F.lit("1")).otherwise(
+    key = F.when(digits == "0", F.lit("1")).otherwise(
         F.when(
             neg, F.concat(F.lit("0"), F.translate(body, *_BODY_COMPLEMENT))
         ).otherwise(F.concat(F.lit("2"), body))
     )
-    wide = F.raise_error(
-        F.concat(
-            F.lit(
-                "DecimalType clustering value with unscaled wider than 8 "
-                "bytes has no exact JVM-side sort key (conv is 64-bit); "
-                "use compact(name_sort_key=<udf over types.sort_key>): 0x"
-            ),
-            F.hex(comp),
-        )
-    ).cast("string")
     return (
         F.when(F.length(comp) == 0, F.lit(""))
         .when(F.length(comp) < 5, F.concat(F.lit("."), F.hex(comp)))
-        .when(F.length(uh) > 16, wide)
         .otherwise(key)
     )
 

@@ -118,23 +118,12 @@ def compact_snapshot(
                         f"{_sort_inputs(h)} — run per-table jobs or pass "
                         "an explicit column_type/name_sort_key"
                     )
-            try:
-                name_sort_key = name_sort_key_for_header(header)
-            except ValueError:
-                # clustering types with no JVM-side order-preserving
-                # encoding (DecimalType, varint): same Python fallback
-                # as the explicit-spec branch, built from the header
-                from . import types as aegtypes
-
-                comp = aegtypes.CompositeComparator(
-                    [aegtypes.get(t) for t in header.clustering_types]
-                )
-
-                @F.udf("binary")
-                def auto_sort_key(b):
-                    return comp.sort_key(bytes(b)) if b is not None else None
-
-                name_sort_key = auto_sort_key
+            # every marshal class the repo knows (incl. DecimalType /
+            # varint at any width, via functions.bignum) has a JVM-side
+            # order-preserving encoding; a ValueError here means a custom
+            # AbstractType the Python registry wouldn't know either —
+            # propagate its pass-a-UDF guidance instead of swallowing it
+            name_sort_key = name_sort_key_for_header(header)
     elif column_type not in ("BytesType", "UTF8Type", "AsciiType"):
         from . import types as aegtypes
         from .functions import sortkeys as _sortkeys
@@ -150,8 +139,10 @@ def compact_snapshot(
 
             name_sort_key = sort_key
         except ValueError:
-            # variable-length numeric comparators (DecimalType, varint):
-            # Python fallback, same order as types.Comparator.sort_key
+            # the only reachable fallback: CompositeType specs past the
+            # 12-component unroll bound (every simple marshal class,
+            # incl. any-width DecimalType/varint, is JVM-side now) —
+            # same order as types.Comparator.sort_key
             comp = aegtypes.get(column_type)
 
             @F.udf("binary")

@@ -103,8 +103,33 @@ def sort_columns_by_display_name(
     elif name_type == "BytesType":
         key = "lower(hex(x.name))"
     else:
-        # typed comparators stringify through their converter (UDF path —
-        # one call per row over the whole array, not per cell)
+        # typed comparators stringify through the JVM render expressions
+        # (functions/render.py, byte parity with types.Comparator.render);
+        # only Float/Double/custom types — no exact JVM twin — keep the
+        # one-call-per-row UDF fallback
+        from .functions.render import comparator_render
+
+        if comparator_render(F.lit(b""), name_type) is not None:
+            from .functions import naming as _naming
+
+            def _key(name_col):
+                k = comparator_render(name_col, name_type)
+                if legacy_formatting:
+                    k = _naming.legacy_column_name_format(k)
+                return k
+
+            resorted = F.transform(
+                F.sort_array(
+                    F.transform(
+                        F.col("columns"),
+                        lambda x: F.struct(
+                            _key(x["name"]).alias("k"), x.alias("c")
+                        ),
+                    )
+                ),
+                lambda y: y["c"],
+            )
+            return rows.withColumn("columns", resorted)
         comp = aegtypes.get(name_type)
         col_type = (
             "array<struct<name binary, value binary, ts bigint, kind string, "
@@ -144,8 +169,10 @@ def to_aeg_json(
     """compacted rows -> single-column DataFrame of aeg-JSON lines.
 
     For the default BytesType converters everything stays in JVM expressions
-    (hex + concat); non-default converters fall back to a Python UDF over
-    the collected row (rare path: typed renders).
+    (hex + concat, no JSON escaping needed); typed converters render through
+    the JVM expressions in functions/render.py plus an exact json.dumps
+    escape. Only Float/Double/custom converters — no exact JVM render
+    twin — fall back to a Python UDF over the collected row.
 
     ``trace_source``: prepend the source path as a second tab field
     (JsonOutputFormat.java:116-120; requires rows compacted with
@@ -189,6 +216,91 @@ def to_aeg_json(
             *trace,
             F.lit('{"'),
             key_str,
+            F.lit('":{"deletedAt":'),
+            F.col("deleted_at").cast("string"),
+            F.lit(',"columns":['),
+            cols_json,
+            F.lit("]}}"),
+        )
+        return compacted.select(line.alias("value"))
+
+    from .functions.render import comparator_render, json_escape
+
+    if all(
+        comparator_render(F.lit(b""), t) is not None
+        for t in (key_type, name_type, value_type)
+    ):
+        # typed JVM path (round-9): renders through functions/render.py
+        # (byte parity with types.Comparator.render, hex fallback on
+        # malformed values) + the exact json.dumps escape — no
+        # BatchEvalPython for any registry comparator except
+        # Float/Double (no exact JVM twin for Python repr)
+        from .functions import naming as _naming
+
+        key_raw = comparator_render(F.col("partition_key"), key_type)
+        key_js = json_escape(key_raw)
+
+        def _entry(c):
+            name_s = comparator_render(c["name"], name_type)
+            if legacy_formatting:
+                name_s = _naming.legacy_column_name_format(name_s)
+            return F.concat(
+                F.lit('["'),
+                json_escape(name_s),
+                F.lit('","'),
+                json_escape(comparator_render(c["value"], value_type)),
+                F.lit('",'),
+                c["ts"].cast("string"),
+                F.when(c["kind"] == "d", F.lit(',"d"'))
+                .when(
+                    c["kind"] == "e",
+                    F.concat(
+                        F.lit(',"e",'),
+                        # json.dumps prints a missing ttl/ldt as 'null';
+                        # an un-coalesced NULL would null the whole
+                        # concat and array_join would DROP the cell
+                        F.coalesce(c["ttl"].cast("string"), F.lit("null")),
+                        F.lit(","),
+                        F.coalesce(
+                            c["local_deletion_time"].cast("string"),
+                            F.lit("null"),
+                        ),
+                    ),
+                )
+                .when(
+                    c["kind"] == "x",
+                    F.concat(
+                        F.lit(',"c",'),
+                        F.coalesce(
+                            c["ts_of_last_delete"].cast("string"),
+                            F.lit("null"),
+                        ),
+                    ),
+                )
+                .otherwise(F.lit("")),
+                F.lit("]"),
+            )
+
+        cols_json = F.array_join(F.transform(F.col("columns"), _entry), ",")
+        if max_col_size is not None:
+            # same size model + marker as the BytesType fast path
+            total = F.expr(
+                "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
+                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15 "
+                "+ if(c.kind in ('e', 'x'), 8, 0))"
+            )
+            marker = F.concat(
+                F.lit('["error","row too large: '),
+                F.format_number(total, 0),
+                F.lit(f' bytes - limit {max_col_size:,d} bytes",0]'),
+            )
+            cols_json = F.when(total > max_col_size, marker).otherwise(cols_json)
+        line = F.concat(
+            key_raw,
+            F.lit("\t"),
+            *trace,
+            F.lit('{"'),
+            key_js,
             F.lit('":{"deletedAt":'),
             F.col("deleted_at").cast("string"),
             F.lit(',"columns":['),

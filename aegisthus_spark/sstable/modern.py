@@ -967,9 +967,8 @@ def name_sort_key_for_header(header: SerializationHeader):
     applies it to both ``cell_name`` and ``cell_name_max`` so RT bounds
     compare in the same encoding. Raises ValueError only for comparator
     classes the JVM library doesn't know (custom types) — fall back to a
-    ``types.sort_key`` UDF for those. DecimalType clustering is JVM-side
-    but exact only to 8-byte unscaled values; wider values raise at
-    runtime with UDF-fallback guidance (sortkeys._decimal_hex).
+    ``types.sort_key`` UDF for those. DecimalType/IntegerType clustering
+    is JVM-side and exact at any unscaled width (functions.bignum).
     """
     from ..functions.sortkeys import composite_sort_key, supported
 

@@ -169,9 +169,25 @@ def _render_timestamp(b: bytes) -> str:
 
 
 def _render_decimal(b: bytes) -> str:
+    """Java BigDecimal.toString (Cowlishaw to-scientific-string, the
+    exact algorithm behind DecimalType.getString in the reference):
+    plain notation when scale >= 0 and adjusted exponent >= -6, else
+    scientific. Pure int/string ops — Decimal.scaleb would ROUND wide
+    unscaled values at the 28-digit context precision and raise on
+    extreme i32 scales (beyond the context Emax)."""
     scale = int.from_bytes(b[:4], "big", signed=True)
     unscaled = int.from_bytes(b[4:], "big", signed=True)
-    return str(Decimal(unscaled).scaleb(-scale))
+    s = str(abs(unscaled))
+    sign = "-" if unscaled < 0 else ""
+    adjusted = (len(s) - 1) - scale
+    if scale >= 0 and adjusted >= -6:
+        if scale == 0:
+            return sign + s
+        if len(s) > scale:
+            return f"{sign}{s[:-scale]}.{s[-scale:]}"
+        return f"{sign}0.{'0' * (scale - len(s))}{s}"
+    mant = s[0] + (f".{s[1:]}" if len(s) > 1 else "")
+    return f"{sign}{mant}E{'+' if adjusted >= 0 else ''}{adjusted}"
 
 
 def _sk_signed_fixed(b: bytes) -> bytes:
@@ -226,10 +242,12 @@ def _sk_decimal(b: bytes) -> bytes:
     unscaled = int.from_bytes(b[4:], "big", signed=True)
     if unscaled == 0:
         return b"\x01"
-    d = Decimal(abs(unscaled)).scaleb(-scale).normalize()
-    _, digits, exp = d.as_tuple()
-    adjusted = exp + len(digits) - 1
-    mant = bytes(48 + x for x in digits).rstrip(b"0") or b"0"
+    # exact digit extraction — Decimal.normalize() rounds to the context
+    # precision (28 digits by default), which silently collapsed wide
+    # unscaled values (10^40 vs 10^40+1) onto one key
+    s = str(abs(unscaled))
+    adjusted = (len(s) - 1) - scale
+    mant = s.rstrip("0").encode("ascii")
     if unscaled > 0:
         return (
             b"\x02" + (adjusted + (1 << 63)).to_bytes(8, "big") + mant + b"\x00"
@@ -307,8 +325,11 @@ _SIMPLE = {
     "DateType": Comparator("DateType", T.TimestampType(), _render_timestamp, _sk_signed_fixed, _compose_timestamp),
     "DecimalType": Comparator(
         "DecimalType", T.StringType(), _render_decimal, _sk_decimal,
-        lambda b: Decimal(int.from_bytes(b[4:], "big", signed=True)).scaleb(
-            -int.from_bytes(b[:4], "big", signed=True)
+        # string construction is EXACT — .scaleb() rounds to the context
+        # precision (28 digits) and raises past the context Emax
+        lambda b: Decimal(
+            f"{int.from_bytes(b[4:], 'big', signed=True)}"
+            f"E{-int.from_bytes(b[:4], 'big', signed=True)}"
         ),
     ),
     "LexicalUUIDType": Comparator("LexicalUUIDType", T.StringType(), _render_uuid,

@@ -1625,14 +1625,12 @@ def test_auto_comparator_decimal_clustering_stays_jvm_side(spark, tmp_path):
 
 
 def test_auto_comparator_unknown_type_errors_clearly(spark, tmp_path):
-    """A comparator class NEITHER sort-key path knows (JVM expressions
-    or the Python types registry) must surface a clear 'unsupported
-    comparator' ValueError from column_type='auto' — exercising the
-    except-ValueError fallback wiring in job.py (the JVM path raises,
-    the Python path is consulted, and ITS error propagates) rather than
-    compacting under a silently wrong order. Every comparator the
-    Python registry knows is now also JVM-side (asserted), so the UDF
-    fallback can only ever fire for user-supplied column_type specs."""
+    """A comparator class the JVM sort-key library doesn't know must
+    surface name_sort_key_for_header's clear pass-a-UDF ValueError from
+    column_type='auto' rather than compacting under a silently wrong
+    order. Since round 9 there is no Python-UDF auto fallback to consult:
+    every registry comparator (incl. any-width DecimalType/varint) is
+    JVM-side (asserted), so auto's error propagates directly."""
     from aegisthus_spark import job
     from aegisthus_spark import types as aegtypes
     from aegisthus_spark.functions.sortkeys import supported
@@ -1654,7 +1652,7 @@ def test_auto_comparator_unknown_type_errors_clearly(spark, tmp_path):
         generation=1,
     )
     assert not supported(DYN)
-    with pytest.raises(ValueError, match="unsupported comparator"):
+    with pytest.raises(ValueError, match="no JVM-side sort key"):
         job.compact_snapshot(spark, [str(d1)], column_type="auto").collect()
 
 

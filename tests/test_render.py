@@ -1,0 +1,277 @@
+"""JVM display-string renders (functions/render.py) vs the Python
+types.Comparator.render twins — BYTE parity, including the hex fallback
+on malformed widths / invalid encodings / out-of-range timestamps
+(reference: AbstractType.getString with MarshalException fallback,
+JsonOutputFormat.java:92-106) — and the round-9 no-Python-UDF plan
+guarantees for typed snapshots (the round-7 verdict's off-registry
+fallback list)."""
+
+from __future__ import annotations
+
+import json
+import random
+import struct
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from aegisthus_spark import types as aegtypes
+from aegisthus_spark.functions.render import (
+    comparator_render,
+    json_escape,
+    type_render,
+)
+
+RENDER_TYPES = [
+    "BytesType", "UTF8Type", "AsciiType", "LongType", "Int32Type",
+    "BooleanType", "UUIDType", "TimeUUIDType", "LexicalUUIDType",
+    "TimestampType", "DateType", "IntegerType", "DecimalType",
+    "ReversedType(LongType)", "ReversedType(DecimalType)",
+]
+
+
+def _corpus() -> list[bytes]:
+    rng = random.Random(11)
+    vals = [
+        b"", b"\x00", b"\xff", b"\x00\x00", b"hello", "unié中".encode(),
+        b"\xc3\x28",  # invalid UTF-8
+        b'"quo\\te\x01\x1f\n\t"', bytes(16), uuid.uuid4().bytes,
+        uuid.uuid1().bytes, struct.pack(">q", 123456789),
+        struct.pack(">q", -1), struct.pack(">i", -42),
+        struct.pack(">q", 1700000000123), struct.pack(">q", 10 ** 17),
+        b"\x01" * 9, b"\x00" * 9, b"\xff" * 9,  # wide / non-minimal
+        struct.pack(">i", 3) + (10 ** 40).to_bytes(18, "big"),
+        struct.pack(">i", -7) + (-(10 ** 40)).to_bytes(18, "big", signed=True),
+        struct.pack(">i", 2) + b"\x7b", b"\x01\x02", b"\x80",
+        struct.pack(">i", 0) + b"\x00",
+        struct.pack(">q", -(1 << 63)), struct.pack(">q", (1 << 63) - 1),
+        # timestamp range edges: year 999, year 1 boundary, year 9999
+        # boundary, first out-of-range ms
+        struct.pack(">q", -30610224000001), struct.pack(">q", -62135596800000),
+        struct.pack(">q", -62135596800001), struct.pack(">q", 253402300799999),
+        struct.pack(">q", 253402300800000),
+    ]
+    vals += [
+        bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 24)))
+        for _ in range(120)
+    ]
+    return vals
+
+
+@pytest.mark.parametrize("marshal", RENDER_TYPES)
+def test_type_render_byte_parity(spark, marshal):
+    vals = _corpus()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, b binary"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", type_render(F.col("b"), marshal).alias("s")
+        ).collect()
+    }
+    comp = aegtypes.get(marshal)
+    for i, v in enumerate(vals):
+        assert got[i] == comp.render(v), (marshal, v)
+
+
+def test_type_render_null_is_empty(spark):
+    df = spark.createDataFrame([(1, None)], "i int, b binary")
+    got = df.select(type_render(F.col("b"), "LongType").alias("s")).collect()
+    assert got[0].s == ""
+
+
+def test_float_double_have_no_jvm_render():
+    """Python repr has no JVM equivalent (Java Float.toString picks
+    different shortest forms) — the render must DECLINE, not diverge."""
+    assert type_render(F.lit(b""), "FloatType") is None
+    assert type_render(F.lit(b""), "DoubleType") is None
+    assert comparator_render(F.lit(b""), "CompositeType(LongType,DoubleType)") is None
+
+
+def _enc_composite(parts: list[bytes], static: bool = False) -> bytes:
+    out = b"\xff\xff" if static else b""
+    for p in parts:
+        out += len(p).to_bytes(2, "big") + p + b"\x00"
+    return out
+
+
+def test_composite_render_byte_parity(spark):
+    """':'-joined typed component renders, static prefix skipped, and
+    UNLIMITED extras past the declared list (the aggregate-loop tail) —
+    parity with CompositeComparator.render."""
+    spec = "CompositeType(LongType,UTF8Type)"
+    ccomp = aegtypes.get(spec)
+    vals = [
+        _enc_composite([struct.pack(">q", 5), b"abc"]),
+        _enc_composite([struct.pack(">q", -1)]),  # RT-bound prefix
+        _enc_composite([struct.pack(">q", 7), b"x", b"e1", b"e2", b"e3",
+                        b"d4", b"d5"]),  # 5 extras > unrolled 2
+        _enc_composite([], static=True),
+        _enc_composite([struct.pack(">q", 2), b"y"], static=True),
+        b"",
+        _enc_composite([struct.pack(">q", 1), b"", b""]),  # empty comps
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, b binary"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", comparator_render(F.col("b"), spec).alias("s")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == ccomp.render(v), v
+
+
+def test_json_escape_matches_json_dumps(spark):
+    strs = ['a"b\\c', "ctl\x01\x1f\x0b\x0e\x0f\x1a", "ok", "",
+            "unié\n\t\r\x08\x0c", "\\u0001 literal text"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i int, s string")
+    got = {r.i: r.e for r in df.select("i", json_escape(F.col("s")).alias("e")).collect()}
+    for i, s in enumerate(strs):
+        want = json.dumps(s, ensure_ascii=False, separators=(",", ":"))[1:-1]
+        assert got[i] == want, s
+
+
+# ---------------------------------------------------------------------------
+# typed aeg-JSON output: byte parity with the Python twin + JVM-only plan
+# ---------------------------------------------------------------------------
+
+def _typed_rows(spark):
+    from tests.conftest import CELLS_SCHEMA
+
+    def cell(name, value, ts, kind="c", ttl=None, ldt=None, tsld=None):
+        return ("f", 1, struct.pack(">q", 42), -(1 << 63), kind, name,
+                None, value, ts, ttl, ldt, tsld)
+
+    rows = [
+        cell(struct.pack(">q", 2), 'va"l\x01ue'.encode(), 1),
+        cell(struct.pack(">q", 10), None, 2, kind="d"),
+        cell(struct.pack(">q", 9), b"x", 3, kind="e", ttl=60, ldt=1000),
+    ]
+    from aegisthus_spark.compact import compact
+
+    return compact(spark.createDataFrame(rows, CELLS_SCHEMA))
+
+
+def test_typed_aeg_json_matches_python_twin(spark):
+    from aegisthus_spark.output import render_row_json, to_aeg_json
+
+    rows = _typed_rows(spark)
+    for legacy in (False, True):
+        lines = [
+            r.value
+            for r in to_aeg_json(
+                rows, key_type="LongType", name_type="LongType",
+                value_type="UTF8Type", legacy_formatting=legacy,
+            ).collect()
+        ]
+        kc, nc, vc = (aegtypes.get(t) for t in ("LongType", "LongType", "UTF8Type"))
+        want = [
+            render_row_json(
+                bytes(row.partition_key), row.deleted_at,
+                [
+                    {"name": bytes(c["name"]) if c["name"] is not None else None,
+                     "value": bytes(c["value"]) if c["value"] is not None else None,
+                     "ts": c["ts"], "kind": c["kind"], "ttl": c["ttl"],
+                     "local_deletion_time": c["local_deletion_time"],
+                     "ts_of_last_delete": c["ts_of_last_delete"]}
+                    for c in row.columns
+                ],
+                key_conv=kc, name_conv=nc, value_conv=vc,
+                legacy_formatting=legacy,
+            )
+            for row in rows.collect()
+        ]
+        assert sorted(lines) == sorted(want)
+
+
+def test_typed_aeg_json_max_col_size_marker(spark):
+    from aegisthus_spark.output import to_aeg_json
+
+    line = to_aeg_json(
+        _typed_rows(spark), key_type="LongType", name_type="LongType",
+        value_type="UTF8Type", max_col_size=10,
+    ).collect()[0].value
+    assert '["error","row too large:' in line
+
+
+def test_typed_snapshot_plan_has_no_python_udf(spark):
+    """VERDICT r7 item 2 'done' criterion: DecimalType column_type with
+    sort_columns_by_name stays JVM-only end-to-end (compact sort key +
+    display re-sort + aeg-JSON render)."""
+    from aegisthus_spark.job import compact_snapshot
+    from aegisthus_spark.output import to_aeg_json
+    from aegisthus_spark.plans import physical_plan
+    from tests.test_golden import TESTDATA
+
+    rows = compact_snapshot(
+        spark,
+        [f"{TESTDATA}/2.0.10/randomtable/input"],
+        column_type="DecimalType",
+        sort_columns_by_name=True,
+    )
+    lines = to_aeg_json(rows, name_type="DecimalType")
+    plan = physical_plan(lines, "simple")
+    assert "BatchEvalPython" not in plan, "typed snapshot fell off the JVM path"
+    assert "ArrowEvalPython" not in plan
+
+
+def test_typed_display_sort_matches_python_render_order(spark):
+    """sort_columns_by_display_name on a typed comparator (JVM path) uses
+    the same rendered-string order as the Python converter."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import sort_columns_by_display_name
+    from tests.conftest import CELLS_SCHEMA
+
+    def cell(u, s, ts):
+        name = struct.pack(">i", s) + u.to_bytes(
+            max(1, (u.bit_length() + 8) // 8), "big", signed=True
+        )
+        return ("f", 1, b"k", -(1 << 63), "c", name, None, b"v", ts,
+                None, None, None)
+
+    # decimal names whose numeric order differs from rendered-string order
+    rows = [cell(5, 0, 1), cell(45, 1, 2), cell(123, 2, 3), cell(-2, 0, 4)]
+    cells = spark.createDataFrame(rows, CELLS_SCHEMA)
+    out = sort_columns_by_display_name(
+        compact(cells), name_type="DecimalType"
+    ).collect()[0]["columns"]
+    comp = aegtypes.get("DecimalType")
+    rendered = [comp.render(bytes(c["name"])) for c in out]
+    assert rendered == sorted(rendered)
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(
+        sort_columns_by_display_name(compact(cells), name_type="DecimalType"),
+        "simple",
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_cql_decimal_compose_jvm_and_wide(spark):
+    """CQL decimal compose: JVM-side (no Python UDF), exact for wide
+    unscaled values the old Decimal.scaleb fallback would have rounded."""
+    from decimal import Decimal
+
+    from aegisthus_spark.cql import compose_value
+    from aegisthus_spark.plans import physical_plan
+
+    cases = [
+        (struct.pack(">i", 2) + (12345).to_bytes(2, "big"), Decimal("123.45")),
+        (struct.pack(">i", 0) + (-7).to_bytes(1, "big", signed=True), Decimal("-7")),
+        # unscaled 10^21+1 needs 10 bytes — past the 8-byte conv bound
+        (struct.pack(">i", 2) + (10 ** 21 + 1).to_bytes(10, "big"),
+         Decimal("10000000000000000000.01")),
+        (struct.pack(">i", -2) + (5).to_bytes(1, "big"), Decimal("500")),
+    ]
+    df = spark.createDataFrame([(i, b) for i, (b, _) in enumerate(cases)],
+                               "i int, d binary")
+    sel = df.select("i", compose_value(F.col("d"), "decimal").alias("v"))
+    got = {r.i: r.v for r in sel.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    assert "BatchEvalPython" not in physical_plan(sel, "simple")

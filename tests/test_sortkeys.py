@@ -116,6 +116,15 @@ def _enc_decimal(unscaled: int, scale: int) -> bytes:
     return struct.pack(">i", scale) + unscaled.to_bytes(w, "big", signed=True)
 
 
+def _exact_ctx():
+    """Exact-precision Decimal context for the numeric reference values:
+    the default 28-digit precision makes scaleb ROUND wide unscaled
+    values (10**40 + 1 -> 1E+40), corrupting the order oracle."""
+    import decimal
+
+    return decimal.localcontext(decimal.Context(prec=500))
+
+
 def test_varint_key_matches_numeric_and_python_order(spark):
     """IntegerType (varint) JVM key: numeric order at any width, equal
     keys for numerically-equal NON-minimal encodings (redundant
@@ -137,17 +146,20 @@ def test_varint_key_matches_numeric_and_python_order(spark):
 
 def test_decimal_key_matches_numeric_and_python_order(spark):
     """DecimalType JVM key: BigDecimal numeric order (scale-independent
-    equality, negative scales, mantissa-prefix cases), same order as the
-    Python types.sort_key; unscaled wider than 8 bytes raises with
-    UDF-fallback guidance instead of misordering."""
+    equality, negative scales, mantissa-prefix cases, unscaled values far
+    wider than 8 bytes), same order as the Python types.sort_key."""
     from decimal import Decimal
 
     cases = [(0, 0), (0, 5), (1, 0), (1, 2), (-1, 2), (5, 1), (50, 2),
              (51, 2), (-50, 2), (-51, 2), (123456789012345678, 9),
              (-123456789012345678, 9), (1, -10), (-1, -10), (99, -3),
-             (10, 0), (100, 1)]
+             (10, 0), (100, 1),
+             # wide unscaled (>8 bytes): pre-round-9 these raise_error'd
+             (10 ** 40, 0), (-(10 ** 40), 0), (10 ** 40 + 1, 0),
+             (10 ** 40, 45), (-(10 ** 40), 45), (3 ** 200, 17)]
     raw = [_enc_decimal(u, s) for u, s in cases]
-    dvals = [Decimal(u).scaleb(-s) for u, s in cases]
+    with _exact_ctx():
+        dvals = [Decimal(u).scaleb(-s) for u, s in cases]
     keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "DecimalType"))
     py = [aegtypes.get("DecimalType").sort_key(b) for b in raw]
     _assert_same_order(keys, py, raw, "decimal-python")
@@ -160,9 +172,28 @@ def test_decimal_key_matches_numeric_and_python_order(spark):
                           _enc_decimal(5000, 2)],
                   lambda c: type_sort_key_hex(c, "DecimalType"))
     assert len(set(k)) == 1
-    with pytest.raises(Exception, match="wider than 8 bytes"):
-        _jvm_keys(spark, [_enc_decimal(10 ** 40, 0)],
-                  lambda c: type_sort_key_hex(c, "DecimalType"))
+
+
+@settings(max_examples=25, deadline=None)
+@given(cases=st.lists(
+    st.tuples(st.integers(min_value=-(10 ** 45), max_value=10 ** 45),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=2, max_size=5))
+def test_wide_decimal_hypothesis_parity(spark, cases):
+    """VERDICT r7 item 6: hypothesis parity vs types.sort_key on values
+    past the old 8-byte conv bound (±10^40 and beyond)."""
+    from decimal import Decimal
+
+    raw = [_enc_decimal(u, s) for u, s in cases]
+    with _exact_ctx():
+        dvals = [Decimal(u).scaleb(-s) for u, s in cases]
+    keys = _jvm_keys(spark, raw, lambda c: type_sort_key_hex(c, "DecimalType"))
+    py = [aegtypes.get("DecimalType").sort_key(b) for b in raw]
+    _assert_same_order(keys, py, raw, "wide-decimal-fuzz")
+    for (i, x), (j, y) in itertools.combinations(enumerate(keys), 2):
+        assert ((x > y) - (x < y)) == (
+            (dvals[i] > dvals[j]) - (dvals[i] < dvals[j])
+        ), (dvals[i], dvals[j])
 
 
 def test_reversed_decimal_inverts_mantissa_prefix_pairs(spark):
@@ -177,7 +208,8 @@ def test_reversed_decimal_inverts_mantissa_prefix_pairs(spark):
     cases = [(500, 0), (510, 0), (5, 0), (51, 1), (-50, 1), (-51, 1),
              (0, 0), (123, 2), (-5, 0), (7, 0), (100, 0)]
     raw = [_enc_decimal(u, s) for u, s in cases]
-    dvals = [Decimal(u).scaleb(-s) for u, s in cases]
+    with _exact_ctx():
+        dvals = [Decimal(u).scaleb(-s) for u, s in cases]
     keys = _jvm_keys(spark, raw,
                      lambda c: type_sort_key_hex(c, "ReversedType(DecimalType)"))
     py = [aegtypes.get("ReversedType(DecimalType)").sort_key(b) for b in raw]
