@@ -150,6 +150,145 @@ def _truncate_by_size(df: DataFrame, name_of: str, max_row_size: int | None) -> 
 _LWW_EXPR = "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
 
 
+#: RT-count threshold for the per-cell exists() probe. Below it the
+#: probe's O(cells x RTs) with a ~1us interpreted-lambda constant beats
+#: the skyline path's fixed ~20-step binary search per cell; realistic
+#: partitions carry a handful of RTs, so the probe is the common tier.
+_RT_PROBE_MAX = 64
+
+#: unrolled binary-search depth: covers 2^21 skyline segments (~10^6
+#: RTs in ONE partition); beyond that the dispatcher falls back to the
+#: probe rather than mis-converge
+_RT_BS_STEPS = 21
+_RT_SKYLINE_MAX = 1 << 20
+
+
+def _rt_probe(cells_arr: str, rts_arr: str, rt_min: str, rt_max: str) -> str:
+    """Per-cell coverage probe — O(cells x RTs), the right plan for the
+    common few-RTs partition."""
+    return (
+        f"filter({cells_arr}, x -> NOT exists({rts_arr}, r -> "
+        f"r.{rt_min} <= x.sk AND x.sk <= r.{rt_max} AND r.ts >= x.ts))"
+    )
+
+
+def _rt_skyline(rts_arr: str, rt_min: str, rt_max: str) -> str:
+    """RTs -> 'skyline' segments: array<struct<sk, side, t>> sorted by
+    boundary position, where ``t`` is the MAX deletion ts active from
+    that boundary until the next (LONG_MIN when none). Boundary order is
+    (sk, side): a start at key k (side 0) applies to a cell AT k, an end
+    at k (side 1) stops applying strictly AFTER k — both bounds
+    inclusive, exactly the probe's rule.
+
+    One fold over the 2R sorted start/end events. State: the ACTIVE
+    tombstones as a dominance-pruned antichain sorted (max asc -> ts
+    strictly desc) — an active RT whose (max, ts) are both <= another's
+    can never matter, so realistic shapes keep the antichain at size
+    ~1-2 and the build is ~O(R log R); the current max ts is always the
+    antichain head. Mirrors the reference's streaming tracker
+    (CassSSTableReducer.java:142-153) applied to bounds only."""
+    ev = (
+        "array_sort(concat("
+        f"transform({rts_arr}, r -> struct(r.{rt_min} as sk, 0 as side, r.{rt_max} as m, r.ts as t)), "
+        f"transform({rts_arr}, r -> struct(r.{rt_max} as sk, 1 as side, r.{rt_max} as m, r.ts as t))))"
+    )
+    # expiry at a start keeps m == sk active (inclusive max); at an end
+    # it drops m <= sk (the ending RT itself included)
+    start_ac = (
+        "if(exists(filter(s.ac, a -> a.m >= e.sk), a -> a.m >= e.m AND a.t >= e.t), "
+        "filter(s.ac, a -> a.m >= e.sk), "
+        "array_sort(array_append(filter(s.ac, a -> a.m >= e.sk "
+        "AND NOT (a.m <= e.m AND a.t <= e.t)), struct(e.m as m, e.t as t))))"
+    )
+    end_ac = "filter(s.ac, a -> a.m > e.sk)"
+    seed_ac = f"transform(slice({rts_arr}, 1, 0), r -> struct(r.{rt_max} as m, r.ts as t))"
+    seed_segs = (
+        f"transform(slice({rts_arr}, 1, 0), "
+        f"r -> struct(r.{rt_min} as sk, 0 as side, cast({LONG_MIN} as long) as t))"
+    )
+    maxt = f"coalesce(try_element_at(ac2, 1).t, cast({LONG_MIN} as long))"
+    return (
+        f"aggregate({ev}, "
+        f"struct({seed_ac} as ac, {seed_segs} as segs), "
+        "(s, e) -> "
+        # bind the updated antichain once per event via a 1-element
+        # transform (SQL lambdas have no let); segment count is <= 2R
+        f"element_at(transform(array(if(e.side = 0, {start_ac}, {end_ac})), "
+        "ac2 -> struct(ac2 as ac, "
+        f"array_append(s.segs, struct(e.sk as sk, e.side as side, {maxt} as t)) as segs)), 1), "
+        "s -> s.segs)"
+    )
+
+
+def _rt_binsearch_filter(cells_arr: str, segs_col: str) -> str:
+    """filter(cells) dropping covered cells, looking each cell's key up
+    in the skyline with an unrolled upper-bound binary search
+    (_RT_BS_STEPS fixed halvings; the dispatcher bounds the segment
+    count). Segment applies to cell k iff (seg.sk, seg.side) <= (k, 0):
+    upper_bound returns the count lo of such segments; segment lo (1-
+    based) is the one in effect."""
+    le = "(q.sk < x.sk OR (q.sk = x.sk AND q.side = 0))"
+    step = (
+        "if(b.lo < b.hi, "
+        f"if(element_at(transform(array(element_at({segs_col}, "
+        f"cast((b.lo + b.hi + 1) / 2 as int))), q -> {le}), 1), "
+        f"struct(cast((b.lo + b.hi + 1) / 2 as int) as lo, b.hi as hi), "
+        f"struct(b.lo as lo, cast((b.lo + b.hi + 1) / 2 as int) - 1 as hi)), b)"
+    )
+    lo = (
+        f"aggregate(sequence(1, {_RT_BS_STEPS}), "
+        f"struct(0 as lo, size({segs_col}) as hi), (b, _i) -> {step}, b -> b.lo)"
+    )
+    # lo = 0 means no applicable segment; try_element_at throws on a
+    # LITERAL-invalid index 0, so route it through a null index (the
+    # transform-array binds lo once instead of re-running the search)
+    covered = (
+        f"element_at(transform(array({lo}), l -> coalesce("
+        f"try_element_at({segs_col}, if(l = 0, null, l)).t >= x.ts, false)), 1)"
+    )
+    return f"filter({cells_arr}, x -> NOT {covered})"
+
+
+def _apply_rts(
+    df: DataFrame,
+    cells_arr: str,
+    rts_arr: str,
+    rt_min: str,
+    rt_max: str,
+    out_col: str,
+    *,
+    probe_max: int | None = None,
+) -> DataFrame:
+    """J2: drop cells covered by a range tombstone with rt.ts >= cell.ts,
+    dispatching PER ROW: the O(C x R) probe for the common few-RT
+    partition, the skyline + per-cell binary search — O(R log R + C log R)
+    — when a partition carries more than ``probe_max`` RTs (the
+    pre-round-9 probe was quadratic for a pathological 10^4-RT
+    partition). Both tiers implement the identical inclusive-bounds
+    rule and preserve cell order (tests/test_rt_sweep.py proves
+    equivalence on adversarial inputs). ``cells_arr`` entries expose the
+    comparison key as ``sk``/``ts``; both arrays must be null-free."""
+    pm = _RT_PROBE_MAX if probe_max is None else probe_max
+    use_sky = f"(size({rts_arr}) > {pm} AND size({rts_arr}) <= {_RT_SKYLINE_MAX})"
+    segs = "__rt_segs"
+    return (
+        df.withColumn(
+            segs,
+            F.expr(
+                f"if({use_sky}, {_rt_skyline(rts_arr, rt_min, rt_max)}, null)"
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.expr(
+                f"if({use_sky}, {_rt_binsearch_filter(cells_arr, segs)}, "
+                f"{_rt_probe(cells_arr, rts_arr, rt_min, rt_max)})"
+            ),
+        )
+        .drop(segs)
+    )
+
+
 def compact(
     cells: DataFrame,
     *,
@@ -216,11 +355,8 @@ def compact(
     # J2: drop cells covered by a range tombstone with rt.ts >= cell.ts.
     # Both bounds and the cell key are in the SAME encoding: raw bytes for
     # byte-ordered comparators, else the caller's sort key applied to
-    # cell_name AND cell_name_max above.
-    rt_filtered = (
-        "filter(cells, x -> NOT exists(rts, r -> "
-        "r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
-    )
+    # cell_name AND cell_name_max above. Applied via _apply_rts (probe /
+    # skyline per-row dispatch) below.
     lww = _LWW_EXPR
     # P2': drop cells shadowed by the row tombstone (ts <= deleted_at)
     shadow = "filter(c2, x -> x.ts > deleted_at)"
@@ -240,9 +376,9 @@ def compact(
     # cells consume budget before dedup), exactly like the reference reducer
     out = _truncate_by_size(out, name_of, max_row_size)
 
+    out = _apply_rts(out, "cells", "rts", "min_sk", "max_sk", "c1")
     out = (
-        out.withColumn("c1", F.expr(rt_filtered))
-        .withColumn("c2", F.expr(lww))
+        out.withColumn("c2", F.expr(lww))
         .withColumn("c3", F.expr(shadow))
         .withColumn("columns", F.expr(strip))
     )
@@ -310,15 +446,13 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
         (F.coalesce("rtb_a", F.lit(False)) | F.coalesce("rtb_b", F.lit(False)))
         .alias("row_too_big"),
     )
-    # split RT entries out, apply their coverage to the live cells, then
-    # decorate/sort/LWW/shadow the survivors exactly as compact() does
+    # split RT entries out, decorate+sort the live cells FIRST (the
+    # sorted-merge RT sweep needs name order), apply RT coverage, then
+    # LWW/shadow the survivors exactly as compact() does
     rts = "filter(all_cols, x -> x.kind = 't')"
-    live = (
-        "filter(all_cols, x -> x.kind != 't' AND NOT exists(rts, "
-        "r -> r.name <= x.name AND x.name <= r.value AND r.ts >= x.ts))"
-    )
     decorated = (
-        "array_sort(transform(live, x -> struct("
+        "array_sort(transform(filter(all_cols, x -> x.kind != 't'), "
+        "x -> struct("
         "x.name as sk, x.ts as ts, if(x.kind = 'd', 1, 0) as rank, "
         "x.value as value, x as c)))"
     )
@@ -326,9 +460,10 @@ def merge_compacted(a: DataFrame, b: DataFrame) -> DataFrame:
     shadow = "filter(d2, x -> x.ts > deleted_at)"
     kept_rts = "array_sort(array_distinct(filter(rts, r -> r.ts > deleted_at)))"
     return (
-        j.withColumn("rts", F.expr(rts))
-        .withColumn("live", F.expr(live))
-        .withColumn("d1", F.expr(decorated))
+        _apply_rts(
+            j.withColumn("rts", F.expr(rts)).withColumn("d0", F.expr(decorated)),
+            "d0", "rts", "name", "value", "d1",
+        )
         .withColumn("d2", F.expr(lww))
         .withColumn("d3", F.expr(shadow))
         .withColumn("columns", F.expr(f"concat(transform(d3, x -> x.c), {kept_rts})"))
@@ -515,12 +650,14 @@ def compact_salted(
         F.sort_array(F.collect_list(F.when(is_cell, cell_struct))).alias("cells"),
         F.collect_list(F.when(is_rt, rt_struct)).alias("rts"),
     )
-    rt_filtered = (
-        "filter(cells, x -> x is not null AND NOT exists(rts, r -> "
-        "r is not null AND r.min_sk <= x.sk AND x.sk <= r.max_sk AND r.ts >= x.ts))"
+    stage1 = (
+        # _apply_rts needs null-free inputs (collect_list(when(...)) leaves
+        # nulls for the other kind); filtering preserves the sorted order
+        stage1.withColumn("cells", F.expr("filter(cells, x -> x is not null)"))
+        .withColumn("rts", F.expr("filter(rts, r -> r is not null)"))
     )
     stage1 = (
-        stage1.withColumn("c1", F.expr(rt_filtered))
+        _apply_rts(stage1, "cells", "rts", "min_sk", "max_sk", "c1")
         .withColumn("bucket_cols", F.expr(_LWW_EXPR))
         .select("partition_key", "da_b", "bucket_cols")
     )

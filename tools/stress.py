@@ -619,6 +619,77 @@ def sketch_bench(cpus: int, n_rows: int, n_keys: int) -> None:
         )
 
 
+def rt_bench(cpus: int, n_rts: int, n_cells: int) -> None:
+    """Range-tombstone application cost in ONE partition: the round-9
+    skyline + binary-search tier (compact._apply_rts with the dispatch
+    forced) vs the per-cell exists() probe, at (C cells, R RTs) and
+    (2C, 2R) — the probe is O(C x R) and should ~4x when both double;
+    the skyline tier is O(R log R + C log R) and should ~2x. Also runs
+    compact() end-to-end at the larger size (default dispatch picks the
+    skyline tier there) as the integration datapoint."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import _apply_rts, _rt_probe, compact
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("rt-stress", cpus=cpus)
+
+    schema = (
+        "cells array<struct<sk: binary, ts: long>>, "
+        "rts array<struct<min_sk: binary, max_sk: binary, ts: long>>"
+    )
+
+    def arrays(nc: int, nr: int):
+        # disjoint point-ish RTs over every other name; half delete
+        # (ts above the cell), half are older than the cell
+        cells = [(b"n%09d" % i, 5) for i in range(nc)]
+        rts = [
+            (b"n%09d" % (2 * j), b"n%09d" % (2 * j), 9 if j % 2 == 0 else 1)
+            for j in range(nr)
+        ]
+        return [(cells, rts)]
+
+    for scale in (1, 2):
+        nc, nr = n_cells * scale, n_rts * scale
+        df = spark.createDataFrame(arrays(nc, nr), schema).localCheckpoint()
+        probe_sel = df.select(
+            F.size(F.expr(_rt_probe("cells", "rts", "min_sk", "max_sk"))).alias("n")
+        )
+        sky_sel = _apply_rts(
+            df, "cells", "rts", "min_sk", "max_sk", "out", probe_max=0
+        ).select(F.size("out").alias("n"))
+        for label, sel in (("probe  ", probe_sel), ("skyline", sky_sel)):
+            sel.collect()  # warm codegen
+            t = time.time()
+            n = sel.collect()[0].n
+            dt = time.time() - t
+            print(f"{label} cells={nc} rts={nr}: {dt:.2f}s -> {n} survivors")
+
+    # end-to-end compact() with 10^3+ RTs in one partition
+    cells_schema = (
+        "source_path string, generation int, partition_key binary, "
+        "row_deleted_at long, kind string, cell_name binary, cell_name_max binary, "
+        "value binary, ts long, ttl int, local_deletion_time int, ts_of_last_delete long"
+    )
+    rows = [
+        ("f", 1, b"hot", -(1 << 63), "c", b"n%09d" % i, None, b"v", 5,
+         None, None, None)
+        for i in range(n_cells * 2)
+    ] + [
+        ("f", 2, b"hot", -(1 << 63), "t", b"n%09d" % (2 * j), b"n%09d" % (2 * j),
+         None, 9 if j % 2 == 0 else 1, None, None, None)
+        for j in range(n_rts * 2)
+    ]
+    df = spark.createDataFrame(rows, cells_schema)
+    t = time.time()
+    out = compact(df).select(F.size("columns").alias("s")).collect()
+    dt = time.time() - t
+    print(f"compact() end-to-end: {n_cells * 2} cells + {n_rts * 2} RTs "
+          f"in one partition: {dt:.2f}s -> row kept {out[0].s} cells")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -644,6 +715,9 @@ def main() -> None:
     ap.add_argument("--pipeline-ma", action="store_true",
                     help="full 3.x pipeline: decode -> compact -> aeg-JSON "
                          "snapshot at stress scale")
+    ap.add_argument("--rt", action="store_true",
+                    help="range-tombstone sweep vs probe scaling in one "
+                         "partition (--keys RTs, --rows cells)")
     ap.add_argument("--decode-ma", action="store_true",
                     help="run the 3.x (ma) distributed decode benchmark "
                          "(--rows partitions per file, --files files)")
@@ -666,6 +740,9 @@ def main() -> None:
         return
     if args.semantic:
         semantic_bench(args.cpus, args.docs)
+        return
+    if args.rt:
+        rt_bench(args.cpus, args.keys, args.rows)
         return
     if args.decode_ma:
         decode_ma_bench(args.cpus, args.rows, args.files)
