@@ -2619,10 +2619,13 @@ _VARINT_GOLDEN = "/root/repo/tests/golden/decode_golden_varint.parquet"
         "golden is only reachable through typed order: an RT over varint "
         "[-100..0] shadows exactly the ck0=-50 row (two's-complement raw "
         "bytes scramble numeric order), +/-10^25 wide varints order "
-        "correctly, and two numerically-EQUAL decimal clustering values "
+        "correctly, two numerically-EQUAL decimal clustering values "
         "under different encodings (5 vs 5.0) LWW-collapse to the newer "
-        "write. Plan stays in whole-stage codegen (no BatchEvalPython, "
-        "asserted in tests/test_plans.py + test_sortkeys.py)",
+        "write, and (round 9) ~10^40-unscaled WIDE decimals collapse/"
+        "survive exactly (any-width functions/bignum digitization — the "
+        "old key raise_error'd past 8 bytes). Plan stays in whole-stage "
+        "codegen (no BatchEvalPython, asserted in tests/test_plans.py + "
+        "test_sortkeys.py)",
 )
 def sst_decode_varint(spark, sf_dir):
     from .output import to_aeg_json

@@ -21,6 +21,10 @@ order end-to-end):
   scale 1): BigDecimal comparators treat them equal, so the typed sort
   key collapses them into one LWW group and only the newer write
   survives — raw bytes would keep both.
+- round 9: WIDE DecimalType clustering (unscaled ~10^40, past the 8-byte
+  conv bound): numerically-equal pair at different widths LWW-collapses,
+  a value differing only at the 41st digit survives — certifying the
+  any-width functions/bignum digitization end-to-end.
 
 Re-run only when the fixture content deliberately changes; the binaries
 and golden are committed so the `sst_decode_varint` driver query is
@@ -89,6 +93,19 @@ def partitions() -> list[dict]:
             row(-(10 ** 25), d(1, 0), b"wide-neg", 4),
             row(10 ** 25, d(1, 0), b"wide-pos", 5),
         ]},
+        # wide DecimalType clustering (unscaled far past 8 bytes): only
+        # reachable with the round-9 any-width digitization — the earlier
+        # JVM key raise_error'd past 8-byte unscaled, and the earlier
+        # Python fallback went through Decimal.normalize(), which ROUNDS
+        # at 28 digits and would wrongly collapse 10^40 with 10^40+1
+        {"key": b"p3", "rows": [
+            # numerically equal at different (unscaled, scale) widths:
+            # 10^40 e-5 == 10^41 e-6 -> LWW-collapse, newer survives
+            row(7, d(10 ** 40, 5), b"wide-dec-old", 30),
+            row(7, d(10 ** 41, 6), b"wide-dec-new", 40),
+            # differs from 10^40 only at the 41st digit: must NOT collapse
+            row(7, d(10 ** 40 + 1, 5), b"wide-dec-keep", 31),
+        ]},
     ]
 
 
@@ -125,7 +142,11 @@ def main() -> None:
     joined = "\n".join(lines)
     assert "doomed" not in joined, "RT must shadow ck0=-50 under varint order"
     assert "old-write" not in joined, "equal decimals must LWW-collapse"
-    for want in ("keep-neg200", "new-write", "keep-300", "wide-neg", "wide-pos"):
+    assert b"wide-dec-old".hex() not in joined, (
+        "numerically-equal WIDE decimals must LWW-collapse"
+    )
+    for want in ("keep-neg200", "new-write", "keep-300", "wide-neg", "wide-pos",
+                 "wide-dec-new", "wide-dec-keep"):
         assert want.encode().hex() in joined or want in joined, want
 
     import pyarrow as pa
