@@ -52,11 +52,21 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     reps_sub = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUB", "4")))
     reps_heavy = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_HEAVY", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a named subset (the sf1
+    # heavies run); unknown names error rather than silently shrink
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    registry = REGISTRY
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in names if n not in REGISTRY]
+        if missing:
+            raise SystemExit(f"unknown bench queries: {missing}")
+        registry = {n: REGISTRY[n] for n in names}
     timings: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
     spreads: dict[str, float] = {}
     total = 0.0
-    for name, q in REGISTRY.items():
+    for name, q in registry.items():
         try:
             spark._jvm.System.gc()  # outside the timers
         except Exception:
@@ -95,7 +105,7 @@ def main():
         "rep_counts": rep_counts,
         "rep_spread": spreads,
     }
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
