@@ -68,10 +68,25 @@ def negative_mag_hex(h: Column) -> Column:
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once as a lambda variable (SQL has no let): every
+    reference inside ``body`` is then a leaf instead of a copy of the
+    value's whole expression tree. Expression-tree size is the binding
+    design constraint here — an unbound ``mag_digits`` input was
+    referenced ~6x internally, and under composite sort-key levels the
+    compounding pushed sst_decode_varint's analysis+codegen from ~4 s to
+    ~75 s (measured round 9)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def mag_digits(mh: Column) -> Column:
     """Hex string of an UNSIGNED magnitude -> exact decimal digit string
     ('0' for empty/zero input), any width. See the module docstring for
     the short-division scheme."""
+    return _let(mh, _mag_digits_bound)
+
+
+def _mag_digits_bound(mh: Column) -> Column:
     hexlen = F.length(mh)
     # pad to a whole number of 4-hex limbs
     pad = (F.lit(4) - hexlen % F.lit(4)) % F.lit(4)
@@ -133,9 +148,15 @@ def signed_digits(h: Column) -> Column:
     """Minimal big-endian two's-complement hex -> exact signed decimal
     digit string ('-123', '0', '45'), any width. Non-minimal input is
     normalized first (equal values must render equally)."""
-    nh = normalize_hex(h)
-    neg = is_negative_hex(nh)
-    digits = mag_digits(F.when(neg, negative_mag_hex(nh)).otherwise(nh))
-    return F.concat(
-        F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit("")), digits
-    )
+
+    def _body(nh: Column) -> Column:
+        neg = is_negative_hex(nh)
+        return _let(
+            mag_digits(F.when(neg, negative_mag_hex(nh)).otherwise(nh)),
+            lambda digits: F.concat(
+                F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit("")),
+                digits,
+            ),
+        )
+
+    return _let(normalize_hex(h), _body)

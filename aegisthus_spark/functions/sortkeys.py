@@ -307,20 +307,32 @@ def _decimal_hex(comp: Column) -> Column:
     uh = normalize_hex(F.hex(F.substring(comp, 5, F.lit(_REST))))
     neg = is_negative_hex(uh)
     digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
-    adjusted = (F.length(digits) - F.lit(1)).cast("long") - scale
-    mant = F.regexp_replace(digits, "0+$", "")
-    # shared body: the positive form; negatives complement it wholesale
-    body = F.concat(
-        F.lpad(F.conv((adjusted + F.lit(_ADJ_SHIFT)).cast("string"), 10, 16),
-               10, "0"),
-        mant,
-        F.lit("!"),
-    )
-    key = F.when(digits == "0", F.lit("1")).otherwise(
-        F.when(
-            neg, F.concat(F.lit("0"), F.translate(body, *_BODY_COMPLEMENT))
-        ).otherwise(F.concat(F.lit("2"), body))
-    )
+
+    # EXPRESSION-TREE SIZE: `digits` (the whole bignum fold tree) would
+    # be referenced three times below; bind it ONCE as a lambda variable
+    # via a 1-element transform — inside, every reference is a leaf.
+    # Without this, the duplicated fold trees under composite levels x2
+    # bound columns pushed sst_decode_varint's analysis+codegen from ~4 s
+    # to ~75 s (measured round 9).
+    def _key_of(s: Column) -> Column:
+        adjusted = (F.length(s) - F.lit(1)).cast("long") - scale
+        mant = F.regexp_replace(s, "0+$", "")
+        # shared body: the positive form; negatives complement it wholesale
+        body = F.concat(
+            F.lpad(
+                F.conv((adjusted + F.lit(_ADJ_SHIFT)).cast("string"), 10, 16),
+                10, "0",
+            ),
+            mant,
+            F.lit("!"),
+        )
+        return F.when(s == "0", F.lit("1")).otherwise(
+            F.when(
+                neg, F.concat(F.lit("0"), F.translate(body, *_BODY_COMPLEMENT))
+            ).otherwise(F.concat(F.lit("2"), body))
+        )
+
+    key = F.element_at(F.transform(F.array(digits), _key_of), 1)
     return (
         F.when(F.length(comp) == 0, F.lit(""))
         .when(F.length(comp) < 5, F.concat(F.lit("."), F.hex(comp)))
@@ -431,7 +443,12 @@ def composite_sort_key(
     is_static = (total >= 2) & (
         F.hex(F.substring(name, F.lit(1), F.lit(2))) == "FFFF"
     )
-    acc = F.when(is_static, F.lit("0")).otherwise(F.lit("1"))
+    # segments collect into a flat variadic concat — a running
+    # `acc = when(has, concat(acc, seg)).otherwise(acc)` references acc
+    # TWICE per level, duplicating every earlier component's typed-key
+    # tree 2^(levels-below) times (the round-9 sst_decode_varint
+    # analysis blow-up); here each seg tree appears exactly once
+    segs: list[Column] = [F.when(is_static, F.lit("0")).otherwise(F.lit("1"))]
     pos = F.when(is_static, F.lit(3)).otherwise(F.lit(1)).cast("int")
     # injectivity guard for structurally broken composites: each level is
     # clean iff the name ended exactly before it (pos > total) or the full
@@ -468,9 +485,12 @@ def composite_sort_key(
                 ).otherwise(key)
         else:
             key = type_sort_key_hex(comp, t)
-        seg = F.concat(key, F.lit(_EOC_MINUS), eocc)
         has = (pos + F.lit(1)) <= total  # the u16 length prefix is present
-        acc = F.when(has, F.concat(acc, seg)).otherwise(acc)
+        segs.append(
+            F.when(has, F.concat(key, F.lit(_EOC_MINUS), eocc)).otherwise(
+                F.lit("")
+            )
+        )
         # pos advances UNCONDITIONALLY: past the end, _u16_at coalesces to
         # 0 and `has` keeps gating the append, so correctness is
         # unaffected — but a guarded pos (when(has, ...).otherwise(pos))
@@ -487,7 +507,9 @@ def composite_sort_key(
     # keys' content without colliding with them. The tree cost is linear
     # in the level count (each `clean` term references the shared pos
     # trees, not a 5-way guarded recurrence).
-    return F.when(clean, acc).otherwise(F.concat(F.lit("."), F.hex(name)))
+    return F.when(clean, F.concat(*segs)).otherwise(
+        F.concat(F.lit("."), F.hex(name))
+    )
 
 
 def comparator_sort_key(name: Column, spec: str, *, n_extra: int = 2) -> Column:

@@ -2966,25 +2966,59 @@ def doc_chunk_windows(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+#: k-NN blocking contract shared by the Spark query and its oracle: use
+#: the smallest plane count p in [10, 20] keeping expected candidates
+#: per vector ~n*(p+1)/2^p at or under this budget — candidate volume
+#: then stays ~linear in corpus size instead of quadratic (round-9 sf1
+#: datapoint: fixed p=10 scaled 34.6x for 10x vectors).
+_KNN_CAND_BUDGET = 22.0
+_KNN_MAX_PLANES = 20
+
+
 def _knn_planes():
-    return _sim.hyperplanes(64, n_planes=10, seed=1234)
+    # 20 planes from ONE seeded stream: hyperplanes() is prefix-stable,
+    # so the Spark side using the first p planes sees exactly the low p
+    # bits of the oracle's static 20-bit bucket
+    return _sim.hyperplanes(64, n_planes=_KNN_MAX_PLANES, seed=1234)
+
+
+def knn_plane_count(n: int) -> int:
+    """Smallest p in [10, _KNN_MAX_PLANES] with n*(p+1)/2^p <= budget
+    (p=10 for every test scale up to sf0.1 — those results are frozen —
+    p=14 at sf1's 20k vectors, growing ~log2(n) beyond)."""
+    for p in range(10, _KNN_MAX_PLANES):
+        if n * (p + 1) / (1 << p) <= _KNN_CAND_BUDGET:
+            return p
+    return _KNN_MAX_PLANES
 
 
 def _knn_oracle_sql() -> str:
     bucket = _lsh_bucket_sql("embedding", _knn_planes())
+    # the oracle computes the same adaptive p in SQL and compares only
+    # the low p bits of the 20-bit bucket
+    mask = "((1::BIGINT << p.p) - 1)"
     probes = " OR ".join(
-        ["r.bk = l.bk"] + [f"r.bk = xor(l.bk, {1 << j})" for j in range(10)]
+        [f"(r.bk & {mask}) = (l.bk & {mask})"]
+        + [
+            f"(p.p > {j} AND (r.bk & {mask}) = xor(l.bk & {mask}, {1 << j}))"
+            for j in range(_KNN_MAX_PLANES)
+        ]
     )
     return f"""
     WITH b AS (
-      SELECT vec_id, embedding, {bucket} AS bk,
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bk,
              sqrt({_DOT_F_SQL.format(a='embedding', b='embedding')}) AS nrm
       FROM embeddings),
+    p AS (
+      SELECT COALESCE(MIN(pp), {_KNN_MAX_PLANES}) AS p
+      FROM generate_series(10, {_KNN_MAX_PLANES - 1}) t(pp)
+      WHERE (SELECT count(*) FROM embeddings) * (pp + 1)
+            / POW(2.0, pp) <= {_KNN_CAND_BUDGET}),
     scored AS (
       SELECT l.vec_id AS a, r.vec_id AS nn,
              round({_DOT_F_SQL.format(a='l.embedding', b='r.embedding')}
                    / (l.nrm * r.nrm), 6) AS cos
-      FROM b l JOIN b r ON l.vec_id <> r.vec_id AND ({probes})),
+      FROM b l, p, b r WHERE l.vec_id <> r.vec_id AND ({probes})),
     ranked AS (
       SELECT a, nn, cos,
              CAST(row_number() OVER (PARTITION BY a ORDER BY cos DESC, nn) AS INT) AS rn
@@ -2998,12 +3032,17 @@ def _knn_oracle_sql() -> str:
     "sim_knn_join",
     _knn_oracle_sql(),
     doc="all-vectors k-NN self-join (k=3): LSH-blocked candidates "
-        "(10 sign-bit planes, Hamming<=1 multiprobe via ONE equi-join on "
-        "bucket id), float left-fold cosine, per-vector rank",
+        "(adaptive sign-bit plane count — smallest p>=10 keeping expected "
+        "candidates ~linear in corpus size, p=10 through sf0.1 and 14 at "
+        "sf1; Hamming<=1 multiprobe via ONE equi-join on bucket id), "
+        "float left-fold cosine, per-vector rank",
 )
 def sim_knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return _sim.knn_join(emb, k=3, dim=64, n_planes=10, seed=1234).orderBy(
+    # parquet metadata count: cheap action at build time, shared with the
+    # oracle's count(*) so both engines derive the identical plane count
+    p = knn_plane_count(emb.count())
+    return _sim.knn_join(emb, k=3, dim=64, n_planes=p, seed=1234).orderBy(
         "vec_id", "rn"
     )
 
