@@ -156,11 +156,13 @@ _LWW_EXPR = "filter(c1, (x, i) -> i = size(c1) - 1 OR x.sk != c1[i + 1].sk)"
 #: partitions carry a handful of RTs, so the probe is the common tier.
 _RT_PROBE_MAX = 64
 
-#: unrolled binary-search depth: covers 2^21 skyline segments (~10^6
-#: RTs in ONE partition); beyond that the dispatcher falls back to the
-#: probe rather than mis-converge
+#: unrolled binary-search depth: 21 halvings converge for up to 2^21 - 1
+#: segments, so the dispatcher admits at most (2^21 - 2) / 2 RTs (each
+#: RT contributes 2 segments); beyond that it falls back to the probe
+#: rather than mis-converge (review-caught off-by-one: at exactly 2^20
+#: RTs = 2^21 segments the upper bound lands one short)
 _RT_BS_STEPS = 21
-_RT_SKYLINE_MAX = 1 << 20
+_RT_SKYLINE_MAX = (1 << 20) - 1
 
 
 def _rt_probe(cells_arr: str, rts_arr: str, rt_min: str, rt_max: str) -> str:

@@ -288,26 +288,10 @@ def _compose_nonnull(b: Column, cql_type: str) -> Column:
         # width) and cast like the reference's BigDecimal; numerically
         # equal strings cast to equal decimal(38,18) values, so this
         # matches the former Python str(Decimal)-through-cast fallback
-        from .functions.bignum import (
-            is_negative_hex,
-            mag_digits,
-            negative_mag_hex,
-            normalize_hex,
-        )
+        from .functions.bignum import split_decimal
 
-        scale = (
-            (F.conv(F.hex(F.substring(b, 1, 4)), 16, 10).cast("long")
-             + F.lit(1 << 31)) % F.lit(1 << 32)
-        ) - F.lit(1 << 31)
-        uh = normalize_hex(F.hex(F.substring(b, 5, F.lit((1 << 31) - 1))))
-        neg = is_negative_hex(uh)
-        digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
-        s = F.concat(
-            F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit("")),
-            digits,
-            F.lit("E"),
-            (-scale).cast("string"),
-        )
+        scale, sign, digits = split_decimal(b)
+        s = F.concat(sign, digits, F.lit("E"), (-scale).cast("string"))
         return s.cast("decimal(38,18)")
     raise ValueError(f"unsupported CQL type: {cql_type}")
 

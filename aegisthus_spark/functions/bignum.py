@@ -144,6 +144,25 @@ def _mag_digits_bound(mh: Column) -> Column:
     )
 
 
+def split_decimal(b: Column) -> tuple[Column, Column, Column]:
+    """Cassandra DecimalType bytes (4-byte signed scale + any-width
+    varint unscaled) -> (scale long, sign-prefix string, magnitude digit
+    string). The shared extraction under the decimal render
+    (render._decimal_str) and the CQL decimal compose (cql.py) — one
+    place owns the scale/sign/digitization conventions. Callers that
+    need the short-input (< 4 bytes) edge handle it themselves: the
+    returned scale here reads the full 4-byte prefix."""
+    scale = (
+        (F.conv(F.hex(F.substring(b, 1, 4)), 16, 10).cast("long")
+         + F.lit(1 << 31)) % F.lit(1 << 32)
+    ) - F.lit(1 << 31)
+    uh = normalize_hex(F.hex(F.substring(b, 5, F.lit((1 << 31) - 1))))
+    neg = is_negative_hex(uh)
+    digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
+    sign = F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit(""))
+    return scale, sign, digits
+
+
 def signed_digits(h: Column) -> Column:
     """Minimal big-endian two's-complement hex -> exact signed decimal
     digit string ('-123', '0', '45'), any width. Non-minimal input is

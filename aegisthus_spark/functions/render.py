@@ -137,18 +137,12 @@ def _decimal_str(b: Column) -> Column:
     BigDecimal.toString. Inputs shorter than the 4-byte scale prefix
     follow the Python twin exactly: scale is the signed int of whatever
     prefix bytes exist (signed at its OWN width) and the unscaled is 0."""
-    head = F.substring(b, 1, 4)
-    full_scale = (
-        (F.conv(F.hex(head), 16, 10).cast("long") + F.lit(1 << 31))
-        % F.lit(1 << 32)
-    ) - F.lit(1 << 31)
+    from .bignum import split_decimal
+
+    full_scale, sign, digits = split_decimal(b)
     short_scale = F.when(F.length(b) == 0, F.lit(0).cast("long")).otherwise(
-        _signed_long(F.hex(head))
+        _signed_long(F.hex(F.substring(b, 1, 4)))
     )
-    uh = normalize_hex(F.hex(F.substring(b, 5, F.lit(_REST))))
-    neg = is_negative_hex(uh)
-    digits = mag_digits(F.when(neg, negative_mag_hex(uh)).otherwise(uh))
-    sign = F.when(neg & (digits != "0"), F.lit("-")).otherwise(F.lit(""))
     return F.when(
         F.length(b) >= 4,
         _decimal_digits_fmt(sign, digits, full_scale),
@@ -241,7 +235,11 @@ def composite_render(
         rendered = type_render(comp, t)
         if rendered is None:
             return None
-        has = (pos + F.lit(1)) <= total
+        # `pos <= total`, not `pos + 1 <= total`: the Python twin's split
+        # reads a DANGLING single trailing byte as a (short) length and
+        # emits one more (empty) component — byte parity requires the
+        # same here (review-caught divergence on malformed composites)
+        has = pos <= total
         acc = F.when(has, F.array_append(acc, rendered)).otherwise(acc)
         pos = (pos + F.lit(3) + ln).cast("int")
     # generic hex tail: components past the unrolled levels, unlimited
@@ -255,7 +253,7 @@ def composite_render(
         ),
         F.struct(pos.alias("p"), acc.alias("s")),
         lambda a, _i: F.when(
-            (a["p"] + F.lit(1)) <= total,
+            a["p"] <= total,  # same dangling-byte rule as the unrolled part
             F.struct(
                 (a["p"] + F.lit(3) + _u16_at(name, a["p"])).cast("int").alias("p"),
                 F.array_append(

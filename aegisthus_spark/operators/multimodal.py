@@ -157,10 +157,11 @@ def _decode_avi_luma_envelope(payload: bytes) -> list[float]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     width = height = None
+    bit_count = compression = None
     frames: list[bytes] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal width, height
+        nonlocal width, height, bit_count, compression
         o = lo
         while o + 8 <= hi:
             cid = payload[o : o + 4]
@@ -170,6 +171,13 @@ def _decode_avi_luma_envelope(payload: bytes) -> list[float]:
                 walk(body_lo + 4, body_hi)  # skip the list-type fourcc
             elif cid == b"avih":
                 width, height = _s.unpack_from("<ii", payload, body_lo + 32)
+            elif cid == b"strf" and bit_count is None and clen >= 20:
+                # first stream's BITMAPINFOHEADER: the codec lives here,
+                # not in the container magic — a compressed-AVI payload
+                # must reject so the caller can try a codec library
+                bit_count, compression = _s.unpack_from(
+                    "<HI", payload, body_lo + 14
+                )
             elif cid[2:4] in (b"db", b"dc") and clen:
                 frames.append(payload[body_lo:body_hi])
             o += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
@@ -177,6 +185,10 @@ def _decode_avi_luma_envelope(payload: bytes) -> list[float]:
     walk(12, len(payload))
     if not width or not height or not frames:
         raise ValueError("AVI missing avih header or frame chunks")
+    if bit_count is not None and (bit_count != 24 or compression != 0):
+        raise ValueError(
+            "only uncompressed BGR24 DIB frames are stdlib-decodable"
+        )
     row_stride = (width * 3 + 3) & ~3
     if any(len(f) < row_stride * abs(height) for f in frames):
         raise ValueError("only uncompressed BGR24 DIB frames are "
@@ -248,12 +260,18 @@ def _decode_video_library(payload: bytes) -> list[float]:
             cap.release()
         finally:
             os.unlink(tmp)
+        if not means:
+            # VideoCapture signals unreadable input by returning no
+            # frames; an all-zero fabricated envelope must not flow
+            # into downstream dedup/stats (the av path raises here)
+            raise ValueError("cv2 decoded no frames — corrupt or "
+                             "unsupported video payload")
         return _video_envelope(means)
     except ImportError:
         pass
     raise ValueError(
-        "not an uncompressed AVI payload and no video library installed — "
-        "stdlib decode covers raw-DIB AVI only (probe order: av, cv2)"
+        "payload is not stdlib-decodable video (uncompressed raw-DIB AVI "
+        "only) and no video library is installed (probe order: av, cv2)"
     )
 
 
@@ -299,7 +317,13 @@ def _decode_real(payload: bytes, media_type: str) -> list[float]:
         return [min(1.0, v) for v in _audio_envelope(list(samples), len(samples))]
     if media_type == "video":
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-            return _decode_avi_luma_envelope(payload)
+            try:
+                return _decode_avi_luma_envelope(payload)
+            except ValueError:
+                # AVI container but not raw-DIB frames (e.g. MJPEG-in-
+                # AVI): the codec decides decodability, not the
+                # container magic — fall through to the library probe
+                pass
         return _decode_video_library(payload)
     raise ValueError(f"unknown media_type={media_type!r}")
 

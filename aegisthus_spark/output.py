@@ -156,6 +156,46 @@ def sort_columns_by_display_name(
     return rows.withColumn("columns", F.expr(resort))
 
 
+def _size_guarded(cols_json, max_col_size: int | None):
+    """P4 output-side guard (JsonOutputFormat.java:127-146): replace an
+    oversized row's columns with the error marker entry. ONE place owns
+    the size model (name+value+15 framing, +8 for 'e'/'x' atoms) and the
+    marker text — shared by the BytesType and typed expression paths;
+    render_row_json is the Python twin."""
+    if max_col_size is None:
+        return cols_json
+    total = F.expr(
+        "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
+        "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15 "
+        "+ if(c.kind in ('e', 'x'), 8, 0))"
+    )
+    marker = F.concat(
+        F.lit('["error","row too large: '),
+        F.format_number(total, 0),
+        F.lit(f' bytes - limit {max_col_size:,d} bytes",0]'),
+    )
+    return F.when(total > max_col_size, marker).otherwise(cols_json)
+
+
+def _aeg_line(key_prefix, key_json, cols_json, trace):
+    """<key>\t[<source>\t]{"<key>":{"deletedAt":N,"columns":[...]}} —
+    the one line layout both expression paths share. ``key_prefix`` is
+    the raw rendered key (outside the JSON), ``key_json`` the
+    JSON-escaped form used as the object key."""
+    return F.concat(
+        key_prefix,
+        F.lit("\t"),
+        *trace,
+        F.lit('{"'),
+        key_json,
+        F.lit('":{"deletedAt":'),
+        F.col("deleted_at").cast("string"),
+        F.lit(',"columns":['),
+        cols_json,
+        F.lit("]}}"),
+    )
+
+
 def to_aeg_json(
     compacted: DataFrame,
     *,
@@ -194,34 +234,9 @@ def to_aeg_json(
             "     WHEN c.kind = 'x' THEN concat(',\"c\",', cast(c.ts_of_last_delete as string)) "
             "     ELSE '' END, ']'))"
         )
-        cols_json = F.array_join(F.expr(col_entry), ",")
-        if max_col_size is not None:
-            # P4 output-side guard (JsonOutputFormat.java:127-146): replace
-            # an oversized row's columns with the error marker entry; size
-            # model matches render_row_json (name+value+15 framing bytes)
-            total = F.expr(
-                "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
-                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15 "
-                "+ if(c.kind in ('e', 'x'), 8, 0))"
-            )
-            marker = F.concat(
-                F.lit('["error","row too large: '),
-                F.format_number(total, 0),
-                F.lit(f' bytes - limit {max_col_size:,d} bytes",0]'),
-            )
-            cols_json = F.when(total > max_col_size, marker).otherwise(cols_json)
-        line = F.concat(
-            key_str,
-            F.lit("\t"),
-            *trace,
-            F.lit('{"'),
-            key_str,
-            F.lit('":{"deletedAt":'),
-            F.col("deleted_at").cast("string"),
-            F.lit(',"columns":['),
-            cols_json,
-            F.lit("]}}"),
-        )
+        cols_json = _size_guarded(F.array_join(F.expr(col_entry), ","), max_col_size)
+        # hex keys are JSON-safe, so prefix and object key share the render
+        line = _aeg_line(key_str, key_str, cols_json, trace)
         return compacted.select(line.alias("value"))
 
     from .functions.render import comparator_render, json_escape
@@ -281,32 +296,10 @@ def to_aeg_json(
                 F.lit("]"),
             )
 
-        cols_json = F.array_join(F.transform(F.col("columns"), _entry), ",")
-        if max_col_size is not None:
-            # same size model + marker as the BytesType fast path
-            total = F.expr(
-                "aggregate(columns, cast(0 as long), (acc, c) -> acc + "
-                "length(coalesce(c.name, x'')) + length(coalesce(c.value, x'')) + 15 "
-                "+ if(c.kind in ('e', 'x'), 8, 0))"
-            )
-            marker = F.concat(
-                F.lit('["error","row too large: '),
-                F.format_number(total, 0),
-                F.lit(f' bytes - limit {max_col_size:,d} bytes",0]'),
-            )
-            cols_json = F.when(total > max_col_size, marker).otherwise(cols_json)
-        line = F.concat(
-            key_raw,
-            F.lit("\t"),
-            *trace,
-            F.lit('{"'),
-            key_js,
-            F.lit('":{"deletedAt":'),
-            F.col("deleted_at").cast("string"),
-            F.lit(',"columns":['),
-            cols_json,
-            F.lit("]}}"),
+        cols_json = _size_guarded(
+            F.array_join(F.transform(F.col("columns"), _entry), ","), max_col_size
         )
+        line = _aeg_line(key_raw, key_js, cols_json, trace)
         return compacted.select(line.alias("value"))
 
     kc, nc, vc = (aegtypes.get(t) for t in (key_type, name_type, value_type))

@@ -112,6 +112,10 @@ def test_composite_render_byte_parity(spark):
         _enc_composite([struct.pack(">q", 2), b"y"], static=True),
         b"",
         _enc_composite([struct.pack(">q", 1), b"", b""]),  # empty comps
+        # DANGLING trailing byte: the Python split reads it as a short
+        # length and emits one more empty component (review-caught)
+        _enc_composite([struct.pack(">q", 3), b"abc"]) + b"\x00",
+        _enc_composite([struct.pack(">q", 3), b"abc"]) + b"\x05",
     ]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "i int, b binary"

@@ -140,6 +140,16 @@ def test_skyline_preserves_cell_order_for_lww(spark):
     ]
 
 
+def test_binary_search_depth_covers_admitted_segments():
+    """Review-caught off-by-one: _RT_BS_STEPS halvings converge only for
+    fewer than 2^steps segments, and each admitted RT contributes two
+    skyline segments — the dispatcher bound must keep 2*R strictly under
+    the search's capacity."""
+    from aegisthus_spark.compact import _RT_BS_STEPS, _RT_SKYLINE_MAX
+
+    assert 2 * _RT_SKYLINE_MAX < (1 << _RT_BS_STEPS)
+
+
 def test_default_dispatch_uses_probe_for_few_rts(spark):
     """With the default threshold, a 1000-RT partition takes the skyline
     tier and a 3-RT partition the probe tier — both produce the rule's
