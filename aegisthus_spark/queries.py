@@ -2643,6 +2643,43 @@ def sst_decode_varint(spark, sf_dir):
     )
 
 
+_RTSTORM_FIXTURES = "/root/repo/tests/fixtures/ma_rtstorm"
+_RTSTORM_GOLDEN = "/root/repo/tests/golden/decode_golden_rtstorm.parquet"
+
+
+@register(
+    "sst_decode_rt_storm",
+    f"SELECT line FROM read_parquet('{_RTSTORM_GOLDEN}') ORDER BY line",
+    doc="range-tombstone STORM: a 5-generation merge whose hot partition "
+        "carries 134 RTs over 400 rows — above compact._RT_PROBE_MAX, so "
+        "this drives the round-9 SKYLINE tier (sorted bound sweep + "
+        "per-cell binary search) through the driver gate, with the "
+        "adversarial shapes from real multi-generation overlap: "
+        "alternating covering/stale point deletes, adjacent boundary "
+        "collisions, and a 4-deep nested stack with deletion ts "
+        "increasing inward (only the innermost wins). A calm partition "
+        "(1 RT) rides the probe tier in the same job; the golden was "
+        "frozen only after asserting both tiers byte-agree on this input "
+        "(tools/make_rtstorm_fixture.py)",
+)
+def sst_decode_rt_storm(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+    from .sstable.modern import header_for_data_file, name_sort_key_for_header
+
+    sk = name_sort_key_for_header(
+        header_for_data_file(f"{_RTSTORM_FIXTURES}/gen1/nb-1-big-Data.db")
+    )
+    cells = read_sstable_cells(
+        spark, [f"{_RTSTORM_FIXTURES}/gen{i}" for i in range(1, 6)]
+    )
+    return (
+        to_aeg_json(compact(cells, name_sort_key=sk))
+        .select(F.col("value").alias("line"))
+        .orderBy("line")
+    )
+
+
 _MA_CQL_GOLDEN = "/root/repo/tests/golden/cql_golden_ma.parquet"
 
 
