@@ -172,7 +172,14 @@ def _encode_base(value, dt: T.DataType, out: bytearray) -> None:
     elif isinstance(dt, T.DateType):
         out += _zigzag((value - __import__("datetime").date(1970, 1, 1)).days)
     elif isinstance(dt, T.DecimalType):
-        unscaled = int(Decimal(value).scaleb(dt.scale).to_integral_value())
+        # EXACT unscaled extraction: bare .scaleb() rounds to the
+        # default 28-digit context precision, silently corrupting the
+        # low digits of decimal(38,*) values (same bug family the
+        # round-9 sort-key/render fixes removed from types.py)
+        import decimal as _decimal
+
+        with _decimal.localcontext(_decimal.Context(prec=60)):
+            unscaled = int(Decimal(value).scaleb(dt.scale).to_integral_value())
         blen = max(1, (unscaled.bit_length() + 8) // 8)
         out += _enc_bytes(unscaled.to_bytes(blen, "big", signed=True))
     elif isinstance(dt, T.ArrayType):

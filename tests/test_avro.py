@@ -130,3 +130,30 @@ def test_write_avro_empty_dataframe_header_only(spark, tmp_path):
     assert len(paths) == 1
     recs = _read_with_java(spark, paths[0])
     assert recs == []
+
+
+def test_write_avro_wide_decimal_exact(spark, tmp_path):
+    """decimal(38,4) survives byte-exact: a value with more than 28
+    significant digits — the bare-context Decimal.scaleb the round-9
+    review family removed would have ROUNDED its low digits before
+    encoding the unscaled bytes."""
+    from decimal import Decimal
+
+    from aegisthus_spark.avro_out import write_avro
+
+    wide = Decimal("1234567890123456789012345678901234.5678")
+    df = spark.createDataFrame([(1, wide)], "id long, d decimal(38,4)")
+    paths = write_avro(df, str(tmp_path / "out"))
+    jvm = spark._jvm
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(paths[0]),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    rec = dfr.next()
+    raw = rec.get("d")
+    # Avro-Java returns the unscaled big-endian bytes for decimal logicals
+    buf = raw.array() if hasattr(raw, "array") else bytes(raw)
+    unscaled = int.from_bytes(bytes(buf), "big", signed=True)
+    dfr.close()
+    assert unscaled == int(wide.scaleb(4, context=__import__("decimal").Context(prec=60)))
+    assert unscaled == 12345678901234567890123456789012345678
