@@ -69,6 +69,17 @@ def test_compact_is_single_shuffle(spark):
     assert count_exchanges(compact(cells)) == 1
 
 
+def test_rt_storm_stays_single_compact_shuffle(spark, queries):
+    """The round-9 two-tier RT dispatch adds columns inside the
+    aggregated row (skyline + survivor arrays) but must NOT add an
+    Exchange: decode -> compact -> render stays one hash shuffle plus
+    the presentation orderBy."""
+    from aegisthus_spark.plans import count_exchanges
+
+    df = queries["sst_decode_rt_storm"](spark, SF_DIR)
+    assert count_exchanges(df) <= 2  # compact hash + orderBy range
+
+
 def test_q5_no_cartesian_or_nested_loop(spark, queries):
     from aegisthus_spark.plans import join_strategies
 
