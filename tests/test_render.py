@@ -14,6 +14,8 @@ import struct
 import uuid
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from aegisthus_spark import types as aegtypes
@@ -73,6 +75,30 @@ def test_type_render_byte_parity(spark, marshal):
     }
     comp = aegtypes.get(marshal)
     for i, v in enumerate(vals):
+        assert got[i] == comp.render(v), (marshal, v)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.lists(st.binary(min_size=0, max_size=24), min_size=1, max_size=8),
+    marshal=st.sampled_from(RENDER_TYPES),
+)
+def test_type_render_hypothesis_parity(spark, data, marshal):
+    """Fresh-seed fuzz every run: arbitrary bytes through every JVM
+    render must equal the Python twin byte-for-byte (hypothesis finds
+    NEW counterexamples across rounds — the repo's experience is that a
+    'suddenly failing' parity test here is a real latent divergence)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "i int, b binary"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", type_render(F.col("b"), marshal).alias("s")
+        ).collect()
+    }
+    comp = aegtypes.get(marshal)
+    for i, v in enumerate(data):
         assert got[i] == comp.render(v), (marshal, v)
 
 
