@@ -495,15 +495,23 @@ def semantic_dedup(
 
     **k-scaling CONTRACT — k must grow with the corpus.** Within-cluster
     pair work is O(k * (N/k)^2) = O(N^2 / k): at FIXED k a 100x corpus
-    makes clusters 100x bigger and pair work 10,000x. Callers must scale
-    k ~ N / c for a chosen bounded cluster size c, which makes total pair
-    work O(N * c) — linear in the corpus. SemDeDup (Abbas et al. 2023,
-    §3) runs k ~ 10^4-10^5 on its web-scale corpora for exactly this
-    reason; the k=8/k=32 used by the registered queries are sf-scale
-    instances of the same ratio, not production constants. Measured:
-    `python tools/stress.py --semantic` doubles N with k scaled and
-    reports ~flat pairs-per-cluster / ~linear total candidate pairs,
-    versus superlinear growth when k is (wrongly) held fixed.
+    makes clusters 100x bigger and pair work 10,000x. Two growth rates,
+    by assignment backend:
+
+    - k ~ N / c (bounded cluster size c): pair work O(N*c) — LINEAR —
+      the right choice when centroid assignment is cheap per (row,
+      centroid), e.g. GPU/BLAS matmul. SemDeDup (Abbas et al. 2023, §3)
+      runs k ~ 10^4-10^5 on web-scale corpora in exactly this regime.
+    - k ~ sqrt(N/2): balances the n*k assignment distance folds against
+      the n^2/2k pair folds at ~2*n^1.5 total — the optimum for THIS
+      implementation, whose assignment is an interpreted JVM
+      higher-order fold with the same per-fold constant as the pair
+      cosines. The registered `dedup_semantic` query derives exactly
+      this (queries.semantic_cluster_count) on both engines.
+
+    Measured: `python tools/stress.py --semantic` doubles N with k
+    scaled and reports ~flat pairs-per-cluster / ~linear total candidate
+    pairs, versus superlinear growth when k is (wrongly) held fixed.
     """
     from .similarity import kmeans_assign, _dot_float
 

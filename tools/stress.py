@@ -690,6 +690,61 @@ def rt_bench(cpus: int, n_rts: int, n_cells: int) -> None:
           f"in one partition: {dt:.2f}s -> row kept {out[0].s} cells")
 
 
+def knn_bench(cpus: int, n_vecs: int) -> None:
+    """Adaptive k-NN blocking evidence: candidate-pair counts and wall
+    time at N and 2N vectors, with the plane count p derived from the
+    corpus size (queries.knn_plane_count) vs held FIXED at 10 — the
+    adaptive path keeps candidates ~linear while fixed-p grows ~N^2/2^p
+    (the round-9 sf1 finding: 65 s -> 13.6 s at 20k vectors)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.similarity import (
+        _bucket_expr,
+        hyperplanes,
+        knn_join,
+    )
+    from aegisthus_spark.queries import knn_plane_count
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("knn-stress", cpus=cpus)
+
+    def emb(n):
+        # deterministic hash-noise embeddings (the classic fract(sin*K)
+        # trick): near-uniform per dimension — a smooth sin(i+j) pattern
+        # correlates sign bits across vectors and collapses LSH buckets,
+        # understating what blocking can do
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    "transform(sequence(0, 63), j -> cast("
+                    "(sin(id * 12.9898 + j * 78.233) * 43758.5453) % 1.0 "
+                    "as float))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+
+    for scale in (1, 2):
+        n = n_vecs * scale
+        df = emb(n)
+        for label, p in (("fixed p=10", 10), (f"adaptive", knn_plane_count(n))):
+            planes = hyperplanes(64, p, seed=1234)
+            b = F.expr(_bucket_expr("embedding", planes))
+            hist = df.select(b.alias("bk")).groupBy("bk").count()
+            pairs = hist.select(
+                F.sum(F.col("count") * (F.col("count") - 1)).alias("p")
+            ).collect()[0].p
+            t = time.time()
+            knn_join(df, k=3, dim=64, n_planes=p, seed=1234).count()
+            dt = time.time() - t
+            print(f"{label} (p={p}) n={n}: ~{pairs} same-bucket pairs, "
+                  f"knn_join {dt:.2f}s")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -718,6 +773,9 @@ def main() -> None:
     ap.add_argument("--rt", action="store_true",
                     help="range-tombstone sweep vs probe scaling in one "
                          "partition (--keys RTs, --rows cells)")
+    ap.add_argument("--knn", action="store_true",
+                    help="adaptive vs fixed LSH plane count: candidate "
+                         "pairs and knn_join wall at N and 2N (--docs N)")
     ap.add_argument("--decode-ma", action="store_true",
                     help="run the 3.x (ma) distributed decode benchmark "
                          "(--rows partitions per file, --files files)")
@@ -743,6 +801,9 @@ def main() -> None:
         return
     if args.rt:
         rt_bench(args.cpus, args.keys, args.rows)
+        return
+    if args.knn:
+        knn_bench(args.cpus, args.docs)
         return
     if args.decode_ma:
         decode_ma_bench(args.cpus, args.rows, args.files)
