@@ -27,7 +27,10 @@ import hashlib
 import json
 import os
 import struct
-from decimal import Decimal
+from decimal import Context, Decimal, localcontext
+
+#: exact context for decimal(38,*) unscaled extraction
+_EXACT_CTX = Context(prec=60)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -175,10 +178,9 @@ def _encode_base(value, dt: T.DataType, out: bytearray) -> None:
         # EXACT unscaled extraction: bare .scaleb() rounds to the
         # default 28-digit context precision, silently corrupting the
         # low digits of decimal(38,*) values (same bug family the
-        # round-9 sort-key/render fixes removed from types.py)
-        import decimal as _decimal
-
-        with _decimal.localcontext(_decimal.Context(prec=60)):
+        # round-9 sort-key/render fixes removed from types.py); the
+        # prec-60 context is hoisted — this runs once per cell
+        with localcontext(_EXACT_CTX):
             unscaled = int(Decimal(value).scaleb(dt.scale).to_integral_value())
         blen = max(1, (unscaled.bit_length() + 8) // 8)
         out += _enc_bytes(unscaled.to_bytes(blen, "big", signed=True))

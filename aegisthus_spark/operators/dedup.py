@@ -503,7 +503,7 @@ def semantic_dedup(
       centroid), e.g. GPU/BLAS matmul. SemDeDup (Abbas et al. 2023, §3)
       runs k ~ 10^4-10^5 on web-scale corpora in exactly this regime.
     - k ~ sqrt(N/2): balances the n*k assignment distance folds against
-      the n^2/2k pair folds at ~2*n^1.5 total — the optimum for THIS
+      the n^2/2k pair folds at ~1.41*n^1.5 total (sqrt(2), each term n^1.5/sqrt(2)) — the optimum for THIS
       implementation, whose assignment is an interpreted JVM
       higher-order fold with the same per-fold constant as the pair
       cosines. The registered `dedup_semantic` query derives exactly

@@ -3444,7 +3444,7 @@ def ev_distinct_sketch(spark, sf_dir):
 #: SemDeDup cluster count shared by the Spark query and its oracle:
 #: k = max(32, ceil(sqrt(n/2))) balances the two cost terms — centroid
 #: assignment is n*k distance folds and within-cluster pairing ~n^2/2k —
-#: at ~2*n^1.5 total, and lands on exactly 32 at every frozen test scale
+#: at ~sqrt(2)*n^1.5 total, and lands on exactly 32 at every frozen test scale
 #: (n <= 2048). The k-scaling contract in operators.dedup.semantic_dedup
 #: still holds (k grows with n); this picks the balanced growth rate.
 def semantic_cluster_count(n: int) -> int:

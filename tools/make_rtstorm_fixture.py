@@ -99,8 +99,10 @@ def generations() -> list[list[dict]]:
     def parts(storm_items, with_calm=False):
         out = [{"key": b"storm", "rows": _sorted_rows(storm_items)}]
         if with_calm:
-            # partition keys must be in token order within the file; the
-            # writer handles that — 'calm' rides along in gen1 only
+            # write_sstable_ma emits partitions in INPUT order (token
+            # ordering is the caller's job for real-Cassandra parity;
+            # this repo's sequential decoder does not depend on it) —
+            # 'calm' rides along in gen1 only
             out.append({"key": b"calm", "rows": _sorted_rows(calm)})
         return out
 
@@ -144,8 +146,12 @@ def main() -> None:
         r.value for r in to_aeg_json(compact(cells, name_sort_key=sk)).collect()
     )
 
-    # the storm partition must really take the skyline tier...
-    n_rts = cells.filter(F.col("kind") == "t").count()
+    # the STORM PARTITION must really take the skyline tier — the
+    # dispatch is per grouped partition, so a global count could pass
+    # while every partition rides the probe
+    n_rts = cells.filter(
+        (F.col("kind") == "t") & (F.col("partition_key") == F.lit(b"storm"))
+    ).count()
     assert n_rts > compact_mod._RT_PROBE_MAX, n_rts
     # ...and its output must equal the probe tier's on the same input
     orig = compact_mod._RT_PROBE_MAX

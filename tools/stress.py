@@ -731,7 +731,7 @@ def knn_bench(cpus: int, n_vecs: int) -> None:
     for scale in (1, 2):
         n = n_vecs * scale
         df = emb(n)
-        for label, p in (("fixed p=10", 10), (f"adaptive", knn_plane_count(n))):
+        for label, p in (("fixed p=10", 10), ("adaptive", knn_plane_count(n))):
             planes = hyperplanes(64, p, seed=1234)
             b = F.expr(_bucket_expr("embedding", planes))
             hist = df.select(b.alias("bk")).groupBy("bk").count()
