@@ -15,6 +15,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from aegisthus_spark.compact import _apply_rts, _rt_probe
@@ -138,6 +140,25 @@ def test_skyline_preserves_cell_order_for_lww(spark):
     assert [(bytes(x.sk), x.ts) for x in got] == [
         (b"\x01", 1), (b"\x01", 2), (b"\x02", 3), (b"\x03", 1)
     ]
+
+
+_key = st.binary(min_size=1, max_size=2).map(lambda b: bytes([b[0] % 8]) + b[1:])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    cells=st.lists(st.tuples(_key, st.integers(0, 5)), max_size=10),
+    rts=st.lists(st.tuples(_key, _key, st.integers(0, 5)), max_size=8),
+)
+def test_skyline_equals_probe_hypothesis(spark, cells, rts):
+    """Fresh-seed fuzz every run over a tiny key/ts alphabet (dense
+    bound/tie collisions) — the two tiers must agree on every shape
+    hypothesis invents."""
+    rows = [(0,
+             [(sk, ts, b"v%d" % i) for i, (sk, ts) in enumerate(sorted(cells))],
+             [(min(a, b), max(a, b), ts) for a, b, ts in rts])]
+    for r in _both_tiers(spark, rows):
+        assert r.sky == r.probe, rows
 
 
 def test_binary_search_depth_covers_admitted_segments():
