@@ -167,7 +167,14 @@ def knn_join(
     n_planes+1 distinct buckets — is exploded on the left side, so no
     nested-loop join ever appears). Candidate count is
     ~n * (n_planes+1) * n/2^n_planes; pick ``n_planes ~ log2(n / target
-    bucket size)`` as the corpus grows. Scoring uses the float left-fold
+    bucket size)`` as the corpus grows — the registered query derives it
+    from the corpus count (queries.knn_plane_count), measured 2.5-2.6x
+    faster than fixed planes at 20k-40k vectors (tools/stress.py --knn).
+    The skew number to watch at scale is the HOTTEST bucket size:
+    sign-bit buckets on correlated embeddings run well above the uniform
+    n/2^p estimate (the stress tool prints same-bucket pair counts), and
+    pairs-per-bucket grow quadratically in it — if one bucket dominates,
+    add planes (cheap, per-row) before reaching for salting. Scoring uses the float left-fold
     dot (bit-identical across engines); per-vector ranking windows
     partition on the vector id — corpus-cardinality groups, never a
     single-task funnel.

@@ -1489,3 +1489,33 @@ def test_pii_registry_custom_patterns_and_order(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         pii_scan(docs, patterns=[])
+
+
+def test_adaptive_blocking_formulas_match_duckdb():
+    """The round-9 adaptive blocking parameters are computed INDEPENDENTLY
+    by the Spark query (Python, from a parquet count) and its oracle
+    (DuckDB SQL, from count(*)); a drift between the two silently
+    changes candidate sets on one side only. Pin the formula parity
+    across sizes including the integer-boundary neighborhoods."""
+    import duckdb
+
+    from aegisthus_spark.queries import (
+        _KNN_CAND_BUDGET,
+        _KNN_MAX_PLANES,
+        knn_plane_count,
+        semantic_cluster_count,
+    )
+
+    sizes = [1, 2, 199, 200, 2000, 2047, 2048, 2049, 20000, 123457,
+             200000, 1_000_000, 2_000_000]
+    for n in sizes:
+        sql_k = duckdb.sql(
+            f"SELECT GREATEST(32, CAST(CEIL(SQRT({n} / 2.0)) AS INT))"
+        ).fetchone()[0]
+        assert sql_k == semantic_cluster_count(n), n
+        sql_p = duckdb.sql(
+            f"SELECT COALESCE(MIN(pp), {_KNN_MAX_PLANES}) "
+            f"FROM generate_series(10, {_KNN_MAX_PLANES - 1}) t(pp) "
+            f"WHERE {n} * (pp + 1) / POW(2.0, pp) <= {_KNN_CAND_BUDGET}"
+        ).fetchone()[0]
+        assert sql_p == knn_plane_count(n), n
