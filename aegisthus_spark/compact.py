@@ -272,22 +272,19 @@ def _apply_rts(
     comparison key as ``sk``/``ts``; both arrays must be null-free."""
     pm = _RT_PROBE_MAX if probe_max is None else probe_max
     use_sky = f"(size({rts_arr}) > {pm} AND size({rts_arr}) <= {_RT_SKYLINE_MAX})"
-    segs = "__rt_segs"
-    return (
-        df.withColumn(
-            segs,
-            F.expr(
-                f"if({use_sky}, {_rt_skyline(rts_arr, rt_min, rt_max)}, null)"
-            ),
-        )
-        .withColumn(
-            out_col,
-            F.expr(
-                f"if({use_sky}, {_rt_binsearch_filter(cells_arr, segs)}, "
-                f"{_rt_probe(cells_arr, rts_arr, rt_min, rt_max)})"
-            ),
-        )
-        .drop(segs)
+    # the skyline binds ONCE per row as a lambda variable (computed only
+    # on rows the dispatcher routes to this tier); a helper column would
+    # cost an extra Project layer in every compact plan
+    sky = (
+        f"element_at(transform(array({_rt_skyline(rts_arr, rt_min, rt_max)}), "
+        f"__segs -> {_rt_binsearch_filter(cells_arr, '__segs')}), 1)"
+    )
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"if({use_sky}, {sky}, "
+            f"{_rt_probe(cells_arr, rts_arr, rt_min, rt_max)})"
+        ),
     )
 
 
