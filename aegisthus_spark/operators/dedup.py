@@ -513,7 +513,7 @@ def semantic_dedup(
     scaled and reports ~flat pairs-per-cluster / ~linear total candidate
     pairs, versus superlinear growth when k is (wrongly) held fixed.
     """
-    from .similarity import kmeans_assign, _dot_float
+    from .similarity import kmeans_assign, ensure_parallelism, _dot_float
 
     assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     # per-vector norm computed ONCE (n rows), not once per pair side
@@ -522,8 +522,11 @@ def semantic_dedup(
     # materialize once: the (id, vec, cluster, norm) table feeds BOTH pair
     # sides; without this the kmeans assignment expression and the id join
     # evaluate twice, and the planner can't see how small the table is
+    # balance BEFORE the checkpoint: the pair join broadcasts one side and
+    # probes the checkpointed partitions as-is — a 1-2-split scan would
+    # otherwise serialize every pair cosine on 1-2 cores
     withvec = (
-        emb.select(id_col, vec_col)
+        ensure_parallelism(emb.select(id_col, vec_col), id_col)
         .join(assigned.select(id_col, "cluster"), id_col)
         .withColumn("_nrm", F.sqrt(F.expr(_dot_float(vec_col, vec_col))))
         .localCheckpoint()

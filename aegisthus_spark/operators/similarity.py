@@ -326,25 +326,119 @@ def _lit_double_array(vals: list[float]) -> str:
     return "array(" + ",".join(f"cast({float(v)!r} as double)" for v in vals) + ")"
 
 
+def ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key_col`` when the input arrives with
+    fewer partitions than the session's cores — the per-row fold work
+    downstream (centroid assignment, pair cosines) otherwise serializes on
+    however few splits the scan produced (a small parquet file reads as 1-2
+    splits regardless of cluster size). A scan that is already wider (the
+    100 TB case: maxPartitionBytes-sized splits) passes through untouched —
+    no gratuitous shuffle at scale."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(
+        cores, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ):
+        return df.repartition(F.col(key_col))
+    return df
+
+
+def _l2_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of _l2_float: the SAME strict left fold in IEEE
+    doubles (Python floats are doubles; +,-,* are correctly rounded), so a
+    mapping computed on the driver lands on exactly the bits either engine's
+    fold produces."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def coarse_cell_count(k: int) -> int:
+    """Coarse-level cell count for the two-level k-means assignment:
+    1 (= flat search, the exact classic assignment) up to k = 32, else
+    ceil(sqrt(k)) — assignment cost per row drops from k to ~2*sqrt(k)
+    distance folds. ceil/sqrt are correctly rounded in every engine, so the
+    Spark side and a SQL oracle (CEIL(SQRT(CAST(k AS DOUBLE)))) agree."""
+    import math
+
+    return 1 if k <= 32 else math.ceil(math.sqrt(k))
+
+
+def _cells_for(
+    clusters: list[tuple[int, list[float]]], k_c: int
+) -> list[tuple[int, int, list[float]]]:
+    """(j, cell, cent) rows: each fine centroid mapped to its nearest coarse
+    representative (the k_c lowest-id centroids; ties to the lowest rep id).
+    k*k_c driver-side folds — tiny next to the N-row assignment it prunes;
+    at production k (10^5+) compute this mapping as a DataFrame join
+    instead."""
+    reps = clusters[:k_c]
+    out = []
+    for cid, cent in clusters:
+        best = None
+        for rid, rcent in reps:
+            key = (_l2_py(cent, rcent), rid)
+            if best is None or key < best:
+                best = key
+        out.append((cid, best[1], [float(v) for v in cent]))
+    return out
+
+
 def _kmeans_assign_once(
-    emb: DataFrame, clusters: list[tuple[int, list[float]]], *, id_col: str, vec_col: str
+    emb: DataFrame,
+    clusters: list[tuple[int, list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    k_c: int = 1,
 ) -> DataFrame:
-    """(id, vec, cluster, d2): nearest centroid per row — a pure per-row
-    expression over centroid literals (no join, no shuffle; ties on d2
-    break to the lowest cluster id via struct ordering)."""
-    structs = ", ".join(
-        f"named_struct('d', {_l2_float(vec_col, _lit_double_array(c))}, 'j', {cid})"
-        for cid, c in clusters
+    """(id, vec, cluster, d2): nearest centroid per row.
+
+    The centroids travel as DATA — one broadcast row holding an
+    array<struct<j,cell,cent>> — not as plan literals, so the expression
+    tree stays O(1) in k (a transform + array_min over the array column):
+    no analysis/codegen blow-up at large k, no shuffle (broadcast cross
+    join of a 1-row frame). Ties on d2 break to the lowest cluster id via
+    struct ordering, identical to a (d2, cluster) ORDER BY.
+
+    With ``k_c > 1`` the search is two-level: route to the nearest of the
+    k_c coarse representatives (the k_c lowest-id centroids), then search
+    only the fine centroids mapped to that representative — ~k_c + k/k_c
+    folds per row instead of k. ``k_c = 1`` is the exact flat search."""
+    spark = emb.sparkSession
+    cells = _cells_for(clusters, k_c)
+    cents_df = spark.createDataFrame(
+        [(cells,)], schema="_cents array<struct<j:int,cell:int,cent:array<double>>>"
     )
-    return emb.select(
-        id_col,
-        vec_col,
-        F.expr(f"array_min(array({structs}))").alias("_m"),
-    ).select(
-        id_col,
-        vec_col,
-        F.col("_m.j").alias("cluster"),
-        F.col("_m.d").alias("d2"),
+    if k_c <= 1:
+        best = (
+            f"array_min(transform(_cents, c -> "
+            f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j)))"
+        )
+    else:
+        rep_max = clusters[k_c - 1][0]  # reps = the k_c lowest cluster ids
+        route = (
+            f"array_min(transform(filter(_cents, r -> r.j <= {rep_max}), r -> "
+            f"named_struct('d', {_l2_float(vec_col, 'r.cent')}, 'j', r.j))).j"
+        )
+        # let-bind the routed cell (element_at/transform/array) so it
+        # evaluates once per row, then exact-search that cell's fine set
+        best = (
+            f"element_at(transform(array({route}), m -> "
+            f"array_min(transform(filter(_cents, c -> c.cell = m), c -> "
+            f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j)))), 1)"
+        )
+    return (
+        emb.crossJoin(F.broadcast(cents_df))
+        .select(id_col, vec_col, F.expr(best).alias("_m"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("_m.j").alias("cluster"),
+            F.col("_m.d").alias("d2"),
+        )
     )
 
 
@@ -360,24 +454,32 @@ def kmeans_assign(
     the ``k`` lowest ids (deterministic, engine-reproducible).
 
     Scale shape (the MLlib pattern): each iteration is ONE scan — the
-    assignment is a per-row expression over k*dim centroid literals
-    broadcast in the plan (no join) — plus one (cluster, dim)-keyed
+    assignment is a per-row HOF fold over a one-row BROADCAST centroid
+    array (data, not plan literals: the expression tree is O(1) in k, no
+    analysis/codegen blow-up, no shuffle) — plus one (cluster, dim)-keyed
     aggregate whose k*dim result is collected to the driver (tiny:
-    8 clusters x 64 dims = 512 doubles) and re-embedded as literals for
-    the next iteration. Distances fold in doubles (fast, codegen);
-    centroid MEANS sum in DECIMAL(27,15) so they are order-independent —
-    any partitioning, any engine produces identical centroids, hence
-    identical assignments. A cluster that loses all members keeps its
-    previous centroid.
+    8 clusters x 64 dims = 512 doubles) and re-broadcast for the next
+    iteration. Above k = 32 the assignment is TWO-LEVEL (coarse route to
+    ceil(sqrt(k)) reps, fine search within the routed cell): ~2*sqrt(k)
+    folds per row instead of k, sub-linear in k (tools/stress.py
+    --semantic prints the assign-vs-k curve). Distances fold in doubles
+    (fast, engine-reproducible); centroid MEANS sum in DECIMAL(27,15) so
+    they are order-independent — any partitioning, any engine produces
+    identical centroids, hence identical assignments. A cluster that
+    loses all members keeps its previous centroid.
 
     Returns (id, cluster, dist) after the final assignment, dist = L2
     rounded to 6.
     """
+    k_c = coarse_cell_count(k)
+    emb = ensure_parallelism(emb, id_col)
     seed_rows = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     clusters = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
     assigned = None
     for it in range(iters):
-        assigned = _kmeans_assign_once(emb, clusters, id_col=id_col, vec_col=vec_col)
+        assigned = _kmeans_assign_once(
+            emb, clusters, id_col=id_col, vec_col=vec_col, k_c=k_c
+        )
         if it == iters - 1:
             break
         means = (

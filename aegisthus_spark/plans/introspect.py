@@ -27,8 +27,8 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators (excludes broadcast exchanges)."""
     plan = physical_plan(df, "simple")
-    return len(re.findall(r"Exchange (?!SinglePartition)(?:hash|range|rebalance)?", plan)) + len(
-        re.findall(r"Exchange SinglePartition", plan)
+    return len(re.findall(r"(?<!Broadcast)Exchange (?!SinglePartition)(?:hash|range|rebalance)?", plan)) + len(
+        re.findall(r"(?<!Broadcast)Exchange SinglePartition", plan)
     )
 
 

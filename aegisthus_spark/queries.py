@@ -3458,11 +3458,19 @@ _SEMANTIC_K_SQL = (
 )
 
 
-def _kmeans_cte(k: int | str = 8) -> str:
+def _kmeans_cte(k: int | str = 8, *, two_level: bool = False) -> str:
     """CTE chain (compose after ``WITH``) ending in ``a2`` — the
     iteration-2 k-means assignment (vec_id, cluster, d2) — shared by the
     kmeans oracle and the SemDeDup oracle. ``k`` may be a SQL scalar
-    expression (it only appears in the seed predicate)."""
+    expression (it only appears in the seed predicate and, with
+    ``two_level``, the coarse cell count).
+
+    ``two_level=True`` is the oracle twin of the engine's hierarchical
+    assignment (similarity.coarse_cell_count): with kc = 1 when k <= 32
+    (every frozen test scale) it degenerates to EXACTLY the flat search —
+    one rep, every centroid in its cell — so small-scale results are
+    bit-unchanged; above that, points route to the nearest of the kc
+    lowest-id centroids and exact-search only that rep's cell."""
     l2 = (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(list_zip({a}, {b}), "
@@ -3478,10 +3486,57 @@ def _kmeans_cte(k: int | str = 8) -> str:
         FROM (SELECT e.vec_id, c.cluster, {dist} AS d2
               FROM embeddings e CROSS JOIN {cents} c) s)
       WHERE rn = 1)"""
-    cte = f"""c0 AS (
+    if two_level:
+        assign = """
+    reps{t} AS (
+      SELECT cluster, cent FROM (
+        SELECT c.cluster, c.cent, row_number() OVER (ORDER BY c.cluster) AS rn
+        FROM {cents} c) s WHERE rn <= (SELECT kc FROM kcn)),
+    cells{t} AS (
+      SELECT j, cell FROM (
+        SELECT s.j, s.cell,
+               row_number() OVER (PARTITION BY s.j ORDER BY s.d2, s.cell) AS rn
+        FROM (SELECT f.cluster AS j, r.cluster AS cell, {dcell} AS d2
+              FROM {cents} f CROSS JOIN reps{t} r) s) w WHERE rn = 1),
+    route{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, s.cell,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY s.d2, s.cell) AS rn
+        FROM (SELECT e.vec_id, r.cluster AS cell, {droute} AS d2
+              FROM embeddings e CROSS JOIN reps{t} r) s) w WHERE rn = 1),
+    {out} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT s.vec_id, s.cluster, s.d2,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.d2, s.cluster) AS rn
+        FROM (SELECT e.vec_id, f.cluster, {dist} AS d2
+              FROM embeddings e
+              JOIN route{t} rt ON rt.vec_id = e.vec_id
+              JOIN cells{t} cl ON cl.cell = rt.cell
+              JOIN {cents} f ON f.cluster = cl.j) s) w
+      WHERE rn = 1)"""
+
+    def stage(t: str, out: str, cents: str) -> str:
+        return assign.format(
+            t=t,
+            out=out,
+            cents=cents,
+            dist=l2.format(a="e.embedding", b="f.cent" if two_level else "c.cent"),
+            dcell=l2.format(a="f.cent", b="r.cent"),
+            droute=l2.format(a="e.embedding", b="r.cent"),
+        )
+
+    kcn = (
+        f"""kcn AS (SELECT CASE WHEN ({k}) <= 32 THEN 1
+                    ELSE CAST(CEIL(SQRT(CAST(({k}) AS DOUBLE))) AS INT) END AS kc),
+    """
+        if two_level
+        else ""
+    )
+    cte = f"""{kcn}c0 AS (
       SELECT CAST(vec_id AS INT) AS cluster, embedding AS cent
       FROM embeddings WHERE vec_id < {k}),
-    {assign.format(out="a1", cents="c0", dist=l2.format(a="e.embedding", b="c.cent"))},
+    {stage("0", "a1", "c0")},
     dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                     CAST(unnest(embedding) AS DOUBLE) AS x
              FROM embeddings),
@@ -3494,7 +3549,7 @@ def _kmeans_cte(k: int | str = 8) -> str:
              COALESCE(c1m.cent,
                       list_transform(c0.cent, x -> CAST(x AS DOUBLE))) AS cent
       FROM c0 LEFT JOIN c1m USING (cluster)),
-    {assign.format(out="a2", cents="c1", dist=l2.format(a="e.embedding", b="c.cent"))}"""
+    {stage("1", "a2", "c1")}"""
     return cte
 
 
@@ -3635,7 +3690,7 @@ def sim_hybrid_rrf(spark, sf_dir):
 @register(
     "dedup_semantic",
     f"""
-    WITH RECURSIVE {_kmeans_cte(_SEMANTIC_K_SQL)},
+    WITH RECURSIVE {_kmeans_cte(_SEMANTIC_K_SQL, two_level=True)},
     pairs AS (
       SELECT x.vec_id AS a, y.vec_id AS b
       FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -3660,9 +3715,10 @@ def sim_hybrid_rrf(spark, sf_dir):
         "pair space per cluster, cosine>=0.4 pairs connect into components "
         "(min-label propagation), keep the min-id representative — "
         "cluster-blocked pairs, never all-pairs. k adapts to the corpus "
-        "on BOTH sides (max(32, ceil(sqrt(n/2))) — balances n*k assign "
-        "folds against n^2/2k pair folds; 32 at every frozen test scale, "
-        "100 at sf1)",
+        "on BOTH sides (max(32, ceil(sqrt(n/2))) — 32 at every frozen "
+        "test scale, 100 at sf1); above k=32 the assignment is two-level "
+        "(route to ceil(sqrt(k)) coarse reps, exact-search the routed "
+        "cell — ~2*sqrt(k) folds/row, oracle in lockstep)",
 )
 def dedup_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

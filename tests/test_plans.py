@@ -266,17 +266,41 @@ def test_distinct_sketch_two_hash_aggregates_no_expand(spark, queries):
 
 
 def test_kmeans_assignment_is_expression_only(spark):
-    """One k-means assignment pass must be a pure per-row projection:
-    no join, no Exchange (the centroids ride the plan as literals)."""
+    """One k-means assignment pass must stay shuffle-free: the centroids
+    arrive as ONE broadcast row (array<struct> data — O(1) plan size in k,
+    unlike literals), the search is a per-row HOF fold. The only join
+    allowed is that 1-row broadcast attach; no shuffle Exchange ever."""
     from aegisthus_spark.operators.similarity import _kmeans_assign_once
     from aegisthus_spark.plans import count_exchanges, join_strategies
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     seed = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect())]
-    df = _kmeans_assign_once(emb, seed, id_col="vec_id", vec_col="embedding")
-    assert count_exchanges(df) == 0
-    assert join_strategies(df) == []
+    for k_c in (1, 3):
+        df = _kmeans_assign_once(
+            emb, seed, id_col="vec_id", vec_col="embedding", k_c=k_c)
+        assert count_exchanges(df) == 0
+        assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+
+
+def test_kmeans_two_level_matches_flat_routing_quality(spark):
+    """The two-level route is exact whenever the routed cell contains the
+    true argmin — at k_c covering every centroid (k_c = k) the cells are
+    singletons and routing IS the flat search, so results must be
+    bit-identical to k_c = 1."""
+    from aegisthus_spark.operators.similarity import _kmeans_assign_once
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    seed = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(
+        emb.filter(F.col("vec_id") < 6).orderBy("vec_id").collect())]
+    flat = _kmeans_assign_once(
+        emb, seed, id_col="vec_id", vec_col="embedding", k_c=1
+    ).orderBy("vec_id").collect()
+    two = _kmeans_assign_once(
+        emb, seed, id_col="vec_id", vec_col="embedding", k_c=len(seed)
+    ).orderBy("vec_id").collect()
+    assert [(r.vec_id, r.cluster, r.d2) for r in flat] == [
+        (r.vec_id, r.cluster, r.d2) for r in two]
 
 
 def test_sample_weighted_partial_topk_no_global_sort(spark, queries):

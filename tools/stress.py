@@ -475,6 +475,33 @@ def semantic_bench(cpus: int, n_docs: int) -> None:
         "(N^2/k: ~4x, quadratic) — callers must scale k ~ N/c"
     )
 
+    # --- assignment cost vs k: must be SUB-LINEAR in k (two-level route:
+    # ~2*sqrt(k) folds/row, so 16x more centroids ~ 4x the folds, not 16x).
+    # A flat scan would scale ~k; guard at the midpoint so machine noise
+    # can't mask a regression back to linear.
+    def assign_cost(k: int) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            kmeans_assign(emb2, k=k, iters=1).foreach(lambda r: None)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    ks = [64, 256, 1024]
+    costs = {k: assign_cost(k) for k in ks}
+    for k in ks:
+        print(f"assign N={2*n_docs} k={k}: {costs[k]:.2f}s (min of 3)")
+    growth = costs[1024] / costs[64]
+    print(
+        f"assign cost k=64 -> k=1024 (16x centroids): x{growth:.2f} "
+        "(two-level ~4x, flat would be ~16x)"
+    )
+    assert growth < 9, (
+        f"assignment cost grew x{growth:.2f} over a 16x k sweep — "
+        "two-level routing (~sqrt(k)) has regressed toward flat (~k)"
+    )
+
 
 def corpus_dedup_bench(cpus: int, n_docs: int) -> None:
     """Scaling evidence for the corpus-wide accounting operators: run
