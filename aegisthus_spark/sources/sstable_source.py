@@ -151,7 +151,7 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
     """Split plan for one file: (path, start, end, version, gen, comp)."""
     from ..sstable.compression import find_compression_sidecar
     from ..sstable.descriptor import parse_filename, version_of
-    from ..sstable.index import plan_splits, row_offsets
+    from ..sstable.index import plan_splits
 
     size = os.path.getsize(path)
     version = version_of(path)
@@ -175,23 +175,50 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
 
         info = CompressionInfo.read_path(comp)
         if info.data_length > int(target_bytes * 1.2):
-            idx = path.replace("-Data.db", "-Index.db")
-            if os.path.exists(idx):
-                offsets = row_offsets(idx, version)
+            offsets = _boundary_offsets(path, version, comp)
+            if offsets is not None:
                 return [
                     (path, s, e, version, gen, comp)
                     for s, e in plan_splits(info.data_length, offsets, target_bytes)
                 ]
         return [(path, 0, info.data_length, version, gen, comp)]
     if size > int(target_bytes * 1.2):
-        idx = path.replace("-Data.db", "-Index.db")
-        if os.path.exists(idx):
-            offsets = row_offsets(idx, version)
+        offsets = _boundary_offsets(path, version, None)
+        if offsets is not None:
             return [
                 (path, s, e, version, gen, None)
                 for s, e in plan_splits(size, offsets, target_bytes)
             ]
     return [(path, 0, size, version, gen, None)]
+
+
+def _boundary_offsets(path: str, version: str, comp: str | None) -> list[int] | None:
+    """Partition-start offsets for split planning, or None (-> whole file).
+
+    Preference order: the Index.db sidecar (big format — free, already
+    offset-typed) else, for BTI tables whose trie sidecars we deliberately
+    do not parse (no authoritative offline layout source; see
+    descriptor.py), a sequential skip-walk of the Data.db itself
+    (modern.partition_offsets_from_data) — partitions are self-delimiting,
+    so a big `da-*-bti` table still splits into many tasks instead of one."""
+    from ..sstable.index import row_offsets
+
+    idx = path.replace("-Data.db", "-Index.db")
+    if os.path.exists(idx):
+        return row_offsets(idx, version)
+    from ..sstable.descriptor import parse_filename
+
+    try:
+        is_bti = parse_filename(path).fmt == "bti"
+    except ValueError:
+        return None
+    if not is_bti:
+        return None
+    from ..sstable.modern import partition_offsets_from_data
+
+    return partition_offsets_from_data(
+        path, version=version, compression_sidecar=comp
+    )
 
 
 def plan_partitions(

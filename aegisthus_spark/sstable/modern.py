@@ -999,3 +999,152 @@ def name_sort_key_for_header(header: SerializationHeader):
     return lambda c: composite_sort_key(
         c, types_, n_extra=2, path_types_by_column=path_types or None
     )
+
+
+# ---------------------------------------------------------------------------
+# BTI split planning: partition boundaries from Data.db itself
+# ---------------------------------------------------------------------------
+
+class _SeqWindow:
+    """Bounded sliding window over a sequential (possibly chunk-compressed)
+    byte stream, exposing absolute offsets — lets the boundary walk below
+    run over a 100 GB Data.db with a few MB of driver memory instead of
+    reading the file whole. ``skip`` past the window drops it and seeks the
+    underlying stream (plain-file seek, or the compression chunk map's
+    O(1) ``seek_uncompressed``)."""
+
+    CHUNK = 4 << 20
+
+    def __init__(self, read_fn, seek_fn, total: int):
+        self._read, self._seek, self.total = read_fn, seek_fn, total
+        self.base = 0  # absolute offset of win[0]
+        self.win = b""
+        self.pos = 0  # absolute cursor
+        self._stream_at = 0  # absolute offset the underlying stream sits at
+
+    def view(self, n: int):
+        """(buf, rel) with at least n bytes available at the cursor."""
+        end = self.pos + n
+        if end > self.base + len(self.win):
+            keep = self.win[self.pos - self.base:] if self.pos < self.base + len(self.win) else b""
+            self.base = self.pos
+            src = self.base + len(keep)
+            if src != self._stream_at:
+                self._seek(src)
+            want = max(n, self.CHUNK)
+            more = self._read(want - len(keep))
+            self._stream_at = src + len(more)
+            self.win = keep + more
+            if len(self.win) < n:
+                raise ValueError("corrupt SSTable: truncated mid-partition")
+        return self.win, self.pos - self.base
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def uvint(self) -> int:
+        buf, o = self.view(1)
+        first = buf[o]
+        extra = 0
+        b = first
+        while b & 0x80:
+            extra += 1
+            b = (b << 1) & 0xFF
+        buf, o = self.view(1 + extra)
+        v, no = read_unsigned_vint(buf, o)
+        self.pos += no - o
+        return v
+
+
+def _skip_clustering(w: _SeqWindow, sizes, count: int) -> None:
+    """Skip ClusteringPrefix.serializeValuesWithoutSize: per-32-column
+    2-bit header vints, then each non-null non-empty value (fixed width or
+    vint-length-prefixed) — the skip twin of _read_clustering_values."""
+    i = 0
+    while i < count:
+        limit = min(count, i + 32)
+        hdr = w.uvint()
+        base = i
+        while i < limit:
+            shift = (i - base) * 2
+            if not (hdr & (3 << shift)):  # present, non-empty
+                fixed = sizes[i]
+                w.skip(fixed if fixed >= 0 else w.uvint())
+            i += 1
+
+
+def partition_offsets_from_data(
+    path: str,
+    *,
+    version: str,
+    compression_sidecar: str | None = None,
+    header: SerializationHeader | None = None,
+) -> list[int]:
+    """Partition start offsets discovered from the Data.db byte stream
+    itself — no index sidecar required. This is what makes BTI (`da-*-bti`)
+    tables SPLITTABLE here: their trie sidecars (Partitions.db/Rows.db)
+    replace the Index.db the big format plans splits from, and no
+    authoritative offline spec exists for the trie layout — but partitions
+    are self-delimiting in the data file (key header -> unfiltereds, each
+    carrying its body size -> END_OF_PARTITION), so one sequential
+    driver-side walk recovers exactly what IndexDatabaseScanner.java:58-85
+    feeds AegisthusInputFormat.java:119-187 in the reference. The walk
+    SKIPS every row body (vint-delimited), so it runs at I/O speed, bounded
+    memory (_SeqWindow), and for compressed files it returns UNCOMPRESSED
+    offsets — the same coordinate system the chunk map's seek uses, so
+    compressed bti tables split too (the reference schedules compressed
+    files whole)."""
+    if header is None:
+        header = header_for_data_file(path)
+    # ``version`` is accepted for symmetry with the decode entrypoints but
+    # the walk is version-independent: the partition DeletionTime is 12
+    # bytes in every ma..oa layout (i32/u32 ldt + i64 mfda) and row bodies
+    # are skipped wholesale via their size vints.
+    del version
+    sizes = tuple(fixed_size_of(t) for t in header.clustering_types)
+    if compression_sidecar is not None:
+        from .compression import CompressionInfo, open_compressed
+
+        info = CompressionInfo.read_path(compression_sidecar)
+        stream = open_compressed(path, compression_sidecar)
+        try:
+            w = _SeqWindow(stream.read, stream.seek_uncompressed, info.data_length)
+            return _walk_partitions(w, sizes)
+        finally:
+            stream.close()
+    total = os.path.getsize(path)
+    with open(path, "rb") as f:
+        w = _SeqWindow(f.read, f.seek, total)
+        return _walk_partitions(w, sizes)
+
+
+def _walk_partitions(w: _SeqWindow, sizes) -> list[int]:
+    offsets: list[int] = []
+    while w.pos < w.total:
+        offsets.append(w.pos)
+        buf, o = w.view(2)
+        (keysize,) = _U16.unpack_from(buf, o)
+        w.skip(2 + keysize + 12)  # key + partition DeletionTime (i32+i64)
+        while True:
+            buf, o = w.view(1)
+            flags = buf[o]
+            w.skip(1)
+            if flags & END_OF_PARTITION:
+                break
+            if flags & IS_MARKER:
+                buf, o = w.view(3)
+                (n_values,) = _U16.unpack_from(buf, o + 1)  # after kind byte
+                w.skip(3)
+                _skip_clustering(w, sizes, n_values)
+            else:
+                static = False
+                if flags & EXTENSION_FLAG:
+                    buf, o = w.view(1)
+                    static = bool(buf[o] & IS_STATIC)
+                    w.skip(1)
+                if not static:
+                    _skip_clustering(w, sizes, len(sizes))
+            # body size counts from after this vint (it includes the
+            # prev-size vint) — one jump lands on the next unfiltered
+            w.skip(w.uvint())
+    return offsets

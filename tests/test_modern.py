@@ -1352,6 +1352,67 @@ def test_bti_format_decodes_via_oa_row_path(spark, tmp_path):
         read_sstable_cells(spark, [str(d)]).count()
 
 
+@pytest.mark.parametrize("compress", [False, True])
+def test_bti_multi_split_boundary_scan(spark, tmp_path, compress):
+    """A BIG `da-*-bti` table must split into >1 task WITHOUT parsing the
+    trie sidecars: partition boundaries come from a skip-walk of Data.db
+    itself (modern.partition_offsets_from_data), offsets in UNCOMPRESSED
+    coordinates so the compressed variant splits too. Output must be
+    byte-identical to the whole-file decode."""
+    from aegisthus_spark.sources import read_sstable_cells
+    from aegisthus_spark.sources.sstable_source import _plan_one
+    from aegisthus_spark.sstable.modern import partition_offsets_from_data
+
+    d = tmp_path / "bti_big"
+    parts = []
+    for i in range(120):
+        rows = [
+            {"clustering": [b"c%03d" % j], "liveness": (1000 + i * 7 + j,),
+             "cells": [{"column": b"val", "value": b"v" * (20 + (i * 13 + j) % 60)}]}
+            for j in range(4)
+        ]
+        if i % 5 == 0:  # exercise the marker-skip path
+            rows = (
+                [{"marker": KIND_INCL_START_BOUND, "clustering": [b"a"],
+                  "deletion": (900 + i, 1442880000)}]
+                + rows
+                + [{"marker": KIND_INCL_END_BOUND, "clustering": [b"zz"],
+                    "deletion": (900 + i, 1442880000)}]
+            )
+        parts.append({"key": b"key%04d" % i, "rows": rows})
+    write_sstable_ma(
+        str(d), parts, clustering_types=[UTF8],
+        regular_columns=[(b"val", UTF8)], version="oa",
+        compress=compress, chunk_length=1024,
+    )
+    (d / "oa-1-big-Index.db").unlink()
+    for f in sorted(d.iterdir()):
+        f.rename(d / f.name.replace("oa-1-big-", "da-1-bti-", 1))
+    (d / "da-1-bti-Partitions.db").write_bytes(b"\x00trie")
+    path = str(d / "da-1-bti-Data.db")
+
+    comp = str(d / "da-1-bti-CompressionInfo.db") if compress else None
+    offsets = partition_offsets_from_data(path, version="oa", compression_sidecar=comp)
+    assert len(offsets) == 120 and offsets[0] == 0
+    assert offsets == sorted(offsets)
+
+    splits = _plan_one(path, target_bytes=2048)
+    assert len(splits) > 1, splits
+    # splits tile the file exactly, cutting only at discovered boundaries
+    assert splits[0][1] == 0
+    for (_, _, e1, *_), (_, s2, *_rest) in zip(splits, splits[1:]):
+        assert e1 == s2 and s2 in offsets
+
+    whole = read_sstable_cells(spark, [str(d)])  # default target: one task
+    split_df = read_sstable_cells(spark, [str(d)], target_bytes=2048, combine=False)
+    assert split_df.rdd.getNumPartitions() > 1
+    a = sorted(map(repr, whole.collect()))
+    b = sorted(map(repr, split_df.collect()))
+    # 4 rows x (pk-liveness marker + val cell) per partition + 1 RT per
+    # marked partition
+    assert a == b and len(a) == 120 * 4 * 2 + 24
+
+
 def test_auto_comparator_rejects_disagreeing_headers(spark, tmp_path):
     """column_type='auto' must refuse inputs whose self-describing
     headers disagree on anything the sort key derives from — trusting
