@@ -37,6 +37,24 @@ class Q:
 
 REGISTRY: dict[str, Q] = {}
 
+#: Queries whose DuckDB oracles are deliberately O(n^2) brute-force ground
+#: truths (LSH-recall baselines) and become single-node-INFEASIBLE above a
+#: corpus size: {query -> (driving table, max oracle-feasible rows)}. Sweeps
+#: (tools/driver_sim.py) consult this instead of pattern-matching OOM text:
+#: above the cap they value-check Spark vs the oracle on a DETERMINISTIC
+#: id-modulus SAMPLE of the driving table (both engines read the same
+#: sampled corpus, and both queries are pure functions of their input
+#: files, so a fault in either side still turns the row red) and record the
+#: row as expected_infeasible_sampled rather than an opaque ERR.
+ORACLE_INFEASIBLE_OVER: dict[str, tuple[str, int]] = {
+    # caps ~2x the pair count the sf0.1 sweep proves feasible
+    "dedup_ngram_jaccard": ("documents", 8_000),
+    "dedup_embedding_nn": ("embeddings", 4_000),
+}
+
+#: id column per table, for deterministic sampling order
+TABLE_ID_COLS = {"documents": "doc_id", "embeddings": "vec_id"}
+
 
 def register(name: str, sql: str | None, doc: str = ""):
     def deco(fn):
