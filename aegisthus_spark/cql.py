@@ -287,12 +287,17 @@ def _compose_nonnull(b: Column, cql_type: str) -> Column:
         # built JVM-side (functions/bignum digitization, exact at any
         # width) and cast like the reference's BigDecimal; numerically
         # equal strings cast to equal decimal(38,18) values, so this
-        # matches the former Python str(Decimal)-through-cast fallback
+        # matches the former Python str(Decimal)-through-cast fallback.
+        # Degenerate payloads (< the 4-byte scale prefix) are NULL: empty
+        # matches Cassandra's DecimalSerializer null-for-empty, and a
+        # 1-3-byte blob — which real Cassandra would throw on — maps to
+        # NULL like the other composes' malformed-width behavior (the old
+        # Python fallback returned 0 here; pinned by test_cql)
         from .functions.bignum import split_decimal
 
         scale, sign, digits = split_decimal(b)
         s = F.concat(sign, digits, F.lit("E"), (-scale).cast("string"))
-        return s.cast("decimal(38,18)")
+        return F.when(F.length(b) >= 4, s.cast("decimal(38,18)"))
     raise ValueError(f"unsupported CQL type: {cql_type}")
 
 

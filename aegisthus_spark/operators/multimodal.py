@@ -178,7 +178,14 @@ def _decode_avi_luma_envelope(payload: bytes) -> list[float]:
                 bit_count, compression = _s.unpack_from(
                     "<HI", payload, body_lo + 14
                 )
-            elif cid[2:4] in (b"db", b"dc") and clen:
+            elif cid[:2] != b"00" and cid[2:4] in (b"db", b"dc") and clen:
+                # a second video stream ('01db'...) would interleave into
+                # one envelope and validate against stream 0's strf only —
+                # reject so the caller's codec-library probe handles it
+                raise ValueError(
+                    "multi-video-stream AVIs are not stdlib-decodable"
+                )
+            elif cid[:2] == b"00" and cid[2:4] in (b"db", b"dc") and clen:
                 frames.append(payload[body_lo:body_hi])
             o += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
 

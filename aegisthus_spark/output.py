@@ -118,12 +118,18 @@ def sort_columns_by_display_name(
                     k = _naming.legacy_column_name_format(k)
                 return k
 
+            # (k, i, c): the input index as the second struct field keeps
+            # ties on the rendered name in INPUT order — the stable-sort
+            # contract of the Python sorted() twin (distinct encodings can
+            # render identically, e.g. a sign-padded timestamp vs its
+            # minimal form; without i the tie would fall through to the
+            # cell struct's binary fields)
             resorted = F.transform(
                 F.sort_array(
                     F.transform(
                         F.col("columns"),
-                        lambda x: F.struct(
-                            _key(x["name"]).alias("k"), x.alias("c")
+                        lambda x, i: F.struct(
+                            _key(x["name"]).alias("k"), i.alias("i"), x.alias("c")
                         ),
                     )
                 ),
@@ -150,8 +156,10 @@ def sort_columns_by_display_name(
             f"replace(replace(regexp_replace({key}, '{_CNTRL_OR_SPACE}', ' '), "
             "'\\\\', '\\\\\\\\'), '\"', '\\\\\"')"
         )
+    # (k, i, c): index keeps equal-rendering names in input order (stable
+    # sort, matching the Python sorted() twin)
     resort = (
-        f"transform(sort_array(transform(columns, x -> struct({key} as k, x as c))), y -> y.c)"
+        f"transform(sort_array(transform(columns, (x, i) -> struct({key} as k, i as i, x as c))), y -> y.c)"
     )
     return rows.withColumn("columns", F.expr(resort))
 

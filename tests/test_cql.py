@@ -94,6 +94,26 @@ def test_compose_decimal(spark):
     assert got == Decimal("123.45")
 
 
+def test_compose_decimal_degenerate_payloads_are_null(spark):
+    """Payloads shorter than the 4-byte scale prefix compose to NULL: an
+    empty blob matches Cassandra DecimalSerializer's null-for-empty, and a
+    1-3-byte blob (which real Cassandra throws on) maps to NULL like the
+    other composes' malformed-width behavior — never a silent 0."""
+    from aegisthus_spark.cql import compose_value
+
+    df = spark.createDataFrame(
+        [(b"", b"\x01", b"\x00\x00\x02", struct.pack(">i", 1) + b"\x0a")],
+        "e binary, one binary, three binary, ok binary",
+    )
+    row = df.select(
+        *[compose_value(F.col(c), "decimal").alias(c) for c in ("e", "one", "three", "ok")]
+    ).collect()[0]
+    assert row.e is None and row.one is None and row.three is None
+    from decimal import Decimal
+
+    assert row.ok == Decimal("1.0")
+
+
 def test_cql_rows_randomtable(spark):
     from aegisthus_spark.cql import cql_rows
 

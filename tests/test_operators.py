@@ -237,6 +237,11 @@ def test_video_codec_guards():
     rgb32 = avi_with_strf(32, 0, b"\x10" * (4 * 4 * 4))
     with pytest.raises(ValueError):
         _decode_avi_luma_envelope(rgb32)
+    # (d) a SECOND video stream ('01db') must reject, not interleave into
+    # stream 0's envelope / validate against stream 0's strf only
+    two_stream = _tiny_avi([0, 255]).replace(b"00db", b"01db", 1)
+    with pytest.raises(ValueError, match="multi-video-stream"):
+        _decode_avi_luma_envelope(two_stream)
     # dispatcher: falls through to the library probe; with no video
     # library installed the clear error surfaces (not the stdlib one)
     try:

@@ -282,6 +282,43 @@ def test_typed_display_sort_matches_python_render_order(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_typed_display_sort_is_stable_on_rendered_ties(spark):
+    """Distinct encodings that RENDER identically (a sign-padded 9-byte
+    timestamp vs its minimal 8-byte form) must keep INPUT order, matching
+    the stable Python sorted() twin — not fall through to the cell
+    struct's binary fields."""
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import sort_columns_by_display_name
+    from tests.conftest import CELLS_SCHEMA
+
+    ms = 1700000000123
+    padded = b"\x00" + struct.pack(">q", ms)   # 9-byte sign-padded
+    minimal = struct.pack(">q", ms)            # canonical 8-byte
+    comp = aegtypes.get("TimestampType")
+    assert comp.render(padded) == comp.render(minimal)
+    # comparator order (name_sort_key) would put minimal/padded one way;
+    # give them DIFFERENT cell values so the old full-struct tie-break
+    # would reorder them, and check input (comparator) order survives
+    def cell(name, value, ts):
+        return ("f", 1, b"k", -(1 << 63), "c", name, None, value, ts,
+                None, None, None)
+
+    @F.udf("binary")
+    def sk(b):
+        return comp.sort_key(bytes(b)) if b is not None else None
+
+    for first, second in ((padded, minimal), (minimal, padded)):
+        cells = spark.createDataFrame(
+            [cell(first, b"\xff", 1), cell(second, b"\x00", 2)], CELLS_SCHEMA
+        )
+        compacted = compact(cells, name_sort_key=sk(F.col("cell_name")))
+        base = [bytes(c["name"]) for c in compacted.collect()[0]["columns"]]
+        out = sort_columns_by_display_name(
+            compacted, name_type="TimestampType"
+        ).collect()[0]["columns"]
+        assert [bytes(c["name"]) for c in out] == base  # ties keep input order
+
+
 def test_cql_decimal_compose_jvm_and_wide(spark):
     """CQL decimal compose: JVM-side (no Python UDF), exact for wide
     unscaled values the old Decimal.scaleb fallback would have rounded."""
