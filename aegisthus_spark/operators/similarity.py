@@ -155,6 +155,7 @@ def knn_join(
     seed: int = 1234,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: int = 1,
 ) -> DataFrame:
     """ALL-vectors k-NN join — the join form of ANN that corpus curation
     actually runs (near-dup candidate generation, retrieval augmentation):
@@ -174,7 +175,15 @@ def knn_join(
     sign-bit buckets on correlated embeddings run well above the uniform
     n/2^p estimate (the stress tool prints same-bucket pair counts), and
     pairs-per-bucket grow quadratically in it — if one bucket dominates,
-    add planes (cheap, per-row) before reaching for salting. Scoring uses the float left-fold
+    add planes (cheap, per-row) first: they exponentially split CORRELATED
+    clusters. For clusters of near-IDENTICAL vectors — which no plane can
+    separate (equal sign patterns at any p) — pass ``salt > 1``: the left
+    side is salted by id and the right side replicated ``salt`` ways, so
+    the hot bucket's join key becomes (bucket, salt) and its pair work
+    spreads over ``salt`` tasks. Identical results (same candidate set,
+    same ranking; tools/stress.py --knn --skew records both the plane and
+    the salt lever); size salt ~ hottest-bucket-pairs / pairs-per-task
+    budget. Scoring uses the float left-fold
     dot (bit-identical across engines); per-vector ranking windows
     partition on the vector id — corpus-cardinality groups, never a
     single-task funnel.
@@ -195,9 +204,21 @@ def knn_join(
     probe = F.explode(
         F.array(F.col("ab"), *[F.expr(f"ab ^ {1 << j}") for j in range(n_planes)])
     ).alias("pb")
-    cand = left.select("a", "va", "na", probe).join(
-        right, (F.col("pb") == F.col("bb")) & (F.col("a") != F.col("nn"))
-    )
+    if salt > 1:
+        cand = left.select(
+            "a", "va", "na", probe, (F.col("a") % salt).alias("_sl")
+        ).join(
+            right.withColumn(
+                "_sr", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+            ),
+            (F.col("pb") == F.col("bb"))
+            & (F.col("_sl") == F.col("_sr"))
+            & (F.col("a") != F.col("nn")),
+        )
+    else:
+        cand = left.select("a", "va", "na", probe).join(
+            right, (F.col("pb") == F.col("bb")) & (F.col("a") != F.col("nn"))
+        )
     scored = cand.select(
         "a",
         "nn",

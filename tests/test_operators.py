@@ -507,6 +507,18 @@ def test_global_running_sum_matches_plain_window(spark):
     assert got == want
 
 
+def test_knn_join_salt_is_result_invariant(spark):
+    """salt spreads a hot bucket's shuffled pair work over salt tasks; the
+    candidate set and ranking must be byte-identical to the unsalted plan."""
+    from aegisthus_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = sorted(map(tuple, knn_join(emb, k=3, dim=64, n_planes=6).collect()))
+    salted = sorted(map(tuple, knn_join(
+        emb, k=3, dim=64, n_planes=6, salt=3).collect()))
+    assert base == salted
+
+
 def test_knn_join_invariants(spark):
     from aegisthus_spark.operators.similarity import knn_join
 

@@ -772,6 +772,106 @@ def knn_bench(cpus: int, n_vecs: int) -> None:
                   f"knn_join {dt:.2f}s")
 
 
+def knn_skew_bench(cpus: int, n_vecs: int) -> None:
+    """Skew guard for the k-NN join (the round-9 'knn skew watch' made a
+    recorded number + assertion): a pathological corpus where 30% of the
+    vectors cluster around ONE base vector, collapsing LSH buckets.
+
+    Two mitigation levers, measured separately:
+    - CORRELATED cluster (noise can flip plane signs): adding planes must
+      split the hot bucket — asserted: hottest-bucket candidate pairs at
+      p+6 shrink to <= 1/2 of the adaptive-p count.
+    - NEAR-IDENTICAL cluster (no plane ever separates equal sign
+      patterns): planes cannot help; `knn_join(salt=S)` spreads the hot
+      bucket's pair work over S tasks — asserted: identical result rows,
+      wall time recorded for salt=1 vs salt=8.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.similarity import (
+        _bucket_expr,
+        hyperplanes,
+        knn_join,
+    )
+    from aegisthus_spark.queries import knn_plane_count
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("knn-skew-stress", cpus=cpus)
+
+    def emb(n, hot_frac, noise):
+        # hot rows = base + noise * hash-noise; cold rows = pure hash-noise
+        hot = f"id % 100 < {int(hot_frac * 100)}"
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, 63), j -> cast(CASE WHEN {hot} "
+                    f"THEN sin(j * 1.7) + {noise} * ((sin(id * 12.9898 + j * 78.233) * 43758.5453) % 1.0) "
+                    "ELSE (sin(id * 12.9898 + j * 78.233) * 43758.5453) % 1.0 "
+                    "END as float))"
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+
+    def hot_pairs(df, p):
+        planes = hyperplanes(64, p, seed=1234)
+        b = F.expr(_bucket_expr("embedding", planes))
+        hist = df.select(b.alias("bk")).groupBy("bk").count()
+        top = hist.orderBy(F.desc("count")).limit(1).collect()[0]
+        total = hist.select(
+            F.sum(F.col("count") * (F.col("count") - 1)).alias("p")
+        ).collect()[0].p
+        return int(top["count"]), int(top["count"]) * (int(top["count"]) - 1), int(total)
+
+    p0 = knn_plane_count(n_vecs)
+
+    # --- lever 1: correlated cluster -> more planes split it
+    df_corr = emb(n_vecs, hot_frac=0.3, noise=0.8)
+    h0, hp0, t0_ = hot_pairs(df_corr, p0)
+    h1, hp1, t1_ = hot_pairs(df_corr, p0 + 6)
+    print(f"correlated skew n={n_vecs}: adaptive p={p0} hottest bucket "
+          f"{h0} rows ({hp0} pairs, {t0_} total); p={p0 + 6}: hottest {h1} "
+          f"({hp1} pairs, {t1_} total)")
+    assert hp1 <= hp0 / 2, (
+        f"adding 6 planes only cut hottest-bucket pairs {hp0} -> {hp1}; "
+        "the plane lever has regressed")
+
+    # --- lever 2: near-identical cluster -> planes can't split; salt
+    df_id = emb(n_vecs, hot_frac=0.3, noise=1e-6)
+    h2, hp2, _ = hot_pairs(df_id, p0 + 6)
+    print(f"near-identical skew: hottest bucket still {h2} rows at "
+          f"p={p0 + 6} ({hp2} pairs) — planes cannot separate equal sign "
+          "patterns; salting spreads the work instead:")
+    # salting targets SHUFFLE-join skew (the at-scale shape: a corpus-sized
+    # right side sort-merge-joins on bucket id and the hot key lands on one
+    # task). A fixture-sized right side would broadcast — no key skew to
+    # fix — so pin the shuffled plan for this lever.
+    walls = {}
+    counts = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for s in (1, 8):
+            t0 = time.time()
+            counts[s] = knn_join(df_id, k=3, dim=64, n_planes=p0, seed=1234,
+                                 salt=s).count()
+            walls[s] = time.time() - t0
+            print(f"  knn_join (shuffled) salt={s}: {walls[s]:.2f}s "
+                  f"({counts[s]} rows)")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert counts[1] == counts[8], "salting changed the result set"
+    assert walls[8] < walls[1], (
+        "salting no longer spreads the hot bucket's shuffled pair work")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -811,6 +911,9 @@ def main() -> None:
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
     ap.add_argument("--cold-keys", type=int, default=1_000_000)
     args = ap.parse_args()
+    if args.knn and args.skew:
+        knn_skew_bench(args.cpus, args.docs)
+        return
     if args.skew:
         skew_bench(args.cpus, args.hot_cells, args.cold_keys)
         return
