@@ -10,11 +10,13 @@ expressions here keep typed snapshots inside the JVM.
 Byte-parity contract: for every input, ``type_render(col, T)`` must equal
 ``types.get(T).render(bytes)`` — including the hex fallback on malformed
 widths / invalid encodings / out-of-range timestamps (the Python twin's
-``except: return b.hex()``). Types with no exact JVM twin return None
-from :func:`comparator_render` and the caller keeps the UDF path:
-FloatType/DoubleType (Python ``repr`` has no JVM equivalent — Java's
-``Float.toString`` picks different shortest-digit/exponent forms) and
-custom marshal classes.
+``except: return b.hex()``). Since round 10 this covers the FULL
+registered comparator set: FloatType/DoubleType render through
+``cast(... as string)`` (Java ``toString``), with the Python twin a
+faithful OpenJDK FloatingDecimal port (functions/javafloat.py) — the old
+Python ``repr`` spec was itself a divergence from the reference's
+``String.valueOf``. Only custom (off-registry) marshal classes return
+None from :func:`comparator_render`.
 
 Timestamp renders assume the session timezone is UTC (the repo session
 factory and the driver entry both pin ``spark.sql.session.timeZone``);
@@ -203,7 +205,23 @@ def _type_render_nonnull(b: Column, t: str) -> Column | None:
         return signed_digits(F.hex(b))
     if t == "DecimalType":
         return _decimal_str(b)
-    return None  # FloatType/DoubleType/custom: no exact JVM twin
+    if t == "FloatType":
+        # cast(float as string) IS Java Float.toString; the Python twin
+        # (functions/javafloat.py) reproduces it bit-for-bit — fuzzed vs
+        # java_method('java.lang.Float','toString', ...) over 80k+ values
+        from .casts import hex_to_float
+
+        return F.when(
+            F.length(b) == 4,
+            hex_to_float(F.hex(b)).cast("float").cast("string"),
+        ).otherwise(_hex_fallback(b))
+    if t == "DoubleType":
+        from .casts import hex_to_double
+
+        return F.when(
+            F.length(b) == 8, hex_to_double(F.hex(b)).cast("string")
+        ).otherwise(_hex_fallback(b))
+    return None  # custom marshal classes only
 
 
 def composite_render(

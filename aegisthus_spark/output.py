@@ -85,7 +85,6 @@ def render_row_json(
     return f"{key_str}\t{body}"
 
 
-_RENDER_SCHEMA = "string"
 
 
 def sort_columns_by_display_name(
@@ -104,53 +103,42 @@ def sort_columns_by_display_name(
         key = "lower(hex(x.name))"
     else:
         # typed comparators stringify through the JVM render expressions
-        # (functions/render.py, byte parity with types.Comparator.render);
-        # only Float/Double/custom types — no exact JVM twin — keep the
-        # one-call-per-row UDF fallback
+        # (functions/render.py, byte parity with types.Comparator.render) —
+        # since round 10 that covers the FULL registry incl. Float/Double,
+        # so there is no per-row Python fallback left
         from .functions.render import comparator_render
 
-        if comparator_render(F.lit(b""), name_type) is not None:
-            from .functions import naming as _naming
-
-            def _key(name_col):
-                k = comparator_render(name_col, name_type)
-                if legacy_formatting:
-                    k = _naming.legacy_column_name_format(k)
-                return k
-
-            # (k, i, c): the input index as the second struct field keeps
-            # ties on the rendered name in INPUT order — the stable-sort
-            # contract of the Python sorted() twin (distinct encodings can
-            # render identically, e.g. a sign-padded timestamp vs its
-            # minimal form; without i the tie would fall through to the
-            # cell struct's binary fields)
-            resorted = F.transform(
-                F.sort_array(
-                    F.transform(
-                        F.col("columns"),
-                        lambda x, i: F.struct(
-                            _key(x["name"]).alias("k"), i.alias("i"), x.alias("c")
-                        ),
-                    )
-                ),
-                lambda y: y["c"],
+        if comparator_render(F.lit(b""), name_type) is None:
+            raise ValueError(
+                f"no JVM render for comparator {name_type!r}; register it in "
+                "aegisthus_spark.types + functions/render.py"
             )
-            return rows.withColumn("columns", resorted)
-        comp = aegtypes.get(name_type)
-        col_type = (
-            "array<struct<name binary, value binary, ts bigint, kind string, "
-            "ttl int, local_deletion_time int, ts_of_last_delete bigint>>"
+        from .functions import naming as _naming
+
+        def _key(name_col):
+            k = comparator_render(name_col, name_type)
+            if legacy_formatting:
+                k = _naming.legacy_column_name_format(k)
+            return k
+
+        # (k, i, c): the input index as the second struct field keeps
+        # ties on the rendered name in INPUT order — the stable-sort
+        # contract of the Python sorted() twin (distinct encodings can
+        # render identically, e.g. a sign-padded timestamp vs its
+        # minimal form; without i the tie would fall through to the
+        # cell struct's binary fields)
+        resorted = F.transform(
+            F.sort_array(
+                F.transform(
+                    F.col("columns"),
+                    lambda x, i: F.struct(
+                        _key(x["name"]).alias("k"), i.alias("i"), x.alias("c")
+                    ),
+                )
+            ),
+            lambda y: y["c"],
         )
-
-        @F.udf(col_type)
-        def _sorted_cols(columns):
-            def render(c):
-                s = comp.render(bytes(c["name"])) if c["name"] is not None else ""
-                return legacy_column_name_format(s) if legacy_formatting else s
-
-            return sorted(columns, key=render)
-
-        return rows.withColumn("columns", _sorted_cols("columns"))
+        return rows.withColumn("columns", resorted)
     if legacy_formatting:
         key = (
             f"replace(replace(regexp_replace({key}, '{_CNTRL_OR_SPACE}', ' '), "
@@ -310,39 +298,21 @@ def to_aeg_json(
         line = _aeg_line(key_raw, key_js, cols_json, trace)
         return compacted.select(line.alias("value"))
 
-    kc, nc, vc = (aegtypes.get(t) for t in (key_type, name_type, value_type))
-    legacy = legacy_formatting
-
-    @F.udf(_RENDER_SCHEMA)
-    def render(key, deleted_at, columns):
-        cols = [
-            {
-                "name": bytes(c["name"]) if c["name"] is not None else None,
-                "value": bytes(c["value"]) if c["value"] is not None else None,
-                "ts": c["ts"],
-                "kind": c["kind"],
-                "ttl": c["ttl"],
-                "local_deletion_time": c["local_deletion_time"],
-                "ts_of_last_delete": c["ts_of_last_delete"],
-            }
-            for c in columns
-        ]
-        return render_row_json(
-            bytes(key), deleted_at, cols, key_conv=kc, name_conv=nc, value_conv=vc,
-            max_col_size=max_col_size, legacy_formatting=legacy,
-        )
-
-    rendered = render("partition_key", "deleted_at", "columns")
-    if trace_source:
-        # key\t<source>\t{json...}: splice the source path into the line
-        rendered = F.concat(
-            F.substring_index(rendered, "\t", 1),
-            F.lit("\t"),
-            F.col("source_path"),
-            F.lit("\t"),
-            F.substring_index(rendered, "\t", -1),
-        )
-    return compacted.select(rendered.alias("value"))
+    # round 10: every registered comparator — Float/Double included — has a
+    # byte-parity JVM render (functions/render.py; the Python twin for
+    # floats is the FloatingDecimal port in functions/javafloat.py), so the
+    # old per-row Python-UDF fallback is gone. Reaching here means an
+    # off-registry custom marshal class; surface that instead of silently
+    # dropping out of the JVM.
+    missing = [
+        t for t in (key_type, name_type, value_type)
+        if comparator_render(F.lit(b""), t) is None
+    ]
+    raise ValueError(
+        f"no JVM render for comparator(s) {missing}; register the type in "
+        "aegisthus_spark.types and add its render expression in "
+        "functions/render.py (render_row_json stays the Python spec twin)"
+    )
 
 
 def parse_aeg_json_line(line: str) -> dict:

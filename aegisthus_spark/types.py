@@ -150,11 +150,18 @@ def _render_bool(b: bytes) -> str:
 
 
 def _render_float(b: bytes) -> str:
-    return repr(_struct.unpack(">f", b)[0])
+    # Java Float.toString form — the reference's actual rendering
+    # (FloatType.getString -> String.valueOf(float)); Python repr was the
+    # old divergent spec (e.g. 0.1f: '0.10000000149011612' vs Java '0.1')
+    from .functions.javafloat import java_float_to_string
+
+    return java_float_to_string(_struct.unpack(">f", b)[0])
 
 
 def _render_double(b: bytes) -> str:
-    return repr(_struct.unpack(">d", b)[0])
+    from .functions.javafloat import java_double_to_string
+
+    return java_double_to_string(_struct.unpack(">d", b)[0])
 
 
 def _render_uuid(b: bytes) -> str:
