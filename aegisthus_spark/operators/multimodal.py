@@ -437,7 +437,8 @@ def thumbnail_plan(media: DataFrame, *, box: int = 256) -> DataFrame:
 def phash_near_dupes(
     feats: DataFrame,
     *,
-    band_bits: int = 4,
+    band_bits: int = 4,  # retained for API compatibility; superseded by
+    # the exact radius multi-probe below (results are identical)
     max_hamming: int = 2,
 ) -> DataFrame:
     """(a, b, hamming): near-duplicate media pairs by perceptual-hash-style
@@ -446,13 +447,27 @@ def phash_near_dupes(
     item's own mean, so the signature is invariant to global
     brightness/gain shifts).
 
-    Scale shape: identical to text MinHash-LSH — signatures band into
-    ``FEATURE_DIM / band_bits`` keys, candidates come from ONE equi-join
-    on (band, key), and only candidates pay the Hamming verify
-    (bit_count(xor) — a two-instruction codegen expression, no Python).
-    The mean fold and comparisons are strict left folds over doubles, so
-    a SQL oracle reproduces every signature bit.
+    Scale shape — EXACT radius multi-probe (round 10; replaces banding):
+    with dim-bit signatures and a small radius, every sig within Hamming
+    distance <= max_hamming of s is s XOR one of C(dim, <=r) constant
+    masks, so the left side explodes its |masks| probe keys and candidates
+    come from ONE equi-join on the FULL signature — 2^dim buckets instead
+    of 2^band_bits per band. Every join hit IS a result (no Hamming
+    re-verify shuffle, no distinct: an unordered pair matches exactly once
+    under a < b), so join output == answer size. The old 4-bit banding had
+    16 buckets/band: ~n^2/8 candidate pairs regardless of n — measured
+    316M candidates at 50k docs vs ~5M join rows on this path (the ~2.6M
+    true pairs are the data's own near-dup density: 16-bit signatures
+    saturate, so OUTPUT grows ~n^2 * 137/2^16 by nature — blocking cost no
+    longer dominates it). Banding (the classic pigeonhole split into
+    max_hamming+1 bands) remains the fallback when the mask count would
+    explode (dim >= 64 with radius >= 3). The mean fold and comparisons
+    are strict left folds over doubles, so a SQL oracle reproduces every
+    signature bit; the candidate STRATEGY is invisible to results — both
+    paths return exactly the Hamming <= max_hamming pairs.
     """
+    import itertools
+
     dim = FEATURE_DIM
     mean = f"aggregate(feature, cast(0 as double), (a, x) -> a + x) / {float(dim)!r}"
     bits = " + ".join(
@@ -462,8 +477,33 @@ def phash_near_dupes(
     sigs = feats.withColumn("_m", F.expr(mean)).select(
         "media_id", F.expr(bits).alias("sig")
     )
-    n_bands = dim // band_bits
-    mask = (1 << band_bits) - 1
+    masks = [0]
+    for r in range(1, max_hamming + 1):
+        for combo in itertools.combinations(range(dim), r):
+            masks.append(sum(1 << i for i in combo))
+    if len(masks) <= 4096:
+        masks_sql = "array(" + ",".join(map(str, masks)) + ")"
+        probes = sigs.select(
+            F.col("media_id").alias("a"),
+            F.col("sig").alias("sa"),
+            F.explode(F.expr(f"transform({masks_sql}, m -> sig ^ m)")).alias("key"),
+        )
+        right = sigs.select(
+            F.col("media_id").alias("b"), F.col("sig").alias("sb")
+        )
+        return (
+            probes.join(right, probes["key"] == right["sb"])
+            .filter(F.col("a") < F.col("b"))
+            .select(
+                "a", "b", F.expr("bit_count(sa ^ sb)").alias("hamming")
+            )
+            .orderBy("a", "b")
+        )
+    # fallback: pigeonhole banding — max_hamming+1 near-equal bands (a
+    # pair within radius leaves at least one band untouched), the widest
+    # keys the guarantee allows
+    n_bands = max_hamming + 1
+    bounds = [round(i * dim / n_bands) for i in range(n_bands + 1)]
     bands = sigs.select(
         "media_id",
         "sig",
@@ -472,7 +512,10 @@ def phash_near_dupes(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"shiftright(sig, {b * band_bits}) & {mask}").alias("key"),
+                        F.expr(
+                            f"shiftright(sig, {bounds[b]}) & "
+                            f"{(1 << (bounds[b + 1] - bounds[b])) - 1}"
+                        ).alias("key"),
                     )
                     for b in range(n_bands)
                 ]
@@ -485,10 +528,8 @@ def phash_near_dupes(
     right = bands.select(
         F.col("media_id").alias("b"), F.col("sig").alias("sb"), "band", "key"
     )
-    # Hamming verify BEFORE the distinct: the filter is a pure function of
-    # the distinct key (sa, sb ride with a, b), so only surviving pairs pay
-    # the dedup shuffle — at corpus scale most band collisions fail the
-    # verify and never shuffle
+    # Hamming verify BEFORE the distinct: only surviving pairs pay the
+    # dedup shuffle
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))

@@ -207,8 +207,9 @@ def to_aeg_json(
     For the default BytesType converters everything stays in JVM expressions
     (hex + concat, no JSON escaping needed); typed converters render through
     the JVM expressions in functions/render.py plus an exact json.dumps
-    escape. Only Float/Double/custom converters — no exact JVM render
-    twin — fall back to a Python UDF over the collected row.
+    escape — since round 10 that is the FULL registry (Float/Double render
+    as Java toString, Python twin in functions/javafloat.py); there is no
+    Python-UDF path left, and off-registry marshal classes raise.
 
     ``trace_source``: prepend the source path as a second tab field
     (JsonOutputFormat.java:116-120; requires rows compacted with

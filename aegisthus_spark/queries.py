@@ -2504,6 +2504,33 @@ def sst_decode_combined(spark, sf_dir):
     return _sst_decode_lines(spark, "2.0.10_1.2.18_combined/randomtable", skip_corrupt=True)
 
 
+_BTI_FIXTURE = "/root/repo/tests/fixtures/bti/table"
+_BTI_GOLDEN = "/root/repo/tests/golden/bti_split.parquet"
+
+
+@register(
+    "sst_decode_bti_split",
+    f"SELECT line FROM read_parquet('{_BTI_GOLDEN}') ORDER BY line",
+    doc="BTI (da-*-bti, Cassandra 5.0 trie-index format) decode with "
+        "FORCED multi-split planning: no Index.db exists and the trie "
+        "sidecars are never parsed — split boundaries come from the "
+        "round-10 Data.db skip-walk (modern.partition_offsets_from_data) "
+        "in uncompressed coordinates over a deflate-chunked file; 150 "
+        "partitions (statics, RT markers, empty partitions, variable "
+        "clustering) cut into ~29 splits at a 2 KB target, golden frozen "
+        "only after whole-file == multi-split "
+        "(tools/make_bti_fixture.py)",
+)
+def sst_decode_bti_split(spark, sf_dir):
+    from .output import to_aeg_json
+    from .sources import read_sstable_cells
+
+    cells = read_sstable_cells(
+        spark, [_BTI_FIXTURE], target_bytes=2048, combine=False
+    )
+    return to_aeg_json(compact(cells)).select(F.col("value").alias("line"))
+
+
 @register(
     "sst_decode_staged",
     _decode_oracle("randomtable_jb"),
@@ -3766,7 +3793,11 @@ def dedup_semantic(spark, sf_dir):
 )
 def dedup_containment(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return _dd.containment_of_pairs(docs, n=3, threshold=0.5)
+    # persist_shingles: containment is the ONE consumer that reads the
+    # distinct-shingle table three more times after the signature pass
+    # (both pair sides + sizes) — materializing it once cut sf1 from
+    # 12.0s to 5.3s (x6.5 -> ~x3 at 10x data), values identical
+    return _dd.containment_of_pairs(docs, n=3, threshold=0.5, persist_shingles=True)
 
 
 @register(

@@ -1,0 +1,92 @@
+"""Full-registry sf1 scaling bench: run bench.py at sf0.1 (fresh base,
+same box/same code) and at sf1 (testdata_sf1/, 10x rows), and write
+BENCH_SF1.json covering ALL registered queries with a per-query
+sf1/sf0.1 ratio column — so a super-linear scaler can't hide among the
+queries the heavies-only run skipped (round-9 verdict, What's missing #2).
+
+Usage: python tools/bench_sf1.py [--reps N] (default 1 — a single-rep
+sf1 datapoint per query; the known heavies keep min-of-2)
+
+Ratios on sub-second sf0.1 queries are fixed-overhead dominated (stage
+scheduling floors both numerators and denominators) — the json records
+each query's sf0.1 base so readers can weigh that; the WATCHLIST in the
+output keys on ratio > 6 AND sf1 > 2s to skip overhead artifacts.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
+        SPARK_GRAFT_BENCH_REPS=str(reps),
+        SPARK_GRAFT_BENCH_REPS_SUB=str(reps),
+        SPARK_GRAFT_BENCH_REPS_HEAVY=str(heavy_reps),
+    )
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, check=True, cwd=ROOT,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    with open(detail_path) as f:
+        return json.load(f)
+
+
+def main():
+    reps = 1
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    base = run("/root/testdata/sf0.1", "/tmp/bench_sf01_detail.json", reps, max(reps, 2))
+    sf1 = run(os.path.join(ROOT, "testdata_sf1"), "/tmp/bench_sf1_detail.json", reps, max(reps, 2))
+
+    queries = {}
+    watch = {}
+    for name, t1 in sf1["queries"].items():
+        t0 = base["queries"].get(name)
+        ratio = round(t1 / t0, 2) if t0 else None
+        queries[name] = {"sf0.1": t0, "sf1": t1, "ratio": ratio}
+        if ratio and ratio > 6 and t1 > 2.0:
+            watch[name] = ratio
+    # known, documented super-linear rows — a watchlist hit OUTSIDE this
+    # set is a regression to investigate, not an annotation to copy
+    annotations = {
+        "dedup_ngram_jaccard": (
+            "O(n^2) brute-force LSH-recall ground truth BY DESIGN "
+            "(queries.ORACLE_INFEASIBLE_OVER); the scalable twin is "
+            "dedup_minhash_lsh"),
+        "dedup_embedding_nn": (
+            "O(n^2) brute-force ANN-recall ground truth BY DESIGN; the "
+            "scalable twin is sim_knn_join"),
+        "sim_knn_join": (
+            "~linear at 10x data (candidates ~ n * (p+1) * n/2^p with "
+            "adaptive p); skew guards recorded by stress.py --knn --skew"),
+    }
+    out = {
+        "metric": "bench_sf1_scaling",
+        "unit": "sec",
+        "n_queries": len(queries),
+        "total_sf0.1": base["value"],
+        "total_sf1": sf1["value"],
+        "total_ratio": round(sf1["value"] / base["value"], 2),
+        "reps": reps,
+        "watchlist_ratio_gt6_and_sf1_gt2s": watch,
+        "watchlist_annotations": {k: annotations[k] for k in watch if k in annotations},
+        "watchlist_unexplained": sorted(k for k in watch if k not in annotations),
+        "queries": queries,
+    }
+    path = os.path.join(ROOT, "BENCH_SF1.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}: total {base['value']}s -> {sf1['value']}s "
+          f"(x{out['total_ratio']}), watchlist: {watch or 'empty'}")
+
+
+if __name__ == "__main__":
+    main()
