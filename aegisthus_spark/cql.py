@@ -288,16 +288,17 @@ def _compose_nonnull(b: Column, cql_type: str) -> Column:
         # width) and cast like the reference's BigDecimal; numerically
         # equal strings cast to equal decimal(38,18) values, so this
         # matches the former Python str(Decimal)-through-cast fallback.
-        # Degenerate payloads (< the 4-byte scale prefix) are NULL: empty
-        # matches Cassandra's DecimalSerializer null-for-empty, and a
-        # 1-3-byte blob — which real Cassandra would throw on — maps to
-        # NULL like the other composes' malformed-width behavior (the old
-        # Python fallback returned 0 here; pinned by test_cql)
+        # Degenerate payloads (<= the 4-byte scale prefix) are NULL: empty
+        # matches Cassandra's DecimalSerializer null-for-empty; 1-3-byte
+        # blobs AND the exactly-4-byte shape (scale + EMPTY magnitude,
+        # which BigInteger(byte[0]) throws on) map to NULL like the other
+        # composes' malformed-width behavior (the old Python fallback
+        # returned 0 for all of these; pinned by test_cql)
         from .functions.bignum import split_decimal
 
         scale, sign, digits = split_decimal(b)
         s = F.concat(sign, digits, F.lit("E"), (-scale).cast("string"))
-        return F.when(F.length(b) >= 4, s.cast("decimal(38,18)"))
+        return F.when(F.length(b) >= 5, s.cast("decimal(38,18)"))
     raise ValueError(f"unsupported CQL type: {cql_type}")
 
 

@@ -205,8 +205,11 @@ def knn_join(
         F.array(F.col("ab"), *[F.expr(f"ab ^ {1 << j}") for j in range(n_planes)])
     ).alias("pb")
     if salt > 1:
+        # pmod, not %: Spark's % preserves sign, so a negative id would
+        # yield a salt value outside [0, salt-1] and silently drop every
+        # candidate pair for that row
         cand = left.select(
-            "a", "va", "na", probe, (F.col("a") % salt).alias("_sl")
+            "a", "va", "na", probe, F.pmod(F.col("a"), F.lit(salt)).alias("_sl")
         ).join(
             right.withColumn(
                 "_sr", F.explode(F.expr(f"sequence(0, {salt - 1})"))
@@ -357,9 +360,12 @@ def ensure_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     no gratuitous shuffle at scale."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(
-        cores, int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ):
+    try:
+        # may be non-numeric on AQE-auto platforms ("auto")
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_parts = cores
+    if df.rdd.getNumPartitions() < min(cores, shuffle_parts):
         return df.repartition(F.col(key_col))
     return df
 
@@ -492,10 +498,18 @@ def kmeans_assign(
     Returns (id, cluster, dist) after the final assignment, dist = L2
     rounded to 6.
     """
-    k_c = coarse_cell_count(k)
     emb = ensure_parallelism(emb, id_col)
     seed_rows = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     clusters = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    if not clusters:
+        raise ValueError(
+            f"kmeans_assign: no seed vectors with {id_col} < {k} — seeds are "
+            "the k lowest ids; re-key the corpus or lower k"
+        )
+    # sparse ids can leave fewer than k seeds; the rep set is 'the k_c
+    # lowest SEED ids', so clamp (the SQL oracle's row_number <= kc picks
+    # the same set when fewer rows exist)
+    k_c = min(coarse_cell_count(k), len(clusters))
     assigned = None
     for it in range(iters):
         assigned = _kmeans_assign_once(
@@ -528,6 +542,21 @@ def kmeans_assign(
     )
 
 
+def _pq_seeds(
+    emb: DataFrame, k: int, *, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """The k-lowest-id codebook seed vectors, collected ONCE (pq_topk
+    shares them with pq_encode instead of re-running the job)."""
+    seed_rows = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
+    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    if not seeds:
+        raise ValueError(
+            f"pq codebook: no seed vectors with {id_col} < {k} — seeds are "
+            "the k lowest ids; re-key the corpus or lower k"
+        )
+    return seeds
+
+
 def pq_encode(
     emb: DataFrame,
     *,
@@ -535,6 +564,7 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(id, codes): product-quantization encoding — the vector is split
     into ``m`` subvectors and each is replaced by the id of its nearest
@@ -552,11 +582,14 @@ def pq_encode(
     no shuffle, the kmeans_assign pattern.
     """
     spark = emb.sparkSession
-    seed_rows = (
-        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
-    )
-    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    if seeds is None:
+        seeds = _pq_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(
+            f"pq_encode: dim {dim} not divisible by m={m} — the trailing "
+            f"{dim % m} dimensions would silently drop from every code"
+        )
     d = dim // m
     cb = [
         (s, j, [float(v) for v in vec[s * d : (s + 1) * d]])
@@ -604,12 +637,11 @@ def pq_topk(
     """
     spark = emb.sparkSession
     dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
     d = dim // m
-    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    seed_rows = (
-        emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
-    )
-    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
+    seeds = _pq_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, seeds=seeds)
     lut = [
         (s, j, _l2_py(query_vec[s * d : (s + 1) * d], vec[s * d : (s + 1) * d]))
         for j, vec in seeds

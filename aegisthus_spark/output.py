@@ -242,11 +242,10 @@ def to_aeg_json(
         comparator_render(F.lit(b""), t) is not None
         for t in (key_type, name_type, value_type)
     ):
-        # typed JVM path (round-9): renders through functions/render.py
-        # (byte parity with types.Comparator.render, hex fallback on
-        # malformed values) + the exact json.dumps escape — no
-        # BatchEvalPython for any registry comparator except
-        # Float/Double (no exact JVM twin for Python repr)
+        # typed JVM path: renders through functions/render.py (byte parity
+        # with types.Comparator.render, hex fallback on malformed values)
+        # + the exact json.dumps escape — no BatchEvalPython for ANY
+        # registry comparator (Float/Double included since round 10)
         from .functions import naming as _naming
 
         key_raw = comparator_render(F.col("partition_key"), key_type)

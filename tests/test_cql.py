@@ -95,20 +95,25 @@ def test_compose_decimal(spark):
 
 
 def test_compose_decimal_degenerate_payloads_are_null(spark):
-    """Payloads shorter than the 4-byte scale prefix compose to NULL: an
-    empty blob matches Cassandra DecimalSerializer's null-for-empty, and a
-    1-3-byte blob (which real Cassandra throws on) maps to NULL like the
-    other composes' malformed-width behavior — never a silent 0."""
+    """Payloads without at least one magnitude byte compose to NULL: an
+    empty blob matches Cassandra DecimalSerializer's null-for-empty; a
+    1-3-byte blob (short scale prefix) and the exactly-4-byte shape
+    (scale + EMPTY magnitude — BigInteger(byte[0]) throws) map to NULL
+    like the other composes' malformed-width behavior — never a silent
+    0."""
     from aegisthus_spark.cql import compose_value
 
     df = spark.createDataFrame(
-        [(b"", b"\x01", b"\x00\x00\x02", struct.pack(">i", 1) + b"\x0a")],
-        "e binary, one binary, three binary, ok binary",
+        [(b"", b"\x01", b"\x00\x00\x02", struct.pack(">i", 2),
+          struct.pack(">i", 1) + b"\x0a")],
+        "e binary, one binary, three binary, four binary, ok binary",
     )
     row = df.select(
-        *[compose_value(F.col(c), "decimal").alias(c) for c in ("e", "one", "three", "ok")]
+        *[compose_value(F.col(c), "decimal").alias(c)
+          for c in ("e", "one", "three", "four", "ok")]
     ).collect()[0]
     assert row.e is None and row.one is None and row.three is None
+    assert row.four is None  # scale present but zero-length magnitude
     from decimal import Decimal
 
     assert row.ok == Decimal("1.0")

@@ -42,6 +42,10 @@ def compare(spark_df, oracle_df, name):
     return None
 
 
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
 def main():
     argv = sys.argv[1:]
     out_path = "DRIVER_SIM.json"
@@ -88,8 +92,7 @@ def main():
     con.execute(
         "SET memory_limit='" + os.environ.get("AEGISTHUS_DUCKDB_MEM", "24GB") + "'"
     )
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
+    for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     from aegisthus_spark.queries import ORACLE_INFEASIBLE_OVER, TABLE_ID_COLS
@@ -106,8 +109,7 @@ def main():
         idc = TABLE_ID_COLS[table]
         src = os.path.abspath(sf_dir)
         with tempfile.TemporaryDirectory(prefix="driver_sim_sample_") as td:
-            for t in ("region nation customer supplier part orders lineitem "
-                      "events documents embeddings").split():
+            for t in TABLES:
                 if t == table:
                     con.execute(
                         f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
@@ -117,8 +119,7 @@ def main():
                 else:
                     os.symlink(f"{src}/{t}.parquet", f"{td}/{t}.parquet")
             scon = duckdb.connect()
-            for t in ("region nation customer supplier part orders lineitem "
-                      "documents embeddings").split():
+            for t in TABLES:
                 scon.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{td}/{t}.parquet')"
                 )
