@@ -3435,7 +3435,10 @@ def doc_curate_pipeline(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     q = docs.filter(F.size(F.split("text", " ")) >= 30)
-    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1)
+    # persist_shingles: the verify stage re-reads the distinct-shingle
+    # table three times after the signature pass — one materialization cut
+    # sf1 from 12.2s to 5.8s, values identical (same lever as containment)
+    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1, persist_shingles=True)
     comp = _dd.connected_components(pairs, q)
     canon = q.join(
         comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
@@ -3490,7 +3493,7 @@ def dedup_canonical_best(spark, sf_dir):
     per-component max_by over the quality score — cluster-cardinality
     groups, never a global funnel."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, persist_shingles=True)
     comp = _dd.connected_components(pairs, docs)
     q = _tx.quality_score(docs).select("doc_id", "quality")
     joined = comp.join(q, "doc_id")
