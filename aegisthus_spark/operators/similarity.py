@@ -663,6 +663,50 @@ def pq_topk(
     return scored.orderBy("adist", id_col).limit(topk)
 
 
+def pq_refine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    m: int = 8,
+    k: int = 16,
+    shortlist: int = 50,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """(id, adist, cos): the standard PQ retrieval architecture — shortlist
+    by cheap ADC over the codes (pq_topk), then exact-rerank only the
+    shortlist with the full-precision cosine. At scale the exact pass
+    touches ``shortlist`` vectors, not the corpus, so the expensive decimal
+    dot is O(shortlist*dim) regardless of corpus size; shortlist
+    membership and both rankings are deterministic (rounded scores, id
+    tie-breaks), so any engine reproduces the same top-k.
+    """
+    short = pq_topk(
+        emb, query_vec, m=m, k=k, topk=shortlist,
+        id_col=id_col, vec_col=vec_col, exclude_id=exclude_id,
+    )
+    q = _query_lit(query_vec)
+    cand = emb.join(F.broadcast(short.select(id_col, "adist")), id_col)
+    return (
+        cand.select(
+            id_col,
+            "adist",
+            F.round(
+                F.expr(_dot_decimal(vec_col, q))
+                / (
+                    F.sqrt(F.expr(_dot_decimal(vec_col, vec_col)))
+                    * F.sqrt(F.expr(_dot_decimal(q, q)))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(topk)
+    )
+
+
 def hybrid_rrf(
     lexical: DataFrame,
     dense: DataFrame,

@@ -1960,10 +1960,11 @@ _L2_LIST_SQL = (
 )
 
 
-@register(
-    "sim_pq_adc_topk",
-    f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+#: PQ oracle CTE chain ending in ``pqd`` = (vec_id, adist): 8 subspaces x
+#: 16 codes (codebook = subvectors of the 16 lowest ids), ADC distance as
+#: an order-independent DECIMAL sum of LUT entries. Shared by the ADC
+#: top-k oracle and the shortlist-refine oracle.
+_PQ_CTE = f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     cb AS (
       SELECT s.s AS sub, CAST(e.vec_id AS INT) AS j,
              e.embedding[s.s*8+1 : s.s*8+8] AS cent
@@ -1981,13 +1982,21 @@ _L2_LIST_SQL = (
     lut AS (SELECT c.sub, c.j,
                    {_L2_LIST_SQL.format(
                        a='q.qv[c.sub*8+1 : c.sub*8+8]', b='c.cent')} AS d
-            FROM cb c, q)
-    SELECT e.vec_id,
-           round(CAST(SUM(CAST(l.d AS DECIMAL(27,15))) AS DOUBLE), 6) AS adist
-    FROM enc e JOIN lut l USING (sub, j)
-    WHERE e.vec_id <> 0
-    GROUP BY e.vec_id
-    ORDER BY adist, e.vec_id
+            FROM cb c, q),
+    pqd AS (
+      SELECT e.vec_id,
+             round(CAST(SUM(CAST(l.d AS DECIMAL(27,15))) AS DOUBLE), 6) AS adist
+      FROM enc e JOIN lut l USING (sub, j)
+      GROUP BY e.vec_id)"""
+
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+    WITH {_PQ_CTE}
+    SELECT vec_id, adist FROM pqd
+    WHERE vec_id <> 0
+    ORDER BY adist, vec_id
     LIMIT 10
     """,
     doc="product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16 "
@@ -2000,6 +2009,35 @@ def sim_pq_adc_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.pq_topk(
         emb, _query_vec(spark, sf_dir), m=8, k=16, topk=10, exclude_id=0
+    )
+
+
+@register(
+    "sim_pq_refine",
+    f"""
+    WITH {_PQ_CTE},
+    short AS (
+      SELECT vec_id, adist FROM pqd
+      WHERE vec_id <> 0
+      ORDER BY adist, vec_id
+      LIMIT 50)
+    SELECT e.vec_id, s.adist,
+           round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM embeddings e JOIN short s USING (vec_id), q
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="PQ retrieval architecture: ADC shortlist of 50 over the codes, "
+        "exact decimal-cosine rerank of the shortlist only — the "
+        "expensive pass is O(shortlist*dim) regardless of corpus size",
+)
+def sim_pq_refine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.pq_refine_topk(
+        emb, _query_vec(spark, sf_dir), m=8, k=16, shortlist=50, topk=10,
+        exclude_id=0,
     )
 
 
