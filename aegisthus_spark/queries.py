@@ -960,6 +960,149 @@ def q9_nation_profit(spark, sf_dir):
 
 
 @register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE v * 10000 > (SELECT SUM(v) FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11-style (adapted: no partsupp table — per-part retained "
+        "value from one nation's suppliers instead of availqty*supplycost): "
+        "grouped decimal value + scalar-subquery fraction threshold, "
+        "compared CROSS-MULTIPLIED in exact decimals (never a float "
+        "division)",
+)
+def q11_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 10000 > F.col("_total"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_latency_priority",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) > 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_class ORDER BY ship_class
+    """,
+    doc="TPC-H Q12-style (adapted: no shipmode/commitdate columns — the "
+        "ship-latency class, order-to-ship days > 60, stands in for the "
+        "mode split): conditional priority counts per class, exact "
+        "integer day arithmetic on both engines",
+)
+def q12_latency_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+             COUNT(*) OVER () AS n_supp,
+             SUM(SUM(CAST(l_quantity AS DECIMAL(18,2)))) OVER () AS total
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                        WHERE qty * n_supp > 2 * total)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20-style (adapted: no partsupp availqty — 'suppliers who "
+        "shipped more than 2x the average PROMO-part quantity' keeps the "
+        "nested-semijoin shape): part-filter IN -> per-supplier decimal "
+        "sum -> cross-multiplied above-average threshold -> supplier "
+        "semijoin",
+)
+def q20_promo_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    totals = shipped.agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("qty").alias("total")
+    )
+    keep = (
+        shipped.crossJoin(F.broadcast(totals))
+        .filter(F.col("qty") * F.col("n_supp") > F.col("total") * 2)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(keep), supp.s_suppkey == keep.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "q15_top_supplier",
     """
     WITH rev AS (
