@@ -591,22 +591,27 @@ def pq_encode(
             f"{dim % m} dimensions would silently drop from every code"
         )
     d = dim // m
+    # codebook indexed BY SUBSPACE (array-of-arrays): element_at, not an
+    # m*k filter scan per subspace per row
     cb = [
-        (s, j, [float(v) for v in vec[s * d : (s + 1) * d]])
-        for j, vec in seeds
+        [
+            (j, [float(v) for v in vec[s * d : (s + 1) * d]])
+            for j, vec in seeds
+        ]
         for s in range(m)
     ]
     cb_df = spark.createDataFrame(
-        [(cb,)], schema="_cb array<struct<sub:int,j:int,cent:array<double>>>"
+        [(cb,)], schema="_cb array<array<struct<j:int,cent:array<double>>>>"
     )
     sub = f"slice({vec_col}, s * {d} + 1, {d})"
     code = (
-        f"array_min(transform(filter(_cb, c -> c.sub = s), c -> "
+        f"array_min(transform(element_at(_cb, s + 1), c -> "
         f"named_struct('d', {_l2_float(sub, 'c.cent')}, 'j', c.j))).j"
     )
     codes = f"transform(sequence(0, {m - 1}), s -> {code})"
     return (
-        emb.crossJoin(F.broadcast(cb_df))
+        ensure_parallelism(emb, id_col)
+        .crossJoin(F.broadcast(cb_df))
         .select(id_col, F.expr(codes).alias("codes"))
     )
 

@@ -68,6 +68,13 @@ def main():
     total = 0.0
     for name, q in registry.items():
         try:
+            # drop blocks persisted by the PREVIOUS query (several dedup
+            # pipelines persist their shingle table): without this the
+            # cache accumulates across the ~120-query session and the
+            # resulting memory pressure inflates late queries 2-4x —
+            # measured: a 119-query sf1 session read 535s total vs 287s
+            # with isolation, with the same code
+            spark.catalog.clearCache()
             spark._jvm.System.gc()  # outside the timers
         except Exception:
             pass

@@ -520,7 +520,9 @@ def test_pq_encode_and_adc_topk(spark):
     q = [float(x) for x in
          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     codes = pq_encode(emb, m=8, k=16)
-    assert count_exchanges(codes) == 0
+    # the ONLY exchange allowed is ensure_parallelism's rebalance of the
+    # 1-split test parquet; the encode itself is a broadcast + projection
+    assert count_exchanges(codes) <= 1
     rows = codes.collect()
     assert all(len(r.codes) == 8 for r in rows)
     assert all(0 <= c < 16 for r in rows for c in r.codes)
@@ -533,6 +535,30 @@ def test_pq_encode_and_adc_topk(spark):
     assert self_dist.vec_id == 0 and self_dist.adist == 0.0
     # vec 0 is a seed (vec_id < 16): its codes are exactly itself, so the
     # LUT rows are l2(q_sub, q_sub) = 0 in every subspace
+
+
+def test_pq_refine_reranks_shortlist_exactly(spark):
+    """The refine stage must return the exact-cosine top-k RESTRICTED to
+    the ADC shortlist: every returned id is in the shortlist, ranked by
+    the same decimal cosine cosine_topk computes."""
+    from aegisthus_spark.operators.similarity import (
+        cosine_topk,
+        pq_refine_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    short = {r.vec_id for r in
+             pq_topk(emb, q, m=8, k=16, topk=50, exclude_id=0).collect()}
+    got = pq_refine_topk(
+        emb, q, m=8, k=16, shortlist=50, topk=10, exclude_id=0).collect()
+    assert len(got) == 10 and all(r.vec_id in short for r in got)
+    # exact-cosine scores agree with cosine_topk restricted to the shortlist
+    cand = emb.filter(F.col("vec_id").isin(list(short)))
+    want = cosine_topk(cand, q, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in got] == [(r.vec_id, r.cos) for r in want]
 
 
 def test_knn_join_salt_is_result_invariant(spark):

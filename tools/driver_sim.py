@@ -133,6 +133,9 @@ def main():
         if only and name not in only:
             continue
         try:
+            # per-query isolation: drop blocks persisted by the previous
+            # query (see bench.py — accumulation inflates a long session)
+            spark.catalog.clearCache()
             inf = ORACLE_INFEASIBLE_OVER.get(name)
             if inf is not None and name in oracles:
                 table, cap = inf
