@@ -1967,9 +1967,7 @@ def dedup_paragraph(spark, sf_dir):
     doc="MinHash(16)+LSH(4x4) candidate pairs verified by true Jaccard >= 0.1",
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    return _dd.minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=0.1, persist_shingles=True
-    )
+    return _dd.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.1)
 
 
 @register(
@@ -2383,7 +2381,7 @@ def dedup_components(spark, sf_dir):
     construction at every scale; LSH-vs-exact recall is checked separately
     (dedup_ngram_jaccard, test_minhash_lsh_is_subset_of_truth)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, persist_shingles=True)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
     return _dd.connected_components(pairs, docs)
 
 
@@ -3616,10 +3614,7 @@ def doc_curate_pipeline(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     q = docs.filter(F.size(F.split("text", " ")) >= 30)
-    # persist_shingles: the verify stage re-reads the distinct-shingle
-    # table three times after the signature pass — one materialization cut
-    # sf1 from 12.2s to 5.8s, values identical (same lever as containment)
-    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1, persist_shingles=True)
+    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1)
     comp = _dd.connected_components(pairs, q)
     canon = q.join(
         comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
@@ -3674,7 +3669,7 @@ def dedup_canonical_best(spark, sf_dir):
     per-component max_by over the quality score — cluster-cardinality
     groups, never a global funnel."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, persist_shingles=True)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
     comp = _dd.connected_components(pairs, docs)
     q = _tx.quality_score(docs).select("doc_id", "quality")
     joined = comp.join(q, "doc_id")
@@ -4028,11 +4023,14 @@ def dedup_semantic(spark, sf_dir):
 )
 def dedup_containment(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    # persist_shingles: containment is the ONE consumer that reads the
-    # distinct-shingle table three more times after the signature pass
-    # (both pair sides + sizes) — materializing it once cut sf1 from
-    # 12.0s to 5.3s (x6.5 -> ~x3 at 10x data), values identical
-    return _dd.containment_of_pairs(docs, n=3, threshold=0.5, persist_shingles=True)
+    # persist_shingles stays FALSE here: a round-10 honest A/B (cache
+    # cleared between reps) measured persist as neutral-to-negative at
+    # fixture scale — Catalyst's exchange reuse already covers the
+    # multi-consumer shingle reads within one plan, and the apparent 2x
+    # 'win' first recorded was min-of-N reps re-reading the previous
+    # rep's cache. The parameter remains for the cluster/remote-storage
+    # case its docstring describes.
+    return _dd.containment_of_pairs(docs, n=3, threshold=0.5)
 
 
 @register(

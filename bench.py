@@ -68,18 +68,23 @@ def main():
     total = 0.0
     for name, q in registry.items():
         try:
-            # drop blocks persisted by the PREVIOUS query (several dedup
-            # pipelines persist their shingle table): without this the
-            # cache accumulates across the ~120-query session and the
-            # resulting memory pressure inflates late queries 2-4x —
-            # measured: a 119-query sf1 session read 535s total vs 287s
-            # with isolation, with the same code
-            spark.catalog.clearCache()
             spark._jvm.System.gc()  # outside the timers
         except Exception:
             pass
         best, worst, n, done = None, None, 0, 0
         while True:
+            # per-REP cache isolation (outside the timer): Spark's
+            # CacheManager matches CANONICAL logical plans, so a rep that
+            # rebuilds the same query would silently read blocks persisted
+            # by the previous rep — min-of-N then reports a cached number,
+            # violating the 'no caching between reps' contract above. This
+            # also stops cache creep across the ~120-query session, which
+            # inflated late queries 2-4x (measured 535s vs ~290s same-code
+            # sf1 totals).
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             n = df.count()
