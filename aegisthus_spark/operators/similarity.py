@@ -626,6 +626,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """(id, adist): approximate top-k by ASYMMETRIC distance computation
     (ADC): the query stays full-precision, every corpus vector is its PQ
@@ -639,6 +640,11 @@ def pq_topk(
     Determinism: LUT distances are the strict left fold both engines
     share; the subspace sum casts each addend to DECIMAL(27,15) (order-
     independent), and the final distance rounds to 6 with id tie-breaks.
+
+    ``restrict_to``: optional (id) frame — score only those ids (the
+    IVF-PQ composition: a coarse router picks candidate cells, PQ codes
+    pay for the scan). Codebook seeds always come from the FULL corpus so
+    the codes are stable under any routing.
     """
     spark = emb.sparkSession
     dim = len(query_vec)
@@ -647,6 +653,10 @@ def pq_topk(
     d = dim // m
     seeds = _pq_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, seeds=seeds)
+    if restrict_to is not None:
+        # no broadcast hint: the routed candidate set is corpus-fraction
+        # sized at scale — let AQE pick the strategy
+        codes = codes.join(restrict_to.select(id_col), id_col, "left_semi")
     lut = [
         (s, j, _l2_py(query_vec[s * d : (s + 1) * d], vec[s * d : (s + 1) * d]))
         for j, vec in seeds
@@ -666,6 +676,51 @@ def pq_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy("adist", id_col).limit(topk)
+
+
+def pq_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    probes: int = 3,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the billion-vector production layout (Jégou et al. 2011,
+    §V) — a coarse router (here: per-label centroids, as in
+    cosine_topk_ivf) picks ``probes`` cells, and only those cells' PQ
+    CODES are scored by the broadcast ADC LUT. The full-precision vectors
+    are never read past encode time; on a cell-partitioned code table the
+    label restriction is partition pruning, so query cost is
+    ~(corpus/cells)*probes LUT lookups. Codebooks stay corpus-seeded,
+    independent of routing, so codes are reusable across queries."""
+    q = _query_lit(query_vec)
+    cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    routed = (
+        cents.select(
+            label_col,
+            F.round(
+                F.expr(_dot_decimal("centroid", q))
+                / (
+                    F.sqrt(F.expr(_dot_decimal("centroid", "centroid")))
+                    * F.sqrt(F.expr(_dot_decimal(q, q)))
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        .orderBy(F.desc("ccos"), label_col)
+        .limit(probes)
+    )
+    pruned = emb.join(F.broadcast(routed.select(label_col)), label_col)
+    return pq_topk(
+        emb, query_vec, m=m, k=k, topk=topk, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id, restrict_to=pruned.select(id_col),
+    )
 
 
 def pq_refine_topk(

@@ -2183,6 +2183,44 @@ def sim_pq_refine(spark, sf_dir):
 
 
 @register(
+    "sim_ivfpq_topk",
+    f"""
+    WITH {_PQ_CTE},
+    dims AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                    unnest(embedding) AS x
+             FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+                      / COUNT(*) AS c
+             FROM dims GROUP BY label, i),
+    centv AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+    routed AS (
+      SELECT label,
+             round({_DOT_SQL.format(a='centv.centroid', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='centv.centroid', b='centv.centroid')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS ccos
+      FROM centv, q ORDER BY ccos DESC, label LIMIT 3)
+    SELECT p.vec_id, p.adist
+    FROM pqd p JOIN embeddings e ON e.vec_id = p.vec_id
+               JOIN routed USING (label)
+    WHERE p.vec_id <> 0
+    ORDER BY p.adist, p.vec_id
+    LIMIT 10
+    """,
+    doc="IVF-PQ, the billion-vector production layout: route to the 3 "
+        "nearest label centroids, ADC-score only those cells' PQ codes "
+        "(corpus-seeded codebooks, routing-independent) — on a "
+        "cell-partitioned code table the restriction is partition pruning",
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.pq_topk_ivf(
+        emb, _query_vec(spark, sf_dir), probes=3, m=8, k=16, topk=10,
+        exclude_id=0,
+    )
+
+
+@register(
     "text_token_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,
