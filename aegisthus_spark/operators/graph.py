@@ -82,6 +82,57 @@ def pagerank(
     return ranks.select(F.col("v").alias(id_col), "pr")
 
 
+def lpa_communities(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    iters: int = 2,
+) -> DataFrame:
+    """(id, community): SYNCHRONOUS label propagation (Raghavan et al.
+    2007) on the undirected (a, b) pair graph, made fully deterministic:
+    every round each edge-touched vertex takes the label that is MOST
+    FREQUENT among its neighbors, ties to the SMALLEST label; isolated
+    vertices keep their own id. A fixed iteration count (synchronous LPA
+    oscillates, so 'run to convergence' is not well-defined) + the total
+    tie order make the result engine- and partitioning-independent.
+
+    Scale shape: per round ONE edge-label equi-join, one (dst, label)
+    count (map-side combinable), one dst-keyed argmin — integer arithmetic
+    only, so no decimal guards are needed. Communities differ from
+    connected components on dense graphs: a component fragments into
+    locally-cohesive label basins (the near-dup CLUSTER structure, not
+    mere reachability)."""
+    pairs = pairs.select("a", "b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(F.col(id_col).alias("v")).withColumn(
+        "label", F.col("v")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(labels.select(F.col("v").alias("src"), "label"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst")
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+                .alias("_m")
+            )
+            .select(F.col("dst"), F.col("_m.label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(votes, labels.v == votes.dst, "left")
+            .select("v", F.coalesce("nlabel", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("community"))
+
+
 def triangle_counts(
     pairs: DataFrame,
     vertices: DataFrame,

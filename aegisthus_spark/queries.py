@@ -4678,6 +4678,47 @@ def graph_pagerank(spark, sf_dir):
     return pr.select("doc_id", F.round("pr", 9).alias("pr")).orderBy("doc_id")
 
 
+_LPA_ROUND = """
+    v{t} AS (SELECT e.dst, l.label, COUNT(*) AS cnt
+             FROM edges e JOIN lb{p} l ON l.v = e.src
+             GROUP BY e.dst, l.label),
+    n{t} AS (SELECT dst, label AS nlabel FROM (
+               SELECT dst, label,
+                      row_number() OVER (PARTITION BY dst
+                                         ORDER BY cnt DESC, label) AS rn
+               FROM v{t}) w WHERE rn = 1),
+    lb{t} AS (SELECT lb{p}.v, COALESCE(n{t}.nlabel, lb{p}.label) AS label
+              FROM lb{p} LEFT JOIN n{t} ON n{t}.dst = lb{p}.v)"""
+
+
+@register(
+    "graph_lpa_communities",
+    f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    {_LSH_PAIRS_CTE},
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    lb0 AS (SELECT doc_id AS v, doc_id AS label FROM documents),
+    {_LPA_ROUND.format(t=1, p=0)},
+    {_LPA_ROUND.format(t=2, p=1)}
+    SELECT v AS doc_id, label AS community FROM lb2 ORDER BY v
+    """,
+    doc="2-round deterministic SYNCHRONOUS label propagation (Raghavan "
+        "2007) over the near-dup LSH graph: each vertex takes its "
+        "neighbors' most frequent label, ties to the smallest — integer "
+        "votes, fixed rounds, total tie order, so the unrolled oracle "
+        "matches exactly; communities expose cluster structure that "
+        "reachability (connected components) flattens",
+)
+def graph_lpa_communities(spark, sf_dir):
+    from .operators.graph import lpa_communities
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    return lpa_communities(pairs, docs, iters=2).orderBy("doc_id")
+
+
 @register(
     "ev_daily_anomaly",
     """
