@@ -244,6 +244,46 @@ def chunk_windows(
     )
 
 
+def mix_weights(
+    docs: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, group_tokens, token_share, mix_weight): the
+    data-MIXTURE reweighting table a training pipeline derives before
+    sampling — per-group token mass vs a uniform target share, weight =
+    target_share / actual_share (the factor a sampler multiplies into
+    per-doc probabilities to hit the target mix; > 1 upsample,
+    < 1 downsample).
+
+    Scale shape: ONE group-keyed aggregate over the corpus (map-side
+    combinable token sums), then arithmetic on the group-cardinality
+    result joined to its own 1-row total — corpus-size work is a single
+    pass, the mixture math never touches the corpus again. Token counts
+    are exact integers; shares/weights round to 6 after double division
+    (both engines' IEEE division agrees)."""
+    lt = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(text_col, " "))).alias("group_tokens"),
+    )
+    tot = lt.agg(
+        F.sum("group_tokens").alias("_total"), F.count(F.lit(1)).alias("_n_groups")
+    )
+    share = F.col("group_tokens").cast("double") / F.col("_total").cast("double")
+    return (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "group_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((F.lit(1.0) / F.col("_n_groups")) / share, 6).alias("mix_weight"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def export_shards(
     docs: DataFrame,
     out_dir: str,

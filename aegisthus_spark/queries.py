@@ -3436,6 +3436,72 @@ def ev_asof_join(spark, sf_dir):
 
 
 @register(
+    "doc_mix_weights",
+    """
+    WITH lt AS (SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS group_tokens
+                FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(group_tokens) AS BIGINT) AS total,
+                   COUNT(*) AS n_groups FROM lt)
+    SELECT lang, n_docs, group_tokens,
+           round(CAST(group_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS token_share,
+           round((CAST(1.0 AS DOUBLE) / n_groups)
+                 / (CAST(group_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+             AS mix_weight
+    FROM lt, tot ORDER BY lang
+    """,
+    doc="training-data MIXTURE reweighting: per-language token mass vs a "
+        "uniform target, weight = target_share/actual_share (the sampler's "
+        "upsample/downsample factor) — one corpus pass, exact integer "
+        "token counts, rounded double ratios",
+)
+def doc_mix_weights(spark, sf_dir):
+    from .operators.curation import mix_weights
+
+    return mix_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ev_asof_forward_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           (SELECT r.ts FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = l.user_id
+               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+             ORDER BY r.ts ASC, r.event_id DESC LIMIT 1) AS asof_ts,
+           (SELECT r.value FROM events r
+             WHERE r.event_type = 'click' AND r.user_id = l.user_id
+               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+             ORDER BY r.ts ASC, r.event_id DESC LIMIT 1) AS asof_value
+    FROM events l WHERE l.event_type = 'purchase' ORDER BY l.event_id
+    """,
+    doc="FORWARD as-of join with a 1-hour tolerance: each purchase gets "
+        "the first click at-or-after it per user, but only within the "
+        "window (attribution-style alignment); the union+window plan "
+        "stays one shuffle, the tolerance a post-filter — ties on ts "
+        "break on the GREATEST event_id (the operator's frame sees the "
+        "greatest seq last in both directions)",
+)
+def ev_asof_forward_tolerance(spark, sf_dir):
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["value"], seq_col="event_id",
+        direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
+    ).orderBy("event_id")
+
+
+@register(
     "text_repetition",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
