@@ -175,7 +175,7 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
 
         info = CompressionInfo.read_path(comp)
         if info.data_length > int(target_bytes * 1.2):
-            offsets = _boundary_offsets(path, version, comp)
+            offsets = _boundary_offsets(path, version, comp, target_bytes)
             if offsets is not None:
                 return [
                     (path, s, e, version, gen, comp)
@@ -183,7 +183,7 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
                 ]
         return [(path, 0, info.data_length, version, gen, comp)]
     if size > int(target_bytes * 1.2):
-        offsets = _boundary_offsets(path, version, None)
+        offsets = _boundary_offsets(path, version, None, target_bytes)
         if offsets is not None:
             return [
                 (path, s, e, version, gen, None)
@@ -192,33 +192,116 @@ def _plan_one(path: str, target_bytes: int) -> list[tuple]:
     return [(path, 0, size, version, gen, None)]
 
 
-def _boundary_offsets(path: str, version: str, comp: str | None) -> list[int] | None:
+def _bti_granularity(target_bytes: int) -> int:
+    """Offset-thinning gap for BTI boundary walks: ~8 boundaries per
+    target split keeps plan_splits' cut precision within ~12% of the goal
+    while bounding the cached list to size/granularity entries."""
+    return max(1, target_bytes // 8)
+
+
+def _boundary_offsets(
+    path: str, version: str, comp: str | None, target_bytes: int
+) -> list[int] | None:
     """Partition-start offsets for split planning, or None (-> whole file).
 
     Preference order: the Index.db sidecar (big format — free, already
-    offset-typed) else, for BTI tables whose trie sidecars we deliberately
-    do not parse (no authoritative offline layout source; see
-    descriptor.py), a sequential skip-walk of the Data.db itself
-    (modern.partition_offsets_from_data) — partitions are self-delimiting,
-    so a big `da-*-bti` table still splits into many tasks instead of one."""
+    offset-typed, read per-plan exactly like the reference's
+    IndexDatabaseScanner.java:58-85) else, for BTI tables whose trie
+    sidecars we deliberately do not parse (no authoritative offline layout
+    source; see descriptor.py), CACHED boundaries from a prior walk
+    (sstable/offsets_cache.py — the walk is O(rows of the file), so it
+    runs once per file ever, not once per plan) else a sequential
+    skip-walk of the Data.db itself (modern.partition_offsets_from_data)
+    whose thinned result is persisted for every later plan."""
     from ..sstable.index import row_offsets
 
     idx = path.replace("-Data.db", "-Index.db")
     if os.path.exists(idx):
         return row_offsets(idx, version)
+    spec = _bti_probe_spec(path, version, comp)
+    if spec is None:
+        return None
+    from ..sstable import offsets_cache
+
+    granularity = _bti_granularity(target_bytes)
+    cached = offsets_cache.load(path, granularity=granularity)
+    if cached is not None:
+        return cached
+    offsets = _walk_bti_offsets(spec, granularity)
+    offsets_cache.store(path, offsets, granularity=granularity)
+    return offsets
+
+
+def _bti_probe_spec(
+    path: str, version: str, comp: str | None
+) -> tuple[str, str, str | None] | None:
+    """(path, effective version, compression sidecar) if ``path`` is a BTI
+    table whose boundaries must come from a Data.db walk, else None."""
     from ..sstable.descriptor import parse_filename
 
     try:
-        is_bti = parse_filename(path).fmt == "bti"
+        if parse_filename(path).fmt != "bti":
+            return None
     except ValueError:
         return None
-    if not is_bti:
-        return None
+    return (path, version, comp)
+
+
+def _walk_bti_offsets(spec: tuple[str, str, str | None], granularity: int) -> list[int]:
     from ..sstable.modern import partition_offsets_from_data
 
+    path, version, comp = spec
     return partition_offsets_from_data(
-        path, version=version, compression_sidecar=comp
+        path, version=version, compression_sidecar=comp, min_gap=granularity
     )
+
+
+def prime_bti_offset_cache(
+    spark: SparkSession,
+    files: list[str],
+    *,
+    target_bytes: int = DEFAULT_TARGET_SPLIT,
+) -> int:
+    """Distribute first-touch BTI boundary walks to EXECUTORS.
+
+    The per-file walk is inherently sequential, but across files it is
+    embarrassingly parallel — one Spark task per uncached big BTI file
+    reads that file's headers and returns the thinned boundary list
+    (~size/granularity longs, small) to the driver, which persists it in
+    the offsets cache. At 100 TB this turns hours of serial driver I/O
+    into one short cluster pass; subsequent plans (this driver or, with a
+    shared cache dir, any driver) never touch Data.db for planning again.
+    Returns the number of files probed."""
+    from ..sstable import offsets_cache
+    from ..sstable.compression import CompressionInfo, find_compression_sidecar
+    from ..sstable.descriptor import version_of
+
+    granularity = _bti_granularity(target_bytes)
+    todo = []
+    for path in files:
+        spec = _bti_probe_spec(path, version_of(path), find_compression_sidecar(path))
+        if spec is None:
+            continue
+        _, _, comp = spec
+        length = (
+            CompressionInfo.read_path(comp).data_length
+            if comp is not None
+            else os.path.getsize(path)
+        )
+        if length <= int(target_bytes * 1.2):
+            continue  # planned whole-file; no walk will happen
+        if offsets_cache.load(path, granularity=granularity) is None:
+            todo.append(spec)
+    if not todo:
+        return 0
+    walked = (
+        spark.sparkContext.parallelize(todo, len(todo))
+        .map(lambda spec: (spec[0], _walk_bti_offsets(spec, granularity)))
+        .collect()
+    )
+    for path, offsets in walked:
+        offsets_cache.store(path, offsets, granularity=granularity)
+    return len(walked)
 
 
 def plan_partitions(
@@ -486,6 +569,12 @@ def read_sstable_cells(
     files = discover_data_files(paths)
     if not files:
         return spark.createDataFrame([], CELLS_SCHEMA)
+    bti = [f for f in files if "-bti-" in os.path.basename(f)]
+    if bti:
+        # first touch of a big BTI file pays an O(rows) boundary walk;
+        # run those walks as one executor-parallel job (and persist the
+        # results) instead of serially on the driver inside plan_partitions
+        prime_bti_offset_cache(spark, bti, target_bytes=target_bytes)
     partitions = plan_partitions(
         files,
         target_bytes=target_bytes,

@@ -1079,6 +1079,7 @@ def partition_offsets_from_data(
     version: str,
     compression_sidecar: str | None = None,
     header: SerializationHeader | None = None,
+    min_gap: int = 0,
 ) -> list[int]:
     """Partition start offsets discovered from the Data.db byte stream
     itself — no index sidecar required. This is what makes BTI (`da-*-bti`)
@@ -1093,7 +1094,13 @@ def partition_offsets_from_data(
     memory (_SeqWindow), and for compressed files it returns UNCOMPRESSED
     offsets — the same coordinate system the chunk map's seek uses, so
     compressed bti tables split too (the reference schedules compressed
-    files whole)."""
+    files whole).
+
+    ``min_gap`` thins the RECORDED list to one boundary per ``min_gap``
+    bytes (offset 0 always kept): split planning only needs boundaries at
+    ~target-split resolution, and thinning bounds the result to
+    size/min_gap entries regardless of how small partitions are — the
+    shape the offsets_cache sidecar persists."""
     if header is None:
         header = header_for_data_file(path)
     # ``version`` is accepted for symmetry with the decode entrypoints but
@@ -1109,19 +1116,22 @@ def partition_offsets_from_data(
         stream = open_compressed(path, compression_sidecar)
         try:
             w = _SeqWindow(stream.read, stream.seek_uncompressed, info.data_length)
-            return _walk_partitions(w, sizes)
+            return _walk_partitions(w, sizes, min_gap)
         finally:
             stream.close()
     total = os.path.getsize(path)
     with open(path, "rb") as f:
         w = _SeqWindow(f.read, f.seek, total)
-        return _walk_partitions(w, sizes)
+        return _walk_partitions(w, sizes, min_gap)
 
 
-def _walk_partitions(w: _SeqWindow, sizes) -> list[int]:
+def _walk_partitions(w: _SeqWindow, sizes, min_gap: int = 0) -> list[int]:
     offsets: list[int] = []
+    last_kept = -(min_gap + 1)
     while w.pos < w.total:
-        offsets.append(w.pos)
+        if w.pos - last_kept >= min_gap:
+            offsets.append(w.pos)
+            last_kept = w.pos
         buf, o = w.view(2)
         (keysize,) = _U16.unpack_from(buf, o)
         w.skip(2 + keysize + 12)  # key + partition DeletionTime (i32+i64)

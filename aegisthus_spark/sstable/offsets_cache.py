@@ -1,0 +1,122 @@
+"""Sidecar cache for BTI partition-boundary offsets.
+
+Big-format tables get split boundaries from a cheap per-plan ``Index.db``
+read (reference: io/sstable/IndexDatabaseScanner.java:58-85 feeding
+input/AegisthusInputFormat.java:119-187).  BTI (``da-*-bti``) tables have
+no ``Index.db`` — boundaries come from a sequential skip-walk of the
+Data.db itself (modern.partition_offsets_from_data), which is O(rows of
+the file).  Paying that walk once per *plan* per file is fine at fixture
+scale and hours of driver time at 100 TB, so discovered offsets persist
+here: the walk runs once per file *ever* (until the file changes), and
+every later plan is a small sidecar read — the same cost profile as the
+reference's Index.db path.
+
+Design:
+
+- **Key** = (absolute path, size, mtime_ns): any rewrite of the file
+  invalidates its entry. Entries are content-addressed under a cache
+  directory (env ``AEG_SPARK_OFFSET_CACHE_DIR``, default under the system
+  temp dir; on a cluster, point it at shared storage so every driver
+  benefits from any driver's first touch).
+- **Granularity**: offsets are *thinned* before storing — the walk keeps
+  one boundary per ``min_gap`` bytes (plus offset 0), because split
+  planning only needs boundaries at ~target_bytes resolution, not one per
+  partition. A 100 GB file with 1 KB partitions stores ~8 B x
+  size/granularity instead of 800 MB of offsets. Each entry records the
+  granularity it was walked at; a later plan needing *finer* boundaries
+  (smaller target split) misses and re-walks.
+- **Writes are atomic and best-effort** (tmp + rename; failures degrade
+  to walking again, never to wrong offsets).
+- An in-process memo sits above the disk layer so re-plans within one
+  driver session skip even the sidecar read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import tempfile
+
+_ENV = "AEG_SPARK_OFFSET_CACHE_DIR"
+_MAGIC = b"AEGOFF1\n"
+_HDR = struct.Struct("<qq")  # granularity, count
+
+#: in-process memo: key -> (granularity, offsets tuple)
+_MEMO: dict[tuple[str, int, int], tuple[int, tuple[int, ...]]] = {}
+_MEMO_CAP = 65536  # ~a few MB of thinned lists; soft bound for long drivers
+
+
+def cache_dir() -> str:
+    d = os.environ.get(_ENV) or os.path.join(
+        tempfile.gettempdir(), "aegisthus_spark-offsets"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _key(path: str) -> tuple[str, int, int]:
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+
+
+def _sidecar(key: tuple[str, int, int]) -> str:
+    h = hashlib.sha1("|".join(map(str, key)).encode()).hexdigest()
+    return os.path.join(cache_dir(), h + ".offsets")
+
+
+def load(path: str, *, granularity: int) -> list[int] | None:
+    """Cached boundary offsets for ``path``, or None.
+
+    A hit requires the entry to have been walked at a granularity at least
+    as fine as requested (finer boundaries are a superset use-case)."""
+    key = _key(path)
+    hit = _MEMO.get(key)
+    if hit is not None and hit[0] <= granularity:
+        return list(hit[1])
+    try:
+        with open(_sidecar(key), "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    if not raw.startswith(_MAGIC):
+        return None
+    g, n = _HDR.unpack_from(raw, len(_MAGIC))
+    if g > granularity or len(raw) != len(_MAGIC) + _HDR.size + 8 * n:
+        return None
+    offs = list(struct.unpack_from(f"<{n}q", raw, len(_MAGIC) + _HDR.size))
+    _memoize(key, g, offs)
+    return offs
+
+
+def store(path: str, offsets: list[int], *, granularity: int) -> None:
+    """Persist walked offsets (already thinned to ``granularity``)."""
+    key = _key(path)
+    _memoize(key, granularity, offsets)
+    blob = (
+        _MAGIC
+        + _HDR.pack(granularity, len(offsets))
+        + struct.pack(f"<{len(offsets)}q", *offsets)
+    )
+    target = _sidecar(key)
+    tmp = f"{target}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, target)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _memoize(key, granularity: int, offsets) -> None:
+    if len(_MEMO) >= _MEMO_CAP:
+        _MEMO.pop(next(iter(_MEMO)))
+    _MEMO[key] = (granularity, tuple(offsets))
+
+
+def clear_memo() -> None:
+    """Test hook: drop the in-process layer (disk entries remain)."""
+    _MEMO.clear()
