@@ -166,7 +166,8 @@ def minhash_lsh_dedup(
 
 
 def _lsh_shingles_and_candidates(
-    docs: DataFrame, *, n: int, id_col: str, persist_shingles: bool
+    docs: DataFrame, *, n: int, id_col: str, persist_shingles: bool,
+    max_shingle_df: int | None = None,
 ):
     """(distinct shingles, LSH candidate pairs) — the ONE place the
     candidate pipeline (and its subtle signature-source choice) lives.
@@ -176,15 +177,38 @@ def _lsh_shingles_and_candidates(
     the distinct() shuffle entirely — raw shingles flow into K map-side
     partial MINs and only (doc, K mins) rows ever shuffle. With persist,
     the one materialized distinct table feeds every consumer (right when
-    the corpus scan dominates: cluster scale / remote storage)."""
+    the corpus scan dominates: cluster scale / remote storage).
+
+    ``max_shingle_df``: the hot-shingle (stop-gram) cap. A shingle shared
+    by k documents (boilerplate, license headers) adds k rows per
+    candidate pair to the common-shingle join AND drags unrelated
+    documents' minhash signatures together (more accidental band
+    collisions -> more candidates), so one 1e5-df shingle multiplies both
+    stages at corpus scale. With a cap, the working vocabulary is the
+    shingles with document frequency <= cap — sizes, signatures,
+    candidates, and overlap counts all computed over that vocabulary
+    consistently (the same semantics a stop-word list gives classic
+    minhash). None (default) keeps the exact full-vocabulary semantics."""
     sh = word_shingles(docs, n=n, id_col=id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     if persist_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        sig_src = sh
-    else:
+    if max_shingle_df is None and not persist_shingles:
         sig_src = word_shingles(docs, n=n, id_col=id_col, distinct=False)
+    else:
+        # MIN over a set == MIN over its multiset, so the (capped and/or
+        # persisted) DISTINCT table is a correct signature source — the
+        # raw-shingle shortcut would need the same df join anyway
+        sig_src = sh
     cand = lsh_candidate_pairs(
         minhash_signatures(sig_src, id_col=id_col), id_col=id_col
     )
@@ -442,7 +466,10 @@ def embedding_nn_in_block(
     ).orderBy("vec_id")
 
 
-def ngram_duplication(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def ngram_duplication(
+    docs: DataFrame, *, n: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", max_shingle_df: int | None = None,
+) -> DataFrame:
     """Per-document duplicated-n-gram fraction (the substring-duplication
     signal of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better", at shingle granularity): for each doc, the share of its
@@ -457,9 +484,20 @@ def ngram_duplication(docs: DataFrame, *, n: int = 3, id_col: str = "doc_id", te
 
     Docs shorter than n tokens emit no shingles and are dropped (both
     engines agree; see word_shingles).
+
+    ``max_shingle_df``: the hot-shingle (stop-gram) cap. df > cap
+    shingles are boilerplate by definition at a sane cap; excluding them
+    from BOTH numerator and denominator restricts the measure to the
+    informative vocabulary (the stop-gram truncation the scale note above
+    describes) and keeps the one hot shuffle key out of the join back.
+    Documents whose every shingle is boilerplate drop out entirely —
+    callers wanting them as dup_frac=1.0 rows can left-join the corpus.
+    None (default) keeps exact full-vocabulary semantics.
     """
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_df is not None:
+        df_counts = df_counts.filter(F.col("df") <= max_shingle_df)
     return (
         sh.join(df_counts, "shingle")
         .groupBy(id_col)
@@ -573,6 +611,7 @@ def containment_of_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     persist_shingles: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(a, b, containment_a, containment_b, jaccard) for LSH candidate
     pairs where either directed containment |A∩B|/|A| or |A∩B|/|B| meets
@@ -592,9 +631,15 @@ def containment_of_pairs(
     as a candidate — for aggressive containment recall, block on the
     SHORT side's shingles (suffix-array / seed-and-extend territory)
     instead of symmetric signatures.
+
+    ``max_shingle_df``: the hot-shingle cap (see
+    _lsh_shingles_and_candidates) — scores and sizes are computed over
+    the df<=cap vocabulary, bounding both candidate inflation and the
+    common-shingle join volume under boilerplate-heavy corpora.
     """
     sh, cand = _lsh_shingles_and_candidates(
-        docs, n=n, id_col=id_col, persist_shingles=persist_shingles
+        docs, n=n, id_col=id_col, persist_shingles=persist_shingles,
+        max_shingle_df=max_shingle_df,
     )
     scored = _pair_overlap(sh, cand, id_col=id_col).select(
         "a",

@@ -7,5 +7,6 @@ from .introspect import (  # noqa: F401
     pushed_filters,
     read_schema,
     scan_report,
+    unpartitioned_windows,
     wholestage_codegen_ids,
 )

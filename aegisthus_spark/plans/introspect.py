@@ -65,6 +65,25 @@ def read_schema(df: DataFrame) -> dict[str, str]:
     return out
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partitionSpec in the optimized logical
+    plan — each funnels its whole input through ONE task, so every
+    occurrence must be justified by dimension-scale input (post-agg ranks,
+    per-partition offset tables, top-of-funnel lists). The plan sweep in
+    tests/test_plans.py allowlists the documented ones and fails on any
+    new fact-scale global window before it melts a cluster."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(node.simpleString(120))
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:
     """Distinct WholeStageCodegen span ids — wider spans = more JVM fusion."""
     plan = physical_plan(df, "simple")

@@ -1819,15 +1819,27 @@ _H32_SQL = "CAST(CONCAT('0x', SUBSTR(md5({col}), 1, 8)) AS BIGINT)"
 _A_LIT = "[" + ",".join(str(a) for a in _dd.MINHASH_A) + "]"
 _B_LIT = "[" + ",".join(str(b) for b in _dd.MINHASH_B) + "]"
 
-def _shingles_cte(source: str = "documents") -> str:
+def _shingles_cte(source: str = "documents", name: str = "sh") -> str:
     # AS MATERIALIZED: DuckDB re-inlines multiply-referenced CTEs inside
     # WITH RECURSIVE statements, re-running the whole LSH funnel per
     # PageRank/reach iteration — measured >28 GB of spill at sf1 before
     # the hint, 35 s after. Semantics identical.
     return f"""
-sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+{name} AS MATERIALIZED (SELECT DISTINCT doc_id,
               unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS shingle
        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {source}))
+"""
+
+
+def _capped_shingles_cte(cap: int, source: str = "documents") -> str:
+    """The hot-shingle-capped vocabulary as relation ``sh``: downstream
+    LSH/overlap CTEs (which all read from ``sh``) then mirror the Spark
+    side's ``max_shingle_df`` semantics with no further changes."""
+    return f"""
+{_shingles_cte(source, name="sh_all").strip()},
+shdf AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM sh_all GROUP BY shingle),
+sh AS MATERIALIZED (SELECT doc_id, shingle FROM sh_all JOIN shdf USING (shingle)
+       WHERE df <= {cap})
 """
 
 
@@ -4135,6 +4147,59 @@ def dedup_containment(spark, sf_dir):
     # rep's cache. The parameter remains for the cluster/remote-storage
     # case its docstring describes.
     return _dd.containment_of_pairs(docs, n=3, threshold=0.5)
+
+
+@register(
+    "dedup_containment_capped",
+    f"""
+    WITH {_capped_shingles_cte(4)},
+    {_LSH_PAIRS_CTE}
+    SELECT c.a, c.b,
+           round(CAST(common AS DOUBLE) / na.n, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / nb.n, 6) AS containment_b,
+           round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+    FROM lcommon c JOIN lhn na ON na.doc_id = c.a
+                   JOIN lhn nb ON nb.doc_id = c.b
+    WHERE round(CAST(common AS DOUBLE) / na.n, 6) >= 0.5
+       OR round(CAST(common AS DOUBLE) / nb.n, 6) >= 0.5
+    ORDER BY c.a, c.b
+    """,
+    doc="containment scoring under the hot-shingle cap (max_shingle_df=4): "
+        "sizes, signatures, candidates and overlaps all over the df<=4 "
+        "vocabulary — the skew guard that bounds both LSH candidate "
+        "inflation and the common-shingle join when one boilerplate "
+        "shingle is shared by 1e5 documents; oracle caps in lockstep "
+        "(the cap excludes ~150-190 shingles at the frozen test scales, "
+        "so the lever is exercised, not decorative)",
+)
+def dedup_containment_capped(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.containment_of_pairs(docs, n=3, threshold=0.5, max_shingle_df=4)
+
+
+@register(
+    "dedup_ngram_coverage_capped",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS dup_frac
+    FROM sh JOIN shdf USING (shingle)
+    WHERE df <= 4
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+    doc="duplicated-n-gram fraction under the stop-gram cap "
+        "(max_shingle_df=4): df>4 boilerplate shingles leave both "
+        "numerator and denominator, restricting the measure to the "
+        "informative vocabulary and keeping the hot key out of the "
+        "join-back shuffle; df values of kept shingles stay the FULL "
+        "corpus df (computed before the cap filter)",
+)
+def dedup_ngram_coverage_capped(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.ngram_duplication(docs, n=3, max_shingle_df=4).orderBy("doc_id")
 
 
 @register(

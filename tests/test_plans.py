@@ -97,15 +97,65 @@ def test_dedup_exact_prunes_to_two_columns(spark, queries):
     assert cols.count(":") <= 2, cols  # doc_id + text only
 
 
+#: Queries ALLOWED an unpartitioned (single-task) Window, each justified
+#: by dimension-cardinality input. Anything else funneling its input
+#: through one task is a fact-scale cliff and fails the sweep below.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # post-aggregation rank over |suppliers| rows (queries.py: the
+    # two-stage machinery cost a measured 2x regression in round 2)
+    "q_supplier_revenue_rank",
+    # cumulative sum over the O(shuffle partitions) offset table of the
+    # two-stage fact-scale rank (operators/ranking.py)
+    "ev_value_rank",
+    # RRF rank fusion over two top-of-funnel lists (<= 2k rows by
+    # construction; operators/similarity.py)
+    "sim_hybrid_rrf",
+}
+
+
 def test_queries_stay_jvm_side(spark, queries):
-    """No Python UDF evaluation in any registered relational query plan
-    (multimodal stubs excepted by design — they are Pandas-UDF plumbing)."""
-    from aegisthus_spark.plans import physical_plan
+    """Two invariants over EVERY registered query plan:
+
+    - no Python UDF evaluation (multimodal stubs excepted by design —
+      they are Pandas-UDF plumbing);
+    - no unpartitioned Window outside the documented dimension-scale
+      allowlist (a global window single-tasks its whole input — the
+      round-10 verdict asked for this lint so a future fact-scale
+      Window.orderBy can't slip in silently)."""
+    from aegisthus_spark.plans import physical_plan, unpartitioned_windows
 
     for name, fn in queries.items():
-        plan = physical_plan(fn(spark, SF_DIR), "simple")
+        df = fn(spark, SF_DIR)
+        plan = physical_plan(df, "simple")
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{name} uses a scalar pandas UDF"
+        if name not in GLOBAL_WINDOW_ALLOWLIST:
+            globs = unpartitioned_windows(df)
+            assert not globs, (
+                f"{name} has an unpartitioned Window (single-task funnel "
+                f"at scale): {globs[0][:200]} — partition it, use the "
+                "two-stage rank (operators/ranking.py), or justify + "
+                "allowlist it"
+            )
+
+
+def test_global_window_sweep_catches_fact_scale_rank(spark):
+    """Negative control: a deliberate fact-scale Window.orderBy must be
+    visible to the sweep's detector."""
+    from pyspark.sql import Window
+
+    from aegisthus_spark.plans import unpartitioned_windows
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bad = ev.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("value")))
+    )
+    assert unpartitioned_windows(bad), "detector missed a global window"
+    ok = ev.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("value"))),
+    )
+    assert not unpartitioned_windows(ok), "detector false-positives on partitioned windows"
 
 
 def test_supplier_rank_uses_plain_window_on_dimension_input(spark, queries):

@@ -401,6 +401,75 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
     )
 
 
+def hot_shingle_bench(cpus: int, n_docs: int) -> None:
+    """The max_shingle_df lever under a boilerplate-heavy corpus (round-11
+    fix): 40% of documents share a 40-token boilerplate prefix (license
+    header shape), so ~38 shingles have df = 0.4*N and every hot-doc pair
+    has Jaccard ~0.5 — LSH banding surfaces the whole O((0.4N)^2) clique
+    as candidates, and the common-shingle join pays it again. With the cap
+    (df <= 8), boilerplate shingles leave the vocabulary: signatures are
+    built from each doc's unique tail, candidates collapse to ~0 and stay
+    flat at 2N, while the uncapped path grows ~4x. Asserted: capped
+    candidate growth N->2N is bounded (<= 3x vs the uncapped ~4x clique
+    growth)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.dedup import (
+        _lsh_shingles_and_candidates,
+        containment_of_pairs,
+    )
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-hotshingle", cpus=cpus)
+    boiler = " ".join(f"lic{i}" for i in range(40))
+
+    def corpus(n):
+        # 40% hot docs: boilerplate prefix + 20 unique md5 tokens;
+        # cold docs: 60 unique tokens (df~1 vocabulary)
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    "concat_ws(' ', "
+                    f"if(id % 5 < 2, '{boiler}', ''), "
+                    "concat_ws(' ', transform(sequence(1, if(id % 5 < 2, 20, 60)), "
+                    "i -> substr(md5(concat(cast(id as string), '_', cast(i as string))), 1, 8))))"
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+
+    results = {}
+    for n in (n_docs, 2 * n_docs):
+        docs = corpus(n)
+        for cap in (None, 8):
+            _, cand = _lsh_shingles_and_candidates(
+                docs, n=3, id_col="doc_id", persist_shingles=False,
+                max_shingle_df=cap,
+            )
+            t0 = time.time()
+            nc = cand.count()
+            t_cand = time.time() - t0
+            t0 = time.time()
+            containment_of_pairs(docs, n=3, threshold=0.5,
+                                 max_shingle_df=cap).count()
+            t_cont = time.time() - t0
+            results[(n, cap)] = nc
+            label = "uncapped" if cap is None else f"cap={cap}"
+            print(f"docs={n} {label}: {nc} LSH candidates ({t_cand:.1f}s), "
+                  f"containment {t_cont:.1f}s")
+    up = results[(2 * n_docs, None)] / max(results[(n_docs, None)], 1)
+    cp = results[(2 * n_docs, 8)] / max(results[(n_docs, 8)], 1)
+    print(f"candidate growth N->2N: uncapped x{up:.2f} (clique ~4x), "
+          f"capped x{cp:.2f}")
+    assert cp <= 3.0, (
+        f"capped candidates grew x{cp:.2f} at 2N — the df cap no longer "
+        "bounds hot-shingle pair growth")
+
+
 def semantic_bench(cpus: int, n_docs: int) -> None:
     """Measure semantic_dedup's k-scaling CONTRACT (k must grow with N).
 
@@ -1001,6 +1070,10 @@ def main() -> None:
     ap.add_argument("--knn", action="store_true",
                     help="adaptive vs fixed LSH plane count: candidate "
                          "pairs and knn_join wall at N and 2N (--docs N)")
+    ap.add_argument("--hot-shingle", action="store_true",
+                    help="max_shingle_df lever: LSH candidate growth on a "
+                         "boilerplate-heavy corpus, capped vs uncapped "
+                         "(--docs N, runs N and 2N)")
     ap.add_argument("--bti-plan", action="store_true",
                     help="BTI split-planning: cold boundary walk vs "
                          "offsets-cache sidecar vs executor prime "
@@ -1036,6 +1109,9 @@ def main() -> None:
         return
     if args.knn:
         knn_bench(args.cpus, args.docs)
+        return
+    if args.hot_shingle:
+        hot_shingle_bench(args.cpus, args.docs)
         return
     if args.bti_plan:
         bti_plan_bench(args.cpus, args.rows, args.files)
