@@ -143,11 +143,20 @@ def triangle_counts(
     pair graph — the standard near-dup-graph density signal (a clique of
     k mutual near-dups contributes C(k-1,2) per member).
 
-    Scale shape: triangles enumerate once in canonical a < b < c order —
-    two equi-joins on the (small) candidate-pair set, the first keyed on
-    the shared middle vertex, the second verifying the closing edge. No
-    direction union, no post-hoc dedup: the ordering makes each triangle
-    appear exactly once. The per-vertex count is one explode + hash-agg.
+    Scale shape: edges are ORIENTED low-degree -> high-degree (ties by
+    id) — the classic worst-case bound (Chiba-Nishizeki / Schank-Wagner
+    "forward" algorithm): wedge candidates are sum_u C(outdeg(u), 2)
+    with outdeg bounded by O(sqrt(m)) under this orientation, so total
+    wedge work is O(m^1.5) on ANY graph. Plain id-order orientation has
+    no such bound — a low-id hub of degree d (the shape skewed near-dup
+    graphs actually produce: one boilerplate-heavy doc paired with
+    everything) fans out C(d, 2) wedges from one vertex. One wedge join
+    on the shared source, one closing-edge equi-join; every triangle has
+    exactly one out-degree-2 vertex under an acyclic orientation, so each
+    enumerates exactly once — no direction union, no post-hoc dedup. The
+    per-vertex count is one explode + hash-agg; counts are
+    orientation-invariant, so results match the id-order formulation
+    bit-for-bit.
     """
     # normalize defensively: this is a public operator, not just the LSH
     # funnel — reversed or duplicate edges would overcount triangles.
@@ -158,15 +167,35 @@ def triangle_counts(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()  # one eval of the upstream
+        .localCheckpoint()  # one eval of the upstream; consumed by deg + orient
     )
-    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (
-        ab.join(bc, "y")
-        .join(ac, ["x", "z"])  # closing edge: x < y < z holds transitively
-        .select("x", "y", "z")
+    deg = e.select(F.explode(F.array("a", "b")).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    ).localCheckpoint()  # consumed 3x: both wedge sides + closing edge
+    w1 = oe.select("src", F.col("dst").alias("y"), F.col("ddeg").alias("dy"))
+    w2 = oe.select("src", F.col("dst").alias("z"), F.col("ddeg").alias("dz"))
+    # wedge endpoints ordered by the SAME (deg, id) total order the
+    # orientation uses, so the closing edge — if present — is oriented
+    # exactly y -> z and one equi-join probes it
+    wedges = w1.join(w2, "src").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.col("src").alias("x"), "y", "z"
     )
     member = tri.select(
         F.explode(F.array("x", "y", "z")).alias("v")

@@ -401,6 +401,79 @@ def dedup_bench(cpus: int, n_docs: int) -> None:
     )
 
 
+def triangles_bench(cpus: int, n_verts: int) -> None:
+    """Degree-oriented triangle enumeration on a hub-skewed graph (the
+    shape skewed near-dup graphs produce: one boilerplate-heavy doc paired
+    with everything). Wedge work is sum_u C(outdeg(u), 2) under the
+    chosen orientation:
+
+      id-order (pre-round-11): a LOW-ID hub of degree d keeps all d
+      out-edges -> C(d, 2) wedges from one vertex (quadratic, one task);
+      degree-order: the hub loses every orientation contest, outdeg(hub)=0
+      -> wedge work collapses to the background graph's.
+
+    Both counted analytically from the oriented out-degree histogram (no
+    enumeration needed to show the bound), then triangle_counts is timed
+    and its total verified against the planted clique count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.graph import triangle_counts
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("stress-triangles", cpus=cpus)
+    # hub: vertex 0 adjacent to every other vertex; background: disjoint
+    # 4-cliques over consecutive ids (planted, countable triangles)
+    hub = spark.range(1, n_verts).select(
+        F.lit(0).alias("a"), F.col("id").alias("b"))
+    n_cliques = (n_verts - 2) // 4  # complete K4s over vertices 1..4*G
+    base = spark.range(1, 4 * n_cliques + 1).select(
+        (F.col("id")).alias("u"), F.explode(F.sequence(F.lit(1), F.lit(3))).alias("d"))
+    clique = base.where((F.col("u") - 1) % 4 + F.col("d") <= 3).select(
+        F.col("u").alias("a"), (F.col("u") + F.col("d")).alias("b"))
+    edges = hub.union(clique).localCheckpoint()
+    m = edges.count()
+
+    deg = edges.select(F.explode(F.array("a", "b")).alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).alias("deg"))
+    ed = (edges
+          .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b"))
+
+    def wedge_work(src_col):
+        out = ed.select(src_col.alias("src")).groupBy("src").agg(
+            F.count(F.lit(1)).alias("od"))
+        return out.agg(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+        ).collect()[0].w
+
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    w_id = wedge_work(F.col("a"))  # canonical a<b: id orientation
+    w_deg = wedge_work(F.when(fwd, F.col("a")).otherwise(F.col("b")))
+    print(f"hub graph: {n_verts} vertices, {m} edges (hub degree ~{n_verts - 1})")
+    print(f"wedge candidates: id-order {int(w_id)}, degree-order {int(w_deg)} "
+          f"({w_id / max(w_deg, 1):.0f}x reduction)")
+
+    verts = spark.range(n_verts).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    total = triangle_counts(
+        edges.select(F.col("a").cast("long").alias("a"),
+                     F.col("b").cast("long").alias("b")),
+        verts,
+    ).agg(F.sum("n_triangles")).collect()[0][0]
+    dt = time.time() - t0
+    # planted: each K4 has 4 internal triangles, plus one hub-closed
+    # triangle per clique edge (hub is adjacent to every vertex); each
+    # triangle contributes 3 membership counts
+    clique_edges = m - (n_verts - 1)
+    expect = 3 * (4 * n_cliques + clique_edges)
+    assert total == expect, (total, expect)
+    print(f"triangle_counts: {dt:.2f}s, membership total {total} (= expected)")
+    assert w_deg * 20 < w_id, "degree orientation no longer bounds the hub fanout"
+
+
 def hot_shingle_bench(cpus: int, n_docs: int) -> None:
     """The max_shingle_df lever under a boilerplate-heavy corpus (round-11
     fix): 40% of documents share a 40-token boilerplate prefix (license
@@ -1070,6 +1143,10 @@ def main() -> None:
     ap.add_argument("--knn", action="store_true",
                     help="adaptive vs fixed LSH plane count: candidate "
                          "pairs and knn_join wall at N and 2N (--docs N)")
+    ap.add_argument("--triangles", action="store_true",
+                    help="degree-oriented triangle enumeration on a "
+                         "hub-skewed graph: wedge-candidate bound vs "
+                         "id-orientation (--keys vertices)")
     ap.add_argument("--hot-shingle", action="store_true",
                     help="max_shingle_df lever: LSH candidate growth on a "
                          "boilerplate-heavy corpus, capped vs uncapped "
@@ -1109,6 +1186,9 @@ def main() -> None:
         return
     if args.knn:
         knn_bench(args.cpus, args.docs)
+        return
+    if args.triangles:
+        triangles_bench(args.cpus, args.keys)
         return
     if args.hot_shingle:
         hot_shingle_bench(args.cpus, args.docs)
