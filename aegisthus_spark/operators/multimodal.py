@@ -102,6 +102,110 @@ def _decode_bmp_gray_grid(payload: bytes) -> list[float]:
     return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth). ``raw`` is the inflated IDAT stream: height x
+    (1 filter byte + stride pixel bytes); ``bpp`` is bytes per pixel."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        base = y * stride
+        prev = out[base - stride:base] if y else bytes(stride)
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[base:base + stride] = line
+    return out
+
+
+def _decode_png_gray_grid(payload: bytes) -> list[float]:
+    """8-bit non-interlaced PNG (grayscale, RGB, or RGBA) -> the SAME
+    FEATURE_DIM 4x4 mean-luminance grid as the BMP path, pure stdlib:
+    chunk walk for IHDR/IDAT, ``zlib.decompress`` of the concatenated
+    IDAT stream, per-scanline unfilter (all five spec filters), then the
+    shared grid means. RGB(A) weights match BMP (ITU-R 601); grayscale
+    uses the sample directly; alpha is ignored (features describe the
+    color channels). Palette, 16-bit, and Adam7-interlaced PNGs raise —
+    the library probe (PIL) covers those, exactly like non-BMP images."""
+    import struct as _s
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    color_type = bit_depth = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = _s.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                _s.unpack_from(">IIBBBBB", data, 0)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced grayscale/RGB/RGBA PNG is "
+            "stdlib-decodable"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    pixels = _png_unfilter(raw, height, stride, bpp)
+    side = 4
+    sums = [0.0] * (side * side)
+    counts = [0] * (side * side)
+    for y in range(height):
+        base = y * stride
+        gy = min(side - 1, y * side // height)
+        for x in range(width):
+            o = base + x * bpp
+            if color_type == 0:
+                lum = float(pixels[o])
+            else:
+                r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+                lum = 0.299 * r + 0.587 * g + 0.114 * b
+            cell = gy * side + min(side - 1, x * side // width)
+            sums[cell] += lum
+            counts[cell] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
 def _decode_wav_envelope(payload: bytes) -> list[float]:
     """PCM WAV -> FEATURE_DIM-segment RMS envelope, pure stdlib (RIFF
     chunks, 'fmt ' + 'data', 16-bit little-endian samples).
@@ -283,26 +387,36 @@ def _decode_video_library(payload: bytes) -> list[float]:
 
 
 def _decode_real(payload: bytes, media_type: str) -> list[float]:
-    """Real codec path. DETERMINISM RULE: the self-describing uncompressed
-    containers (24-bit BMP, 16-bit PCM WAV) ALWAYS take the stdlib
-    parsers — never an installed library — so the same payload yields the
-    same features on every host (PIL's resize resampling and rounded 'L'
-    conversion differ from exact box means). Installed libraries extend
-    coverage to OTHER formats only (PNG/JPEG via PIL, FLAC/OGG via
+    """Real codec path. DETERMINISM RULE: the self-describing stdlib-
+    parseable containers (24-bit BMP, 8-bit non-interlaced PNG via zlib +
+    unfilter, 16-bit PCM WAV) ALWAYS take the stdlib parsers — never an
+    installed library — so the same payload yields the same features on
+    every host (PIL's resize resampling and rounded 'L' conversion differ
+    from exact box means). Installed libraries extend coverage to OTHER
+    formats only (JPEG / exotic PNG shapes via PIL, FLAC/OGG via
     soundfile), where there is a single defined path per host class. The
     Spark-side plumbing (mapInArrow batching, schema, partition
     preservation) is identical to the fake backend's."""
     if media_type == "image":
         if payload[:2] == b"BM":
             return _decode_bmp_gray_grid(payload)
+        if payload[:8] == _PNG_MAGIC:
+            try:
+                return _decode_png_gray_grid(payload)
+            except ValueError:
+                # PNG container but a non-stdlib shape (palette, 16-bit,
+                # Adam7): the codec decides decodability, not the magic —
+                # fall through to the library probe like MJPEG-in-AVI
+                pass
         try:
             import io
 
             from PIL import Image  # type: ignore
         except ImportError:
             raise ValueError(
-                "not a BMP payload and no image library installed — "
-                "stdlib decode covers uncompressed 24-bit BMP only"
+                "payload is not stdlib-decodable (uncompressed 24-bit BMP "
+                "or 8-bit non-interlaced gray/RGB/RGBA PNG) and no image "
+                "library is installed"
             )
         img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
         return [p / 255.0 for p in img.getdata()]

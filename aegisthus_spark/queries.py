@@ -2376,6 +2376,38 @@ def mm_frame_plan(spark, sf_dir):
     return _mm.frame_sample_plan(media, every_ms=1000).orderBy("media_id", "frame_ts_ms")
 
 
+_PNG_FIXTURE = "/root/repo/tests/fixtures/png/media.parquet"
+_PNG_GOLDEN = "/root/repo/tests/golden/png_features.parquet"
+
+
+@register(
+    "mm_features_png",
+    f"""
+    SELECT media_id, media_type,
+           array_to_string([CAST(round(f, 6) AS VARCHAR) FOR f IN feature],
+                           ',') AS feature
+    FROM read_parquet('{_PNG_GOLDEN}') ORDER BY media_id
+    """,
+    doc="REAL-codec PNG decode through the mapInArrow stage: 60 stdlib-"
+        "built 8-bit gray/RGB/RGBA PNGs exercising all five scanline "
+        "filters and uneven grid dims -> 4x4 mean-luminance grid "
+        "features; golden computed from the RAW pixel arrays by the "
+        "fixture generator (tools/make_png_fixture.py), never by the "
+        "decoder, so unfilter/stride/weight bugs red-flag instead of "
+        "self-certifying; zlib-only (no PIL), no BatchEvalPython",
+)
+def mm_features_png(spark, sf_dir):
+    media = spark.read.parquet(_PNG_FIXTURE)
+    feats = _mm.extract_features(media, decode_backend="real")
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.expr(
+            "array_join(transform(feature, x -> cast(round(cast(x as double), 6) as string)), ',')"
+        ).alias("feature"),
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering (iterative) + TF-IDF
 # ---------------------------------------------------------------------------

@@ -258,6 +258,60 @@ def test_video_codec_guards():
             _decode_real(mjpeg, "video")
 
 
+def test_png_stdlib_decode():
+    """Round-11 PNG path: hand-checkable values through every filter type,
+    and the non-stdlib shapes reject cleanly (falling to the library
+    probe) instead of mis-decoding."""
+    import struct as s
+    import sys
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    sys.path.insert(0, "/root/repo")
+    from aegisthus_spark.operators.multimodal import _decode_png_gray_grid
+    from tools.make_png_fixture import encode_png, expected_features
+
+    # constant mid-gray 8x8, filters cycle 0..4 inside encode_png
+    flat = np.full((8, 8), 128, np.uint8)
+    feats = _decode_png_gray_grid(encode_png(flat, 0))
+    assert all(abs(v - 128 / 255.0) < 1e-12 for v in feats)
+
+    # RGB gradient: decoder == analytic grid means from the raw pixels
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint64).reshape(16, 16, 3)
+    rgb = (rgb * 37 % 256).astype(np.uint8)
+    assert _decode_png_gray_grid(encode_png(rgb, 2)) == expected_features(rgb)
+
+    # RGBA: alpha ignored — same features as the RGB channels alone
+    rgba = np.dstack([rgb, np.full((16, 16), 7, np.uint8)])
+    assert _decode_png_gray_grid(encode_png(rgba, 6)) == expected_features(rgb)
+
+    # non-stdlib shapes raise ValueError (the dispatcher then probes PIL)
+    good = encode_png(flat, 0)
+    ihdr_at = 8 + 8  # sig + len/type
+    palette = bytearray(good)
+    palette[ihdr_at + 9] = 3  # color type -> palette
+    with _pt.raises(ValueError, match="stdlib-decodable"):
+        _decode_png_gray_grid(bytes(palette))
+    interlaced = bytearray(good)
+    interlaced[ihdr_at + 12] = 1  # Adam7
+    with _pt.raises(ValueError, match="stdlib-decodable"):
+        _decode_png_gray_grid(bytes(interlaced))
+    with _pt.raises(ValueError):
+        _decode_png_gray_grid(good[:40])  # truncated: no IDAT
+
+    # corrupt pixel stream length (zlib-valid, wrong size) must raise,
+    # not silently mis-grid
+    raw = zlib.compress(b"\x00" * 10)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + s.pack(">I", 13) + b"IHDR" + s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+           + b"\x00" * 4
+           + s.pack(">I", len(raw)) + b"IDAT" + raw + b"\x00" * 4)
+    with _pt.raises(ValueError, match="length mismatch"):
+        _decode_png_gray_grid(bad)
+
+
 def test_video_library_probe_when_installed(spark):
     """Env-guarded: when PyAV or OpenCV is importable, a real encoded
     clip goes through the library probe (skipped where neither exists —

@@ -1,0 +1,148 @@
+"""Second order-of-magnitude scaling datapoint: the top sf1 heavies at
+sf10 (round-10 verdict, What's missing #3).
+
+BENCH_SF1.json rests the whole scaling story on one 10x step (sf0.1 ->
+sf1); this runs the N largest sf1 wall-times (excluding the two BY-DESIGN
+O(n^2) ground-truth baselines, which are documented oracle-infeasible and
+have bucketed scalable twins) at sf10 (tools/make_sf1.py --scale 10,
+testdata_sf10/, gitignored) and writes BENCH_SF10.json with sf10/sf1
+ratios. A ratio over ~12 at 10x data is super-linear compute to fix or
+annotate; 10-12 is linear work plus fixed overhead.
+
+Also settles the sim_knn_join scaling claim with a DRIVER-VISIBLE number
+(round-10 verdict, What's wrong #1): the LSH candidate-pair count (the
+quantity the "~linear with adaptive p" annotation is about) is computed
+from the bucket histogram at sf1 AND sf10 and recorded per scale as
+candidates-per-vector, so the annotation cites measured evidence.
+
+Usage: python tools/bench_sf10.py [--top N] [--skip-gen]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(ROOT, "testdata_sf1")
+SF10 = os.path.join(ROOT, "testdata_sf10")
+
+#: O(n^2) LSH/ANN-recall ground truths BY DESIGN (queries.py
+#: ORACLE_INFEASIBLE_OVER): running them at sf10 would measure the
+#: documented quadratic baseline, not the engine
+BY_DESIGN_QUADRATIC = {"dedup_ngram_jaccard", "dedup_embedding_nn"}
+
+
+def run(sf_dir: str, only: list[str], detail_path: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_DETAIL=detail_path,
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_REPS_SUB="1",
+        SPARK_GRAFT_BENCH_REPS_HEAVY="1",
+        SPARK_GRAFT_BENCH_ONLY=",".join(only),
+    )
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, check=True, cwd=ROOT,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    with open(detail_path) as f:
+        return json.load(f)
+
+
+def knn_candidate_stats(sf_dirs: list[str]) -> dict:
+    """Same-LSH-bucket pair counts for the sim_knn_join corpus at each
+    scale — the driver-visible evidence behind the '~linear candidates
+    with adaptive p' annotation."""
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.operators.similarity import _bucket_expr, hyperplanes
+    from aegisthus_spark.queries import knn_plane_count
+    from aegisthus_spark.session import get_spark
+
+    spark = get_spark("bench-sf10-knncand", cpus=8)
+    out = {}
+    for d in sf_dirs:
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = emb.count()
+        p = knn_plane_count(n)
+        planes = hyperplanes(64, p, seed=1234)
+        b = F.expr(_bucket_expr("embedding", planes))
+        pairs = (
+            emb.select(b.alias("bk")).groupBy("bk").count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .collect()[0].p
+        )
+        out[os.path.basename(d)] = {
+            "n_vectors": n,
+            "adaptive_planes": p,
+            "candidate_pairs": int(pairs),
+            "candidates_per_vector": round(pairs / n, 1),
+        }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    top_n = 10
+    if "--top" in sys.argv:
+        top_n = int(sys.argv[sys.argv.index("--top") + 1])
+
+    with open(os.path.join(ROOT, "BENCH_SF1.json")) as f:
+        sf1_art = json.load(f)
+    ranked = sorted(
+        ((v["sf1"], k) for k, v in sf1_art["queries"].items()
+         if v.get("sf1") and k not in BY_DESIGN_QUADRATIC),
+        reverse=True,
+    )
+    heavies = [k for _, k in ranked[:top_n]]
+    print(f"top-{top_n} sf1 heavies: {heavies}")
+
+    if not os.path.isdir(SF10) and "--skip-gen" not in sys.argv:
+        print("generating testdata_sf10 (make_sf1.py --scale 10)...")
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "make_sf1.py"),
+             SF10, "--scale", "10"],
+            check=True, cwd=ROOT,
+        )
+
+    base = run(SF1, heavies, "/tmp/bench_sf10_base_detail.json")
+    sf10 = run(SF10, heavies, "/tmp/bench_sf10_detail.json")
+
+    queries = {}
+    watch = {}
+    for name in heavies:
+        t1 = base["queries"].get(name)
+        t10 = sf10["queries"].get(name)
+        ratio = round(t10 / t1, 2) if t1 and t10 else None
+        queries[name] = {"sf1": t1, "sf10": t10, "ratio": ratio}
+        if ratio and ratio > 12:
+            watch[name] = ratio
+
+    knn = knn_candidate_stats([SF1, SF10]) if "sim_knn_join" in heavies else {}
+
+    out = {
+        "metric": "bench_sf10_scaling",
+        "unit": "sec",
+        "n_queries": len(queries),
+        "excluded_by_design_quadratic": sorted(BY_DESIGN_QUADRATIC),
+        "total_sf1": round(sum(v["sf1"] for v in queries.values()), 2),
+        "total_sf10": round(sum(v["sf10"] for v in queries.values()), 2),
+        "superlinear_ratio_gt12": watch,
+        "knn_lsh_candidates": knn,
+        "queries": queries,
+    }
+    path = os.path.join(ROOT, "BENCH_SF10.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {path}: {out['total_sf1']}s -> {out['total_sf10']}s; "
+          f"watchlist: {watch or 'empty'}")
+    if knn:
+        for k, v in knn.items():
+            print(f"  knn candidates {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,13 @@ sf1 runs. Oracle parity (tools/driver_sim.py testdata_sf1) is
 self-consistent regardless: Spark and DuckDB read the same files.
 
 Deterministic: numpy PCG64(42). ~180 MB on disk. Usage:
-    python tools/make_sf1.py [outdir=testdata_sf1]
+    python tools/make_sf1.py [outdir=testdata_sf1] [--scale S]
+
+--scale multiplies every table's row count (10 -> sf10, ~1.8 GB; used by
+tools/bench_sf10.py for the second order-of-magnitude scaling datapoint).
+Dimension-like vocabularies (regions, nations, segments, event types,
+users, doc sources) deliberately stay fixed — scaling data under fixed
+key cardinalities is exactly the 100 TB shape.
 """
 
 from __future__ import annotations
@@ -61,9 +67,16 @@ def _ts_col(us: np.ndarray) -> pa.Array:
     return pa.array(us, type=pa.timestamp("us"))
 
 
-def main(outdir: str = "testdata_sf1") -> None:
+def main(outdir: str = "testdata_sf1", scale: float = 1.0) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
+    N_CUSTOMER = int(globals()["N_CUSTOMER"] * scale)
+    N_SUPPLIER = int(globals()["N_SUPPLIER"] * scale)
+    N_PART = int(globals()["N_PART"] * scale)
+    N_ORDERS = int(globals()["N_ORDERS"] * scale)
+    N_EVENTS = int(globals()["N_EVENTS"] * scale)
+    N_DOCS = int(globals()["N_DOCS"] * scale)
+    N_EMB = int(globals()["N_EMB"] * scale)
 
     def w(name: str, table: pa.Table) -> None:
         pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
@@ -191,4 +204,10 @@ def main(outdir: str = "testdata_sf1") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "testdata_sf1")
+    args = sys.argv[1:]
+    scale = 1.0
+    if "--scale" in args:
+        i = args.index("--scale")
+        scale = float(args[i + 1])
+        del args[i:i + 2]
+    main(args[0] if args else "testdata_sf1", scale=scale)
