@@ -207,8 +207,10 @@ def _type_render_nonnull(b: Column, t: str) -> Column | None:
         return _decimal_str(b)
     if t == "FloatType":
         # cast(float as string) IS Java Float.toString; the Python twin
-        # (functions/javafloat.py) reproduces it bit-for-bit — fuzzed vs
-        # java_method('java.lang.Float','toString', ...) over 80k+ values
+        # (functions/javafloat.py) reproduces it bit-for-bit — pinned by
+        # the seeded 6k-bit-pattern fuzz in tests/test_render.py
+        # (test_float_double_render_jvm_parity_fuzz) every run, plus a
+        # one-off 183k-value sweep at adoption (round 10)
         from .casts import hex_to_float
 
         return F.when(

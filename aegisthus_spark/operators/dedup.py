@@ -147,7 +147,8 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "do
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, *, threshold: float = 0.1, n: int = 3, persist_shingles: bool = False
+    docs: DataFrame, *, threshold: float = 0.1, n: int = 3,
+    persist_shingles: bool = False, max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with true Jaccard >= threshold.
 
@@ -157,9 +158,15 @@ def minhash_lsh_dedup(
     right call when the corpus scan dominates (cluster scale / remote
     storage); at small scale the persist barrier costs more than the three
     cheap re-scans, so it defaults off and callers choose.
+
+    ``max_shingle_df``: the hot-shingle (boilerplate) cap — see
+    _lsh_shingles_and_candidates. On a boilerplate-dense corpus the
+    shared shingles both inflate band collisions and densify true pairs;
+    the cap restricts the working vocabulary to df<=cap shingles.
     """
     sh, cand = _lsh_shingles_and_candidates(
-        docs, n=n, id_col="doc_id", persist_shingles=persist_shingles
+        docs, n=n, id_col="doc_id", persist_shingles=persist_shingles,
+        max_shingle_df=max_shingle_df,
     )
     jac = jaccard_of_pairs(sh, cand)
     return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
@@ -659,6 +666,74 @@ def containment_of_pairs(
     return scored.filter(
         (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
     ).orderBy("a", "b")
+
+
+def containment_short_side(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    seeds_per_doc: int = 4,
+    max_seed_df: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, containment_a): DIRECTED containment |A∩B|/|A| >= threshold
+    via short-side seed blocking — the recall fix for the documented
+    containment_of_pairs caveat: MinHash banding is tuned for RESEMBLANCE,
+    so a short document fully quoted inside a long one (Jaccard diluted by
+    the long side) often never surfaces as an LSH candidate. Seed-and-
+    extend instead: each document contributes its ``seeds_per_doc`` RAREST
+    shingles (ascending document frequency, ties by shingle text) as block
+    keys; any document sharing a seed is a candidate. If A is FULLY
+    contained in B, every shingle of A — including its seeds — occurs in
+    B, so recall on full containment is 1.0 whenever at least one seed has
+    df <= ``max_seed_df`` (the hot-seed cap: a seed shared by k docs costs
+    k candidate rows, and a doc whose 4 rarest shingles all exceed the cap
+    is wall-to-wall boilerplate, exactly what the symmetric passes catch).
+
+    Scale shape: one df aggregate, one per-doc top-R window (partitioned
+    by doc — corpus-cardinality groups), one seed->shingle equi-join
+    bounded by seeds_per_doc * max_seed_df candidates per probe doc, then
+    the usual common-shingle count. Never all-pairs, never resemblance-
+    gated.
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(docs, n=n, id_col=id_col)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.join(dfc, "shingle")
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    seeds = (
+        sized.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") <= seeds_per_doc) & (F.col("df") <= max_seed_df))
+        .select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
+    )
+    others = sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
+    cand = (
+        seeds.join(others, "s")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
+    common = (
+        cand.join(sa, "a").join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"),
+                                 F.col("n_sh").alias("na")), "a")
+        .select(
+            "a", "b",
+            F.round(F.col("common").cast("double") / F.col("na"), 6)
+            .alias("containment_a"),
+        )
+        .filter(F.col("containment_a") >= threshold)
+        .orderBy("a", "b")
+    )
 
 
 def cross_doc_ngram_fraction(

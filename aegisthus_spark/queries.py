@@ -4235,6 +4235,47 @@ def dedup_ngram_coverage_capped(spark, sf_dir):
 
 
 @register(
+    "dedup_containment_seeded",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dfc AS MATERIALIZED (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    seeds AS MATERIALIZED (
+      SELECT a, s FROM (
+        SELECT sh.doc_id AS a, sh.shingle AS s, dfc.df,
+               row_number() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY dfc.df, sh.shingle) AS rk
+        FROM sh JOIN dfc USING (shingle))
+      WHERE rk <= 4 AND df <= 64),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT seeds.a, o.doc_id AS b
+      FROM seeds JOIN sh o ON o.shingle = seeds.s AND o.doc_id != seeds.a),
+    nsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.a, c.b, COUNT(*) AS common
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
+    SELECT c.a, c.b,
+           round(CAST(common AS DOUBLE) / na.n_sh, 6) AS containment_a
+    FROM common c JOIN nsz na ON na.doc_id = c.a
+    WHERE round(CAST(common AS DOUBLE) / na.n_sh, 6) >= 0.5
+    ORDER BY c.a, c.b
+    """,
+    doc="DIRECTED containment via short-side seed blocking (seed-and-"
+        "extend): each doc's 4 rarest shingles (df <= 64) block "
+        "candidates, so a short doc fully quoted in a long one is found "
+        "with recall 1.0 — the documented MinHash-resemblance recall gap "
+        "of dedup_containment; candidates bounded by seeds x seed-df, "
+        "never resemblance-gated",
+)
+def dedup_containment_seeded(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.containment_short_side(
+        docs, n=3, threshold=0.5, seeds_per_doc=4, max_seed_df=64
+    )
+
+
+@register(
     "text_unigram_logppl",
     """
     WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

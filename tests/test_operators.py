@@ -258,6 +258,38 @@ def test_video_codec_guards():
             _decode_real(mjpeg, "video")
 
 
+def test_containment_seeded_finds_quote_that_lsh_misses(spark):
+    """The recall case containment_of_pairs documents as its own caveat:
+    a SHORT document fully quoted inside a LONG one has Jaccard far below
+    the MinHash band threshold (resemblance-gated), but seed blocking on
+    the short side's rarest shingles must find it with containment 1.0."""
+    from aegisthus_spark.operators.dedup import (
+        containment_of_pairs,
+        containment_short_side,
+    )
+
+    short = "alpha bravo charlie delta echo foxtrot"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"p{i} q{i}" for i in range(40))
+    # background docs so shingle dfs exist but nothing else matches
+    rows = [(0, short), (1, long_doc)] + [
+        (i, " ".join(f"bg{i}_{j} m{j} n{i}_{j}" for j in range(30)))
+        for i in range(2, 12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seeded = containment_short_side(docs, n=3, threshold=0.5).collect()
+    hit = [(r.a, r.b, r.containment_a) for r in seeded]
+    assert (0, 1, 1.0) in hit, hit  # full containment, recall 1.0
+
+    # the symmetric LSH path misses it (Jaccard ~4/300 — below any band
+    # collision probability worth the name); if this ever starts passing,
+    # the caveat doc and this test both need revisiting
+    lsh = containment_of_pairs(docs, n=3, threshold=0.5).collect()
+    assert not any(r.a == 0 and r.b == 1 for r in lsh)
+
+
 def test_png_stdlib_decode():
     """Round-11 PNG path: hand-checkable values through every filter type,
     and the non-stdlib shapes reject cleanly (falling to the library
@@ -622,9 +654,17 @@ def test_knn_join_salt_is_result_invariant(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     base = sorted(map(tuple, knn_join(emb, k=3, dim=64, n_planes=6).collect()))
+    # threshold 1: every bucket hot -> full salting exercised
     salted = sorted(map(tuple, knn_join(
-        emb, k=3, dim=64, n_planes=6, salt=3).collect()))
+        emb, k=3, dim=64, n_planes=6, salt=3, salt_bucket_threshold=1
+    ).collect()))
     assert base == salted
+    # default threshold at fixture scale: mixed hot/cold buckets (or none
+    # hot) — still byte-identical
+    salted_hot_only = sorted(map(tuple, knn_join(
+        emb, k=3, dim=64, n_planes=6, salt=3, salt_bucket_threshold=64
+    ).collect()))
+    assert base == salted_hot_only
 
 
 def test_knn_join_invariants(spark):

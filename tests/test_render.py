@@ -137,6 +137,61 @@ def test_float_double_render_jvm_parity(spark):
     ) is not None
 
 
+def test_float_double_render_jvm_parity_fuzz(spark):
+    """Seeded random-BIT-PATTERN fuzz of the FloatingDecimal port against
+    the JVM itself (cast(x as string) IS Java toString): 3000 doubles +
+    3000 floats per run, uniform over raw bits — so subnormals, extreme
+    exponents, NaN payloads and both infinities all occur — checked in
+    ONE batched Spark query per width. The round-10 verdict's 183k-value
+    sweep was run out-of-repo; this pins a standing 6k-value regression
+    net in-tree (ADVICE round 10: the committed net was ~25 fixed
+    vectors for a byte-parity-critical component)."""
+    import struct as s
+
+    import numpy as np
+
+    from aegisthus_spark.functions.javafloat import (
+        java_double_to_string,
+        java_float_to_string,
+    )
+
+    rng = np.random.default_rng(4217)
+    n = 3000
+
+    bits64 = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+    doubles = [s.unpack(">d", s.pack(">Q", int(b)))[0] for b in bits64]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(doubles)], "i long, d double"
+    )
+    jvm = {r.i: r.s for r in
+           df.selectExpr("i", "cast(d as string) AS s").collect()}
+    for i, v in enumerate(doubles):
+        assert java_double_to_string(v) == jvm[i], (
+            f"double bits {int(bits64[i]):016x}: "
+            f"port={java_double_to_string(v)!r} jvm={jvm[i]!r}")
+
+    bits32 = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    floats = [s.unpack(">f", s.pack(">I", int(b)))[0] for b in bits32]
+    # createDataFrame would round-trip through double; build exact floats
+    # with a binary column + JVM-side IEEE reinterpret (the render path)
+    df = spark.createDataFrame(
+        [(i, s.pack(">f", v)) for i, v in enumerate(floats)],
+        "i long, b binary",
+    )
+    # two's-complement wrap explicitly (ANSI mode errors on overflow casts)
+    jvm = {r.i: r.s for r in df.selectExpr(
+        "i",
+        "cast(java_method('java.lang.Float', 'intBitsToFloat', cast("
+        "  if(cast(conv(hex(b), 16, 10) as bigint) >= 2147483648, "
+        "     cast(conv(hex(b), 16, 10) as bigint) - 4294967296, "
+        "     cast(conv(hex(b), 16, 10) as bigint)) as int)) as string) AS s",
+    ).collect()}
+    for i, v in enumerate(floats):
+        assert java_float_to_string(v) == jvm[i], (
+            f"float bits {int(bits32[i]):08x}: "
+            f"port={java_float_to_string(v)!r} jvm={jvm[i]!r}")
+
+
 def _enc_composite(parts: list[bytes], static: bool = False) -> bytes:
     out = b"\xff\xff" if static else b""
     for p in parts:

@@ -78,11 +78,15 @@ def main():
         "dedup_containment": (
             "linear-ish: candidate pairs + shingle-df density grow with "
             "the corpus's duplicate families; equi-join shaped, never "
-            "all-pairs"),
+            "all-pairs; round 11 added the max_shingle_df hot-shingle cap "
+            "(exercised by dedup_containment_capped; stress.py "
+            "--hot-shingle shows uncapped x4.1 vs capped flat on a "
+            "boilerplate clique)"),
         "dedup_ngram_coverage": (
             "linear-ish: shingle-df join rows grow with duplicate "
             "density; one explode + two keyed shuffles, never a pair "
-            "join"),
+            "join; round 11 added the stop-gram cap "
+            "(dedup_ngram_coverage_capped)"),
     }
     out = {
         "metric": "bench_sf1_scaling",

@@ -24,6 +24,7 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)  # aegisthus_spark import when run as tools/...
 SF1 = os.path.join(ROOT, "testdata_sf1")
 SF10 = os.path.join(ROOT, "testdata_sf10")
 
@@ -34,6 +35,11 @@ BY_DESIGN_QUADRATIC = {"dedup_ngram_jaccard", "dedup_embedding_nn"}
 
 
 def run(sf_dir: str, only: list[str], detail_path: str) -> dict:
+    if "--reuse-details" in sys.argv and os.path.exists(detail_path):
+        # recovery path: the bench legs are expensive (sf10 ~23 min);
+        # reuse their detail files when only the aggregation changed
+        with open(detail_path) as f:
+            return json.load(f)
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -42,6 +48,9 @@ def run(sf_dir: str, only: list[str], detail_path: str) -> dict:
         SPARK_GRAFT_BENCH_REPS_SUB="1",
         SPARK_GRAFT_BENCH_REPS_HEAVY="1",
         SPARK_GRAFT_BENCH_ONLY=",".join(only),
+        # local mode = executors in the driver JVM; sf10 shuffles OOM the
+        # 8g default (on a real cluster this is per-executor memory)
+        AEGISTHUS_DRIVER_MEM=os.environ.get("AEGISTHUS_DRIVER_MEM", "48g"),
     )
     subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
@@ -111,6 +120,29 @@ def main() -> None:
     base = run(SF1, heavies, "/tmp/bench_sf10_base_detail.json")
     sf10 = run(SF10, heavies, "/tmp/bench_sf10_detail.json")
 
+    # documented non-linear designs: a watchlist hit matching its stated
+    # bound is the design working, not a regression
+    annotations = {
+        "dedup_semantic": (
+            "O(n^1.5) BY DESIGN: k = max(32, ceil(sqrt(n/2))) balances "
+            "assignment vs pair folds at ~1.41*n^1.5 total (the optimum "
+            "for HOF-fold assignment; see semantic_dedup docstring) — "
+            "expected sf10/sf1 ~ 10^1.5 ~ 31.6x; the linear regime needs "
+            "k ~ n/c with matmul-cheap assignment (GPU/BLAS)"),
+        "dedup_containment": (
+            "candidate pairs grow with duplicate-family density; the "
+            "max_shingle_df cap (round 11) bounds the boilerplate case"),
+        "dedup_minhash_lsh": (
+            "corpus artifact, not algorithm: the synthetic documents "
+            "table draws from a FIXED 30-word vocabulary, so 3-gram "
+            "document frequencies grow ~n and random band collisions "
+            "(and true candidate pairs at any threshold) grow ~n^2 — at "
+            "sf10's 500k docs the whole corpus is one dense near-dup "
+            "family. Real corpora scale vocabulary with size; for "
+            "genuinely boilerplate-dense corpora the max_shingle_df cap "
+            "(exposed on minhash_lsh_dedup, round 11) is the bound — "
+            "stress.py --hot-shingle measures it"),
+    }
     queries = {}
     watch = {}
     for name in heavies:
@@ -131,6 +163,10 @@ def main() -> None:
         "total_sf1": round(sum(v["sf1"] for v in queries.values()), 2),
         "total_sf10": round(sum(v["sf10"] for v in queries.values()), 2),
         "superlinear_ratio_gt12": watch,
+        "watchlist_annotations": {k: annotations[k] for k in watch
+                                  if k in annotations},
+        "watchlist_unexplained": sorted(k for k in watch
+                                        if k not in annotations),
         "knn_lsh_candidates": knn,
         "queries": queries,
     }
