@@ -157,6 +157,17 @@ def _decode_png_gray_grid(payload: bytes) -> list[float]:
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
+    try:
+        return _parse_png_gray_grid(payload, _s, zlib)
+    except (zlib.error, _s.error, IndexError) as e:
+        # corrupt deflate stream / lying chunk lengths: the dispatcher's
+        # contract is ValueError-only (codec decides decodability) — a
+        # leaked zlib/struct error would kill the whole mapInArrow job
+        # instead of falling through to the library probe
+        raise ValueError(f"corrupt PNG payload: {e}") from e
+
+
+def _parse_png_gray_grid(payload: bytes, _s, zlib) -> list[float]:
     pos = 8
     width = height = None
     idat = bytearray()

@@ -79,6 +79,12 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
             out.append(node.simpleString(120))
         for i in range(node.children().length()):
             walk(node.children().apply(i))
+        # scalar/EXISTS/IN subqueries hold their own plans in expressions,
+        # not in children() — a global window inside one would otherwise
+        # escape the lint
+        subs = node.subqueries()
+        for i in range(subs.length()):
+            walk(subs.apply(i))
 
     walk(df._jdf.queryExecution().optimizedPlan())
     return out

@@ -277,11 +277,16 @@ def prime_bti_offset_cache(
     from ..sstable.descriptor import version_of
 
     granularity = _bti_granularity(target_bytes)
-    todo = []
-    for path in files:
+
+    def uncached_spec(path):
+        """Cache check FIRST (warm files must cost one sidecar read, not a
+        CompressionInfo chunk-map parse — the serial-driver-I/O shape this
+        function exists to eliminate); size-gate only the cold ones."""
         spec = _bti_probe_spec(path, version_of(path), find_compression_sidecar(path))
         if spec is None:
-            continue
+            return None
+        if offsets_cache.load(path, granularity=granularity) is not None:
+            return None
         _, _, comp = spec
         length = (
             CompressionInfo.read_path(comp).data_length
@@ -289,9 +294,13 @@ def prime_bti_offset_cache(
             else os.path.getsize(path)
         )
         if length <= int(target_bytes * 1.2):
-            continue  # planned whole-file; no walk will happen
-        if offsets_cache.load(path, granularity=granularity) is None:
-            todo.append(spec)
+            return None  # planned whole-file; no walk will happen
+        return spec
+
+    # threaded like plan_partitions' split pool: the per-file work is
+    # sidecar I/O, not CPU
+    with ThreadPoolExecutor(max_workers=20) as pool:
+        todo = [s for s in pool.map(uncached_spec, files) if s is not None]
     if not todo:
         return 0
     walked = (

@@ -37,6 +37,7 @@ import hashlib
 import os
 import struct
 import tempfile
+import threading
 
 _ENV = "AEG_SPARK_OFFSET_CACHE_DIR"
 _MAGIC = b"AEGOFF1\n"
@@ -79,10 +80,17 @@ def load(path: str, *, granularity: int) -> list[int] | None:
             raw = fh.read()
     except OSError:
         return None
-    if not raw.startswith(_MAGIC):
+    # a truncated/garbage sidecar (partial visibility on shared storage)
+    # must be a MISS, not a struct.error crashing split planning — the
+    # module contract is "failures degrade to walking again"
+    if not raw.startswith(_MAGIC) or len(raw) < len(_MAGIC) + _HDR.size:
         return None
     g, n = _HDR.unpack_from(raw, len(_MAGIC))
-    if g > granularity or len(raw) != len(_MAGIC) + _HDR.size + 8 * n:
+    if (
+        g > granularity
+        or n < 0
+        or len(raw) != len(_MAGIC) + _HDR.size + 8 * n
+    ):
         return None
     offs = list(struct.unpack_from(f"<{n}q", raw, len(_MAGIC) + _HDR.size))
     _memoize(key, g, offs)
@@ -111,10 +119,16 @@ def store(path: str, offsets: list[int], *, granularity: int) -> None:
             pass
 
 
+_MEMO_LOCK = threading.Lock()
+
+
 def _memoize(key, granularity: int, offsets) -> None:
-    if len(_MEMO) >= _MEMO_CAP:
-        _MEMO.pop(next(iter(_MEMO)))
-    _MEMO[key] = (granularity, tuple(offsets))
+    # callers run under planning thread pools; the cap eviction is the
+    # one non-atomic read-modify-write here
+    with _MEMO_LOCK:
+        if len(_MEMO) >= _MEMO_CAP:
+            _MEMO.pop(next(iter(_MEMO)))
+        _MEMO[key] = (granularity, tuple(offsets))
 
 
 def clear_memo() -> None:

@@ -73,6 +73,17 @@ def test_corrupt_sidecar_is_a_miss(tmp_path):
     assert offsets_cache.load(str(p), granularity=8) is None
     open(side, "wb").write(b"garbage")
     assert offsets_cache.load(str(p), granularity=8) is None
+    # review finding: magic present but header truncated (partial
+    # visibility on shared storage) must be a MISS, not a struct.error
+    open(side, "wb").write(raw[: len(raw) - 18])
+    assert offsets_cache.load(str(p), granularity=8) is None
+    # negative count from bit-rot inside an intact-length header
+    import struct as s
+
+    evil = bytearray(raw)
+    s.pack_into("<q", evil, 8 + 8, -1)  # count field
+    open(side, "wb").write(bytes(evil))
+    assert offsets_cache.load(str(p), granularity=8) is None
 
 
 @pytest.mark.parametrize("compress", [False, True])

@@ -343,6 +343,19 @@ def test_png_stdlib_decode():
     with _pt.raises(ValueError, match="length mismatch"):
         _decode_png_gray_grid(bad)
 
+    # review finding: a corrupted DEFLATE stream / lying chunk length must
+    # surface as ValueError (the dispatcher's fall-through contract), not
+    # zlib.error/struct.error killing the whole mapInArrow job
+    rot = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    rot[idat_at + 2] ^= 0xFF
+    with _pt.raises(ValueError, match="corrupt PNG"):
+        _decode_png_gray_grid(bytes(rot))
+    liar = bytearray(good)
+    s.pack_into(">I", liar, good.index(b"IHDR") - 4, 1 << 20)  # IHDR len lie
+    with _pt.raises(ValueError):
+        _decode_png_gray_grid(bytes(liar))
+
 
 def test_video_library_probe_when_installed(spark):
     """Env-guarded: when PyAV or OpenCV is importable, a real encoded

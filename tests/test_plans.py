@@ -157,6 +157,16 @@ def test_global_window_sweep_catches_fact_scale_rank(spark):
     )
     assert not unpartitioned_windows(ok), "detector false-positives on partitioned windows"
 
+    # review finding: a global window hiding inside a SUBQUERY expression
+    # is not in children() — the walk must follow subqueries() too
+    ev.createOrReplaceTempView("_lint_ev")
+    sneaky = spark.sql(
+        "SELECT user_id, (SELECT max(rk) FROM (SELECT row_number() OVER "
+        "(ORDER BY value DESC) AS rk FROM _lint_ev)) AS worst "
+        "FROM _lint_ev"
+    )
+    assert unpartitioned_windows(sneaky), "detector missed a subquery global window"
+
 
 def test_supplier_rank_uses_plain_window_on_dimension_input(spark, queries):
     """q_supplier_revenue_rank ranks POST-aggregation dimension-cardinality

@@ -160,8 +160,10 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(queries),
         "excluded_by_design_quadratic": sorted(BY_DESIGN_QUADRATIC),
-        "total_sf1": round(sum(v["sf1"] for v in queries.values()), 2),
-        "total_sf10": round(sum(v["sf10"] for v in queries.values()), 2),
+        "total_sf1": round(sum(v["sf1"] or 0 for v in queries.values()), 2),
+        "total_sf10": round(sum(v["sf10"] or 0 for v in queries.values()), 2),
+        "missing_timings": sorted(
+            k for k, v in queries.items() if not (v["sf1"] and v["sf10"])),
         "superlinear_ratio_gt12": watch,
         "watchlist_annotations": {k: annotations[k] for k in watch
                                   if k in annotations},
