@@ -736,6 +736,74 @@ def containment_short_side(
     )
 
 
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    modulus: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chunks, n_shared, shared_frac): content-defined chunking
+    dedup — the storage-dedup technique applied to training text. Token
+    streams split at CONTENT-determined boundaries (positions whose
+    k-gram hash ≡ 0 mod ``modulus``), so an insertion or deletion shifts
+    only the chunks it touches: identical spans downstream re-align and
+    hash equal, which fixed-width chunking (and whole-doc hashing) cannot
+    do. Each chunk's text hashes to a 64-bit key; a chunk occurring in
+    more than one document (or twice in one) is shared mass.
+
+    Scale shape: boundary detection and chunk assembly are PURE PER-ROW
+    expressions (rolling k-gram hashes -> cut positions -> token-slice
+    joins, all whole-row HOFs over arrays bounded by document length —
+    documents are bounded, corpora are not); then ONE chunk-hash-keyed df
+    aggregate and a join back, the ngram_duplication shape with
+    ~modulus x fewer keys than raw shingles. Expected chunk length is
+    ``modulus`` tokens — tune it to trade boundary-shift robustness
+    against shuffle volume. Docs shorter than k tokens drop (no k-gram
+    exists to cut or hash; both engines agree).
+
+    Chunk definition (mirrored exactly in the SQL oracle): a cut falls
+    AFTER token i+k-1 for every gram index i with hash % modulus == 0;
+    chunk boundaries are [0, cuts..., n_tokens]; empty chunks (a cut at
+    the very end) are dropped; each chunk is its tokens joined by a
+    single space and hashed with the md5-prefix H32."""
+    h_gram = H32.format(col=f"array_join(slice(toks, i, {k}), ' ')")
+    m = f"(size(toks) - {k - 1})"
+    cuts = (
+        f"filter(transform(sequence(1, {m}), i -> "
+        f"IF({h_gram} % {modulus} = 0, i + {k - 1}, -1)), x -> x > 0)"
+    )
+    # let-bind the bounds array via a one-element transform (lambda vars
+    # are single Catalyst nodes), so its three uses below don't each
+    # re-expand the whole cuts subtree — the round-7 expression-tree rule
+    chunk_strs = (
+        f"element_at(transform(array("
+        f"concat(array(0), {cuts}, array(size(toks)))), bounds -> "
+        f"filter(transform(sequence(1, size(bounds) - 1), j -> "
+        f"array_join(slice(toks, element_at(bounds, j) + 1, "
+        f"element_at(bounds, j + 1) - element_at(bounds, j)), ' ')), "
+        f"s -> s != '')), 1)"
+    )
+    ch = (
+        docs.select(id_col, F.split(text_col, " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(F.expr(chunk_strs)).alias("chunk_text"))
+        .select(id_col, F.expr(H32.format(col="chunk_text")).alias("ch"))
+    )
+    dfc = ch.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ch.join(dfc, "ch")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn("shared_frac", F.round(F.col("n_shared") / F.col("n_chunks"), 6))
+        .orderBy(id_col)
+    )
+
+
 def cross_doc_ngram_fraction(
     docs: DataFrame,
     *,

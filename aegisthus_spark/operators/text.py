@@ -201,6 +201,62 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def winnowing_shared(
+    docs: DataFrame, *, k: int = 3, w: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_fps, n_shared, shared_frac): winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken 2003 — the MOSS algorithm): token k-gram
+    hashes, one MINIMUM selected per w-hash window, the distinct minima
+    forming the document's fingerprint set. The winnowing guarantee: any
+    shared run of at least w+k-1 tokens yields at least one shared
+    fingerprint, at an expected density of 2/(w+1) — position-robust
+    overlap detection at a fraction of full-shingle cost (the standard
+    plagiarism/near-dup screen between exact hashing and MinHash).
+
+    Output is the corpus screen: per document, the share of its
+    fingerprints occurring in at least one other document.
+
+    Scale shape: fingerprint selection is a pure per-row expression
+    (windows over an in-row array — no shuffle, whole-row HOFs); then ONE
+    fingerprint-keyed df aggregate and a join back, exactly the
+    ngram_duplication shape but over the ~2/(w+1)-thinned fingerprint set
+    instead of every shingle — at 100 TB the shuffle carries w/2 x fewer
+    8-byte keys. Docs shorter than k tokens have no fingerprints and drop
+    (both engines agree); a doc with fewer than w hashes contributes the
+    single minimum of what it has (one-window semantics).
+
+    The set-valued tie question (leftmost vs rightmost minimum per
+    window) is moot here: equal minima select equal VALUES, and the
+    fingerprint SET deduplicates them, so both engines agree without a
+    positional tie rule."""
+    m = f"(size(toks) - {k - 1})"  # k-gram count
+    h = H32.format(col="g")
+    grams = f"transform(sequence(1, {m}), i -> array_join(slice(toks, i, {k}), ' '))"
+    hashes = f"transform({grams}, g -> {h})"
+    fps = (
+        f"array_distinct(CASE WHEN {m} < {w} THEN array(array_min({hashes})) "
+        f"ELSE transform(sequence(1, {m} - {w - 1}), "
+        f"i -> array_min(slice({hashes}, i, {w}))) END)"
+    )
+    fp = (
+        docs.select(id_col, F.split(text_col, " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
+    dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        fp.join(dfc, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn("shared_frac", F.round(F.col("n_shared") / F.col("n_fps"), 6))
+        .orderBy(id_col)
+    )
+
+
 #: BPE-style pretokenizer classes (GPT-2-family pretokenizers split words,
 #: numbers, and punctuation runs before byte-pair merging); the class regex
 #: is chosen to behave identically under Java regex and RE2-style engines

@@ -4235,6 +4235,75 @@ def dedup_ngram_coverage_capped(spark, sf_dir):
 
 
 @register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    b AS (SELECT doc_id, toks,
+                 [0] || [i + 2 FOR i IN range(1, len(toks) - 1)
+                         IF {_H32_SQL.format(col="array_to_string(toks[i:i+2], ' ')")} % 8 = 0]
+                     || [len(toks)] AS bounds
+          FROM t),
+    c AS (SELECT doc_id,
+                 unnest([array_to_string(toks[bounds[j] + 1:bounds[j + 1]], ' ')
+                         FOR j IN range(1, len(bounds))]) AS chunk_text
+          FROM b),
+    ch AS (SELECT doc_id, {_H32_SQL.format(col="chunk_text")} AS ch
+           FROM c WHERE chunk_text != ''),
+    dfc AS (SELECT ch, COUNT(*) AS df FROM ch GROUP BY ch)
+    SELECT ch.doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS shared_frac
+    FROM ch JOIN dfc USING (ch)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
+    doc="content-defined chunking dedup (storage-dedup technique on "
+        "training text): token streams cut where the 3-gram md5 hash is "
+        "0 mod 8 (expected chunk ~8 tokens), so insertions shift only the "
+        "chunks they touch and identical spans re-align — per doc, the "
+        "share of its chunks whose hash occurs elsewhere in the corpus; "
+        "boundary detection and chunk assembly are per-row HOFs, one "
+        "chunk-hash df shuffle",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    return _dd.cdc_chunk_dedup(_t(spark, sf_dir, "documents"), k=3, modulus=8)
+
+
+@register(
+    "text_winnowing",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+    h AS (SELECT doc_id,
+                 [{_H32_SQL.format(col="array_to_string(toks[i:i+2], ' ')")}
+                  FOR i IN range(1, len(toks) - 1)] AS hs
+          FROM t),
+    fp AS (SELECT doc_id,
+                  unnest(list_distinct(
+                    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                         ELSE [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+                    END)) AS fp
+           FROM h),
+    dfc AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp)
+    SELECT fp.doc_id, COUNT(*) AS n_fps,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / COUNT(*), 6) AS shared_frac
+    FROM fp JOIN dfc USING (fp)
+    GROUP BY fp.doc_id ORDER BY fp.doc_id
+    """,
+    doc="winnowing fingerprints (Schleimer et al. 2003 / MOSS): per-window "
+        "minimum of 3-gram md5 hashes (w=4), distinct minima as the doc's "
+        "fingerprint set — guaranteed detection of shared runs >= w+k-1 "
+        "tokens at ~2/(w+1) the shingle shuffle volume; output = share of "
+        "each doc's fingerprints occurring in >=1 other doc",
+)
+def text_winnowing(spark, sf_dir):
+    return _tx.winnowing_shared(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@register(
     "dedup_containment_seeded",
     f"""
     WITH {_SHINGLES_CTE},
