@@ -785,15 +785,20 @@ def cdc_chunk_dedup(
         f"element_at(bounds, j + 1) - element_at(bounds, j)), ' ')), "
         f"s -> s != '')), 1)"
     )
+    from pyspark.sql import Window
+
     ch = (
         docs.select(id_col, F.split(text_col, " ").alias("toks"))
         .filter(F.size("toks") >= k)
         .select(id_col, F.explode(F.expr(chunk_strs)).alias("chunk_text"))
         .select(id_col, F.expr(H32.format(col="chunk_text")).alias("ch"))
     )
-    dfc = ch.groupBy("ch").agg(F.count(F.lit(1)).alias("df"))
+    # chunk-hash df via a PARTITIONED count window (one pass over the
+    # boundary/assembly lineage) — the groupBy+join-back formulation would
+    # recompute the chunking explode for the probe side; see
+    # cross_doc_ngram_fraction for the same call
     return (
-        ch.join(dfc, "ch")
+        ch.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("ch")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -239,14 +239,20 @@ def winnowing_shared(
         f"ELSE transform(sequence(1, {m} - {w - 1}), "
         f"i -> array_min(slice({hashes}, i, {w}))) END)"
     )
+    from pyspark.sql import Window
+
     fp = (
         docs.select(id_col, F.split(text_col, " ").alias("toks"))
         .filter(F.size("toks") >= k)
         .select(id_col, F.explode(F.expr(fps)).alias("fp"))
     )
-    dfc = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    # fingerprint df via a PARTITIONED count window, not groupBy+join-back:
+    # the join formulation re-runs the tokenize+gram+md5 explode lineage
+    # (the dominant stage) a second time for the probe side — same call as
+    # cross_doc_ngram_fraction; fp partitions are tiny (docs sharing one
+    # fingerprint), never a single-task funnel
     return (
-        fp.join(dfc, "fp")
+        fp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_fps"),
