@@ -258,6 +258,39 @@ def test_video_codec_guards():
             _decode_real(mjpeg, "video")
 
 
+def test_winnowing_guarantee_and_cdc_shift_robustness(spark):
+    """The two round-11 span-dedup signals, on their defining properties:
+
+    - winnowing (k=3, w=4): ANY shared token run of >= w+k-1 = 6 tokens
+      between two docs must yield at least one shared fingerprint (the
+      Schleimer et al. density guarantee);
+    - CDC chunking: inserting tokens at the FRONT of a doc must leave
+      most downstream chunks re-aligned and shared — the exact failure
+      mode of fixed-width chunking."""
+    from aegisthus_spark.operators.dedup import cdc_chunk_dedup
+    from aegisthus_spark.operators.text import winnowing_shared
+
+    run = "golf hotel india juliett kilo lima"  # 6 shared tokens
+    a = "alpha bravo " + run + " xray yankee"
+    b = "nov osc papa quebec " + run + " zulu"
+    others = [(i, " ".join(f"u{i}_{j}" for j in range(12))) for i in range(2, 8)]
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)] + others, "doc_id long, text string")
+    shared = {r.doc_id: r.n_shared
+              for r in winnowing_shared(docs, k=3, w=4).collect()}
+    assert shared[0] >= 1 and shared[1] >= 1, shared
+
+    base = " ".join(f"tok{j} fill{j} pad{j}" for j in range(40))  # 120 toks
+    shifted = "ins0 ins1 ins2 " + base
+    docs2 = spark.createDataFrame(
+        [(0, base), (1, shifted)] + others, "doc_id long, text string")
+    frac = {r.doc_id: (r.shared_frac, r.n_chunks)
+            for r in cdc_chunk_dedup(docs2, k=3, modulus=8).collect()}
+    # all of base's chunks except possibly the first must re-align
+    assert frac[0][0] >= 0.5, frac
+    assert frac[1][0] >= 0.5, frac
+
+
 def test_containment_seeded_finds_quote_that_lsh_misses(spark):
     """The recall case containment_of_pairs documents as its own caveat:
     a SHORT document fully quoted inside a LONG one has Jaccard far below
