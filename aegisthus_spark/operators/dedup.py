@@ -736,6 +736,61 @@ def containment_short_side(
     )
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    *,
+    window: int = 4,
+    threshold: float = 0.3,
+    n: int = 3,
+    key: str = "substring(text, 1, 24)",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard): Sorted Neighborhood Method (Hernandez & Stolfo
+    1995) — the third classic blocking family next to LSH banding and
+    seed blocking: sort the corpus by a cheap blocking key, compare only
+    records within a sliding window of ``window`` positions, verify
+    survivors with true shingle Jaccard >= threshold.
+
+    Candidate volume is EXACTLY n*(window-1) — set by the operator, not
+    by data skew (the property SNM is loved for: hot keys cannot blow up
+    the pair space, they can only hurt recall by pushing true matches
+    out of the window; run multiple passes with different keys for
+    recall, each pass the same bounded cost).
+
+    Scale shape: the global sort uses the two-stage rank
+    (operators/ranking.py — range repartition + partition-local
+    row_number + broadcast offsets; no single-task window), window
+    adjacency becomes an EQUI-join on rank+d for d in 1..window-1 (an
+    exploded offset column — never a range join), and verification is
+    the usual common-shingle join on the bounded candidate set. Rank
+    values are deterministic (total order (key, id)) regardless of how
+    range-partition sampling places boundaries."""
+    from .ranking import global_row_number
+
+    keyed = docs.select(
+        F.col(id_col), F.expr(key).alias("_bk")
+    )
+    # rank once: the ranked frame feeds BOTH window-join sides — without
+    # the pin, the whole two-stage rank machinery (sampling pass, counts
+    # job, offsets broadcast) re-evaluates per consumer
+    ranked = (
+        global_row_number(keyed, ["_bk", id_col], rank_col="rn")
+        .select(id_col, "rn")
+        .localCheckpoint()
+    )
+    left = ranked.select(F.col(id_col).alias("a"), F.col("rn"))
+    right = ranked.select(F.col(id_col).alias("b"), F.col("rn").alias("rn2"))
+    cand = (
+        left.withColumn("_d", F.explode(F.expr(f"sequence(1, {window - 1})")))
+        .select("a", (F.col("rn") + F.col("_d")).alias("rn2"))
+        .join(right, "rn2")
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    sh = word_shingles(docs, n=n, id_col=id_col)
+    jac = jaccard_of_pairs(sh, cand, id_col=id_col)
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+
+
 def cdc_chunk_dedup(
     docs: DataFrame,
     *,

@@ -110,6 +110,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # RRF rank fusion over two top-of-funnel lists (<= 2k rows by
     # construction; operators/similarity.py)
     "sim_hybrid_rrf",
+    # SNM's global sort rides global_row_number: its only unpartitioned
+    # window is the O(num range partitions) offset table (same documented
+    # shape as ev_value_rank; operators/ranking.py module docstring)
+    "dedup_sorted_neighborhood",
 }
 
 
