@@ -234,10 +234,15 @@ def winnowing_shared(
     h = H32.format(col="g")
     grams = f"transform(sequence(1, {m}), i -> array_join(slice(toks, i, {k}), ' '))"
     hashes = f"transform({grams}, g -> {h})"
+    # let-bind the hash array (lambda vars are single nodes): inlining it
+    # into the per-window lambda would recompute EVERY gram's md5 once per
+    # window — O(m^2) digests per document (measured 20.6s -> sub-second
+    # at sf0.1); the round-7 expression-tree rule again
     fps = (
-        f"array_distinct(CASE WHEN {m} < {w} THEN array(array_min({hashes})) "
-        f"ELSE transform(sequence(1, {m} - {w - 1}), "
-        f"i -> array_min(slice({hashes}, i, {w}))) END)"
+        f"element_at(transform(array({hashes}), hs -> "
+        f"array_distinct(CASE WHEN size(hs) < {w} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {w - 1}), "
+        f"i -> array_min(slice(hs, i, {w}))) END)), 1)"
     )
     from pyspark.sql import Window
 
