@@ -176,6 +176,16 @@ def _parse_png_gray_grid(payload: bytes, _s, zlib) -> list[float]:
         (length,) = _s.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
+        if ctype in (b"IHDR", b"IDAT"):
+            # verify the chunk CRC for the chunks we consume: bit-rot in
+            # IDAT that still inflates to the expected length would
+            # otherwise decode silently into wrong features instead of
+            # raising and falling through to the library probe
+            if pos + 12 + length > len(payload):
+                raise ValueError("truncated PNG chunk")
+            (crc,) = _s.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(ctype + data) != crc:
+                raise ValueError(f"PNG {ctype.decode()} chunk CRC mismatch")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = (

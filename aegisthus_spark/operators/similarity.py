@@ -219,6 +219,11 @@ def knn_join(
             right.groupBy("bb").agg(F.count(F.lit(1)).alias("_bn"))
             .filter(F.col("_bn") >= salt_bucket_threshold)
             .select(F.col("bb").alias("_hb"))
+            # both the lhs and rhs broadcasts reference this frame;
+            # without pinning, the full-corpus bucket aggregate re-runs
+            # once per side (same pattern as triangle_counts /
+            # sorted_neighborhood_pairs)
+            .localCheckpoint(eager=False)
         )
         # pmod, not %: Spark's % preserves sign, so a negative id would
         # yield a salt value outside [0, salt-1] and silently drop every

@@ -38,10 +38,12 @@ import os
 import struct
 import tempfile
 import threading
+import zlib
 
 _ENV = "AEG_SPARK_OFFSET_CACHE_DIR"
-_MAGIC = b"AEGOFF1\n"
+_MAGIC = b"AEGOFF2\n"  # v2: crc32 trailer (v1 sidecars simply miss)
 _HDR = struct.Struct("<qq")  # granularity, count
+_CRC = struct.Struct("<I")
 
 #: in-process memo: key -> (granularity, offsets tuple)
 _MEMO: dict[tuple[str, int, int], tuple[int, tuple[int, ...]]] = {}
@@ -49,10 +51,17 @@ _MEMO_CAP = 65536  # ~a few MB of thinned lists; soft bound for long drivers
 
 
 def cache_dir() -> str:
-    d = os.environ.get(_ENV) or os.path.join(
-        tempfile.gettempdir(), "aegisthus_spark-offsets"
-    )
-    os.makedirs(d, exist_ok=True)
+    d = os.environ.get(_ENV)
+    if d is None:
+        # per-uid path + 0700: the system temp dir is world-writable, so a
+        # fixed shared default would let another local user pre-create the
+        # dir or seed sidecars into someone else's cache
+        d = os.path.join(
+            tempfile.gettempdir(), f"aegisthus_spark-offsets-{os.getuid()}"
+        )
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    else:
+        os.makedirs(d, exist_ok=True)
     return d
 
 
@@ -83,16 +92,31 @@ def load(path: str, *, granularity: int) -> list[int] | None:
     # a truncated/garbage sidecar (partial visibility on shared storage)
     # must be a MISS, not a struct.error crashing split planning — the
     # module contract is "failures degrade to walking again"
-    if not raw.startswith(_MAGIC) or len(raw) < len(_MAGIC) + _HDR.size:
+    if not raw.startswith(_MAGIC) or len(raw) < len(_MAGIC) + _HDR.size + _CRC.size:
         return None
     g, n = _HDR.unpack_from(raw, len(_MAGIC))
     if (
         g > granularity
         or n < 0
-        or len(raw) != len(_MAGIC) + _HDR.size + 8 * n
+        or len(raw) != len(_MAGIC) + _HDR.size + 8 * n + _CRC.size
     ):
         return None
+    # crc32 over header+payload: bit-rot that keeps lengths intact (the
+    # failure mode a pure length check misses) must be a MISS, never
+    # corrupt split boundaries
+    (crc,) = _CRC.unpack_from(raw, len(raw) - _CRC.size)
+    if zlib.crc32(raw[len(_MAGIC):-_CRC.size]) != crc:
+        return None
     offs = list(struct.unpack_from(f"<{n}q", raw, len(_MAGIC) + _HDR.size))
+    # semantic sanity before the offsets feed split planning: boundaries
+    # start at 0 (the walk begins at the first partition) and strictly
+    # increase. NOTE: no upper-bound-vs-file-size check — for compressed
+    # tables offsets are in UNCOMPRESSED coordinates, legitimately larger
+    # than the on-disk Data.db size.
+    if offs and (
+        offs[0] != 0 or any(a >= b for a, b in zip(offs, offs[1:]))
+    ):
+        return None
     _memoize(key, g, offs)
     return offs
 
@@ -101,11 +125,10 @@ def store(path: str, offsets: list[int], *, granularity: int) -> None:
     """Persist walked offsets (already thinned to ``granularity``)."""
     key = _key(path)
     _memoize(key, granularity, offsets)
-    blob = (
-        _MAGIC
-        + _HDR.pack(granularity, len(offsets))
-        + struct.pack(f"<{len(offsets)}q", *offsets)
+    body = _HDR.pack(granularity, len(offsets)) + struct.pack(
+        f"<{len(offsets)}q", *offsets
     )
+    blob = _MAGIC + body + _CRC.pack(zlib.crc32(body))
     target = _sidecar(key)
     tmp = f"{target}.tmp.{os.getpid()}"
     try:

@@ -47,7 +47,7 @@ def _make_bti(d, n_parts=120, compress=False):
 
 def test_store_load_roundtrip(tmp_path):
     p = tmp_path / "f-Data.db"
-    p.write_bytes(b"x" * 100)
+    p.write_bytes(b"x" * 10_000)
     offs = [0, 1000, 2500, 9000]
     offsets_cache.store(str(p), offs, granularity=256)
     assert offsets_cache.load(str(p), granularity=256) == offs
@@ -58,13 +58,13 @@ def test_store_load_roundtrip(tmp_path):
     offsets_cache.clear_memo()
     assert offsets_cache.load(str(p), granularity=256) == offs
     # file change invalidates (size is part of the key)
-    p.write_bytes(b"x" * 101)
+    p.write_bytes(b"x" * 10_001)
     assert offsets_cache.load(str(p), granularity=256) is None
 
 
 def test_corrupt_sidecar_is_a_miss(tmp_path):
     p = tmp_path / "f-Data.db"
-    p.write_bytes(b"x")
+    p.write_bytes(b"x" * 64)
     offsets_cache.store(str(p), [0, 10], granularity=8)
     offsets_cache.clear_memo()
     side = offsets_cache._sidecar(offsets_cache._key(str(p)))
@@ -83,6 +83,43 @@ def test_corrupt_sidecar_is_a_miss(tmp_path):
     evil = bytearray(raw)
     s.pack_into("<q", evil, 8 + 8, -1)  # count field
     open(side, "wb").write(bytes(evil))
+    assert offsets_cache.load(str(p), granularity=8) is None
+
+
+def test_semantically_bogus_sidecar_is_a_miss(tmp_path):
+    """A WELL-FORMED sidecar whose offsets can't be partition boundaries
+    must miss: boundaries start at 0 and strictly increase — anything
+    else would feed split planning splits that don't start at partition
+    starts. (No upper-bound-vs-file-size check: compressed tables cache
+    UNCOMPRESSED coordinates, legitimately larger than the on-disk file —
+    offsets > EOF-equivalents are instead covered by the crc32 trailer
+    against bit-rot and the 0700 per-uid cache dir against planting.)"""
+    p = tmp_path / "f-Data.db"
+    p.write_bytes(b"x" * 1000)
+
+    def plant(offs):
+        offsets_cache.store(str(p), offs, granularity=8)
+        offsets_cache.clear_memo()
+        return offsets_cache.load(str(p), granularity=8)
+
+    assert plant([0, 10, 2000]) == [0, 10, 2000]  # > file size OK (compressed)
+    assert plant([10, 20]) is None              # first boundary not 0
+    assert plant([0, 20, 20]) is None           # not strictly increasing
+    assert plant([0, 30, 10]) is None           # unsorted
+    assert plant([0, -5, 10]) is None           # negative offset
+
+
+def test_bitrot_crc_is_a_miss(tmp_path):
+    """Flip one payload bit without changing any length: only the crc32
+    trailer can catch this class of corruption."""
+    p = tmp_path / "f-Data.db"
+    p.write_bytes(b"x" * 64)
+    offsets_cache.store(str(p), [0, 16, 32], granularity=8)
+    offsets_cache.clear_memo()
+    side = offsets_cache._sidecar(offsets_cache._key(str(p)))
+    raw = bytearray(open(side, "rb").read())
+    raw[len(raw) - 10] ^= 0x40  # inside the last offset's bytes
+    open(side, "wb").write(bytes(raw))
     assert offsets_cache.load(str(p), granularity=8) is None
 
 

@@ -355,35 +355,55 @@ def test_png_stdlib_decode():
     # non-stdlib shapes raise ValueError (the dispatcher then probes PIL)
     good = encode_png(flat, 0)
     ihdr_at = 8 + 8  # sig + len/type
-    palette = bytearray(good)
-    palette[ihdr_at + 9] = 3  # color type -> palette
+
+    def _patch_ihdr(buf, off, val):
+        """Flip an IHDR field AND refresh its CRC — a valid-but-
+        unsupported header must route to 'stdlib-decodable', not be
+        masked by the CRC check."""
+        out = bytearray(buf)
+        out[ihdr_at + off] = val
+        crc = zlib.crc32(bytes(out[ihdr_at - 4:ihdr_at + 13]))
+        s.pack_into(">I", out, ihdr_at + 13, crc)
+        return bytes(out)
+
     with _pt.raises(ValueError, match="stdlib-decodable"):
-        _decode_png_gray_grid(bytes(palette))
-    interlaced = bytearray(good)
-    interlaced[ihdr_at + 12] = 1  # Adam7
+        _decode_png_gray_grid(_patch_ihdr(good, 9, 3))  # palette
     with _pt.raises(ValueError, match="stdlib-decodable"):
-        _decode_png_gray_grid(bytes(interlaced))
+        _decode_png_gray_grid(_patch_ihdr(good, 12, 1))  # Adam7
     with _pt.raises(ValueError):
         _decode_png_gray_grid(good[:40])  # truncated: no IDAT
 
-    # corrupt pixel stream length (zlib-valid, wrong size) must raise,
-    # not silently mis-grid
+    # corrupt pixel stream length (zlib-valid, wrong size, chunk CRCs
+    # intact) must raise, not silently mis-grid
+    def _chunk(ctype, data):
+        return (s.pack(">I", len(data)) + ctype + data
+                + s.pack(">I", zlib.crc32(ctype + data)))
+
     raw = zlib.compress(b"\x00" * 10)
     bad = (b"\x89PNG\r\n\x1a\n"
-           + s.pack(">I", 13) + b"IHDR" + s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
-           + b"\x00" * 4
-           + s.pack(">I", len(raw)) + b"IDAT" + raw + b"\x00" * 4)
+           + _chunk(b"IHDR", s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+           + _chunk(b"IDAT", raw))
     with _pt.raises(ValueError, match="length mismatch"):
         _decode_png_gray_grid(bad)
 
-    # review finding: a corrupted DEFLATE stream / lying chunk length must
-    # surface as ValueError (the dispatcher's fall-through contract), not
-    # zlib.error/struct.error killing the whole mapInArrow job
+    # bit-rot in IDAT: the chunk CRC catches it (advice finding — without
+    # the CRC check, rot that still inflates to the right length would
+    # decode silently into wrong features)
     rot = bytearray(good)
     idat_at = good.index(b"IDAT") + 4
     rot[idat_at + 2] ^= 0xFF
-    with _pt.raises(ValueError, match="corrupt PNG"):
+    with _pt.raises(ValueError, match="CRC mismatch"):
         _decode_png_gray_grid(bytes(rot))
+
+    # a corrupted DEFLATE stream whose chunk CRC is (re)valid must still
+    # surface as ValueError (zlib.error wrap — the dispatcher's
+    # fall-through contract), not kill the whole mapInArrow job
+    garbage = b"\xff\x00\xfe\x01not-deflate"
+    undeflatable = (b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", s.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+                    + _chunk(b"IDAT", garbage))
+    with _pt.raises(ValueError, match="corrupt PNG"):
+        _decode_png_gray_grid(undeflatable)
     liar = bytearray(good)
     s.pack_into(">I", liar, good.index(b"IHDR") - 4, 1 << 20)  # IHDR len lie
     with _pt.raises(ValueError):

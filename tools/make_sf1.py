@@ -17,7 +17,11 @@ Deterministic: numpy PCG64(42). ~180 MB on disk. Usage:
 tools/bench_sf10.py for the second order-of-magnitude scaling datapoint).
 Dimension-like vocabularies (regions, nations, segments, event types,
 users, doc sources) deliberately stay fixed — scaling data under fixed
-key cardinalities is exactly the 100 TB shape.
+key cardinalities is exactly the 100 TB shape. The DOCUMENT WORD
+vocabulary is the one exception: it grows ~sqrt(n_docs) (Heaps' law,
+anchored at 30 words / 5k docs) because a fixed word list saturates the
+trigram space and makes true near-dup pair density grow ~n^2 — a corpus
+artifact, not an algorithm property (see the documents block below).
 """
 
 from __future__ import annotations
@@ -173,10 +177,23 @@ def main(outdir: str = "testdata_sf1", scale: float = 1.0) -> None:
         "props": [f'{{"k": {int(v)}}}' for v in rng.integers(0, 100, N_EVENTS)],
     }))
 
-    # documents: 8-110 vocab words; ~0.2% planted exact duplicates
+    # documents: 8-110 vocab words; ~0.2% planted exact duplicates.
+    # Vocabulary grows with corpus size (Heaps' law, beta ~ 0.5, anchored
+    # at the driver's observed 30 words / 5k docs at sf0.1): holding the
+    # vocabulary FIXED while docs grow 100x saturates the 27k-trigram
+    # space (every shingle df ~ n, true near-dup pair density ~ n^2) — a
+    # corpus artifact no correct dedup algorithm can beat (the r11
+    # BENCH_SF10 25.4x row). With Heaps growth the planted duplicates
+    # (linear in n) dominate the pair space, so sf1->sf10 ratios measure
+    # the ALGORITHM. Base words stay in-vocabulary so term-targeted
+    # queries (BM25/TF-IDF 'table join spark') keep their hits.
     n_words = rng.integers(8, 111, N_DOCS)
-    vocab_arr = np.array(VOCAB)
-    texts = [" ".join(vocab_arr[rng.integers(0, len(VOCAB), k)])
+    n_vocab = max(len(VOCAB),
+                  int(round(len(VOCAB) * np.sqrt(N_DOCS / 5000.0))))
+    vocab_arr = np.array(
+        list(VOCAB) + [f"w{i:04d}" for i in range(n_vocab - len(VOCAB))]
+    )
+    texts = [" ".join(vocab_arr[rng.integers(0, n_vocab, k)])
              for k in n_words]
     dup_src = rng.integers(0, N_DOCS, N_DOCS // 500)
     for j, src in enumerate(dup_src):
