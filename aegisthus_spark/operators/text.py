@@ -94,14 +94,20 @@ def tfidf_top_terms(docs: DataFrame, *, k: int = 3) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).collect()[0].n
+    # corpus doc count rides as a 1-row broadcast (scalar join), not a
+    # driver collect: the whole pipeline stays lazy and single-job
+    n_tbl = docs.agg(F.countDistinct("doc_id").cast("double").alias("_n"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_tbl, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 
@@ -134,27 +140,31 @@ def _bm25_term_scores(
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs = int(stats.n)
-    avgdl = float(stats.avgdl) if stats.avgdl is not None else 1.0
+    # global (n, avgdl) ride as a 1-row broadcast (scalar join), not a
+    # driver collect — same doubles, but the pipeline stays lazy and
+    # single-job. COALESCE keeps the empty-corpus contract (no rows flow,
+    # so the 1.0 only pacifies the expression).
+    stats_tbl = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("_avgdl"),
+    )
     if terms is not None:
         tf = tf.filter(F.col("term").isin(list(terms)))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if terms is not None:
         df_tbl = F.broadcast(df_tbl)
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("_n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
     denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
     )
     return (
         tf.join(df_tbl, "term")
         .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(stats_tbl))
         .select(
             "doc_id",
             "term",
@@ -171,8 +181,8 @@ def bm25_top_terms(
 
     Same shuffle shape as :func:`tfidf_top_terms` — a doc-frequency
     aggregate and a per-document top-k window — plus one tiny per-document
-    length aggregate that joins back broadcast-style. N and avgdl are
-    scalar aggregates fetched once (query parameters, not data).
+    length aggregate that joins back broadcast-style. N and avgdl ride as
+    a 1-row broadcast scalar join (the plan stays lazy and single-job).
     """
     scored = _bm25_term_scores(docs, k1=k1, b=b).select(
         "doc_id", "term", F.round(F.col("s"), 6).alias("bm25")
