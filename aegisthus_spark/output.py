@@ -88,13 +88,22 @@ def render_row_json(
 
 
 def sort_columns_by_display_name(
-    rows: DataFrame, *, name_type: str = "BytesType", legacy_formatting: bool = False
+    rows: DataFrame,
+    *,
+    name_type: str = "BytesType",
+    legacy_formatting: bool = False,
+    python_render_fallback: bool = False,
 ) -> DataFrame:
     """O4 ``sort_columns_by_name``: re-sort each row's columns by the
     *stringified* column name (optionally legacy-escaped before compare),
     reproducing AegisthusKeySortingComparator.java:36-55. Applied after
     compact() so range-tombstone coverage still uses comparator order
-    (the reference's reducer/output split does the same)."""
+    (the reference's reducer/output split does the same).
+
+    ``python_render_fallback``: opt-in for off-registry comparators (same
+    trade as in :func:`to_aeg_json` — the reference's reflection breadth
+    back, at row-at-a-time Python cost; the default stays the loud raise).
+    """
     from .functions.naming import _CNTRL_OR_SPACE  # same escape, SQL-side
 
     if name_type in ("UTF8Type", "AsciiType"):
@@ -109,10 +118,27 @@ def sort_columns_by_display_name(
         from .functions.render import comparator_render
 
         if comparator_render(F.lit(b""), name_type) is None:
-            raise ValueError(
-                f"no JVM render for comparator {name_type!r}; register it in "
-                "aegisthus_spark.types + functions/render.py"
-            )
+            if not python_render_fallback:
+                raise ValueError(
+                    f"no JVM render for comparator {name_type!r}; register "
+                    "it in aegisthus_spark.types + functions/render.py, or "
+                    "opt into the row-at-a-time slow path with "
+                    "python_render_fallback=True"
+                )
+            # opt-in slow path: Python stable sort on the spec-twin render
+            # (types.get resolves custom registered comparators); stable =
+            # the same tie discipline as the JVM (k, i, c) struct sort
+            conv = aegtypes.get(name_type)
+
+            def _resort(columns):
+                def k(c):
+                    s = conv.render(bytes(c["name"]))
+                    return legacy_column_name_format(s) if legacy_formatting else s
+
+                return sorted(columns, key=k)
+
+            resort_udf = F.udf(_resort, rows.schema["columns"].dataType)
+            return rows.withColumn("columns", resort_udf(F.col("columns")))
         from .functions import naming as _naming
 
         def _key(name_col):
@@ -201,6 +227,7 @@ def to_aeg_json(
     max_col_size: int | None = None,
     trace_source: bool = False,
     legacy_formatting: bool = False,
+    python_render_fallback: bool = False,
 ) -> DataFrame:
     """compacted rows -> single-column DataFrame of aeg-JSON lines.
 
@@ -216,6 +243,17 @@ def to_aeg_json(
     ``group_by_source=True``). ``legacy_formatting`` applies the legacy
     column-name escaping to rendered names (:152-155) — a no-op for hex
     (BytesType) renders.
+
+    ``python_render_fallback``: opt-in breadth restore for OFF-REGISTRY
+    comparators (the reference instantiates any ``AbstractType`` subclass
+    by reflection, JsonOutputFormat.java:49-60). When True, a comparator
+    spec with no JVM render expression routes the WHOLE row through the
+    Python spec twin (``render_row_json`` over ``types.get`` converters —
+    register custom classes with ``types.register_comparator``) as a
+    row-at-a-time Python UDF. That is a documented ~10-100x slow path vs
+    whole-stage codegen, so the DEFAULT remains the loud ValueError: a
+    silent per-row Python plan at 100 TB is a worse failure mode than a
+    raise naming the missing render.
     """
     trace = (
         [F.col("source_path"), F.lit("\t")] if trace_source else []
@@ -308,11 +346,43 @@ def to_aeg_json(
         t for t in (key_type, name_type, value_type)
         if comparator_render(F.lit(b""), t) is None
     ]
-    raise ValueError(
-        f"no JVM render for comparator(s) {missing}; register the type in "
-        "aegisthus_spark.types and add its render expression in "
-        "functions/render.py (render_row_json stays the Python spec twin)"
-    )
+    if not python_render_fallback:
+        raise ValueError(
+            f"no JVM render for comparator(s) {missing}; register the type in "
+            "aegisthus_spark.types and add its render expression in "
+            "functions/render.py (render_row_json stays the Python spec "
+            "twin), or opt into the row-at-a-time slow path with "
+            "python_render_fallback=True"
+        )
+    # opt-in slow path: the Python spec twin renders the whole line per
+    # row (types.get resolves custom registered comparators exactly like
+    # the reference's reflection; byte parity is render_row_json's
+    # existing golden-tested contract)
+    key_conv = aegtypes.get(key_type)
+    name_conv = aegtypes.get(name_type)
+    value_conv = aegtypes.get(value_type)
+
+    def _render(key, deleted_at, columns, source_path=None):
+        line = render_row_json(
+            bytes(key),
+            deleted_at,
+            [c.asDict() for c in columns],
+            key_conv=key_conv,
+            name_conv=name_conv,
+            value_conv=value_conv,
+            max_col_size=max_col_size,
+            legacy_formatting=legacy_formatting,
+        )
+        if source_path is None:
+            return line
+        head, _, body = line.partition("\t")
+        return f"{head}\t{source_path}\t{body}"
+
+    render_udf = F.udf(_render, "string")
+    args = [F.col("partition_key"), F.col("deleted_at"), F.col("columns")]
+    if trace_source:
+        args.append(F.col("source_path"))
+    return compacted.select(render_udf(*args).alias("value"))
 
 
 def parse_aeg_json_line(line: str) -> dict:

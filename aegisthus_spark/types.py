@@ -470,3 +470,20 @@ class CompositeComparator(Comparator):
 
 def get(spec: str) -> Comparator:
     return parse_comparator(spec)
+
+
+def register_comparator(name: str, comparator: Comparator) -> None:
+    """Register a custom comparator under its short class name.
+
+    The reference instantiates ANY ``AbstractType`` subclass by reflection
+    (AegisthusKeySortingComparator.java:71-80, JsonOutputFormat.java:49-60)
+    — users with custom marshal classes pass the class name and it just
+    works. This is the Python-side equivalent: a registered comparator is
+    picked up by :func:`get`/:func:`parse_comparator` everywhere the
+    Python twins run (render_row_json, CQL compose, sort twins), and by
+    the ``python_render_fallback=True`` slow path in ``output.to_aeg_json``
+    / ``output.sort_columns_by_display_name``. It does NOT add a JVM
+    render expression — for hot-path (whole-stage-codegen) rendering,
+    also add one in ``functions/render.py``.
+    """
+    _SIMPLE[_strip_pkg(name.strip())] = comparator

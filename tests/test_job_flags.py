@@ -231,3 +231,72 @@ def test_sstable2json_cli(capsys):
         return out
     assert logical(plain) == logical(comp)
     assert logical(plain)["user48"] == [("ts", "48"), ("user_name", "name_48")]
+
+
+def test_python_render_fallback_custom_comparator(spark):
+    """Reference-breadth restore: an OFF-REGISTRY marshal class (the
+    reference instantiates any AbstractType subclass by reflection,
+    JsonOutputFormat.java:49-60) registered only Python-side via
+    types.register_comparator. Default stays the loud raise; the
+    python_render_fallback=True opt-in routes through the spec twin."""
+    import json
+
+    import pytest
+
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.compact import compact
+    from aegisthus_spark.output import (
+        render_row_json,
+        sort_columns_by_display_name,
+        to_aeg_json,
+    )
+
+    # toy custom marshal class: renders the column name bytes REVERSED as
+    # uppercase hex -- numeric-ish names sort very differently under it
+    demo = aegtypes.Comparator(
+        "DemoRevType", None, _render=lambda b: b[::-1].hex().upper()
+    )
+    aegtypes.register_comparator("org.example.DemoRevType", demo)
+    try:
+        rows = compact(_typed_cells(spark))
+
+        # default: loud failure naming the opt-in
+        with pytest.raises(ValueError, match="python_render_fallback"):
+            sort_columns_by_display_name(rows, name_type="DemoRevType")
+        with pytest.raises(ValueError, match="python_render_fallback"):
+            to_aeg_json(compact(_typed_cells(spark)), name_type="DemoRevType")
+
+        # opt-in sort: ordered by the custom render of the name bytes
+        by_name = sort_columns_by_display_name(
+            rows, name_type="DemoRevType", python_render_fallback=True
+        )
+        cols = by_name.collect()[0]["columns"]
+        rendered = [demo.render(bytes(c["name"])) for c in cols]
+        assert rendered == sorted(rendered)
+        assert len(rendered) == 3
+
+        # opt-in JSON: byte parity with the Python spec twin, custom
+        # render visible in the parsed line
+        line = to_aeg_json(
+            compact(_typed_cells(spark)),
+            name_type="DemoRevType",
+            python_render_fallback=True,
+        ).collect()[0].value
+        row = compact(_typed_cells(spark)).collect()[0]
+        want = render_row_json(
+            bytes(row["partition_key"]),
+            row["deleted_at"],
+            [c.asDict() for c in row["columns"]],
+            name_conv=demo,
+        )
+        assert line == want
+        key_str, _, body = line.partition("\t")
+        parsed = json.loads(body)[key_str]
+        names = [e[0] for e in parsed["columns"]]
+        # struct.pack('>q', 2)[::-1].hex().upper() etc.
+        assert names == [
+            bytes(c["name"])[::-1].hex().upper()
+            for c in compact(_typed_cells(spark)).collect()[0]["columns"]
+        ]
+    finally:
+        del aegtypes._SIMPLE["DemoRevType"]
