@@ -648,6 +648,16 @@ def containment_of_pairs(
         docs, n=n, id_col=id_col, persist_shingles=persist_shingles,
         max_shingle_df=max_shingle_df,
     )
+    return _containment_scored(sh, cand, id_col=id_col, threshold=threshold)
+
+
+def _containment_scored(
+    sh: DataFrame, cand: DataFrame, *, id_col: str, threshold: float
+) -> DataFrame:
+    """The verify stage shared by every containment screen: one
+    common-shingle join over the candidate pairs, both directed
+    containments + Jaccard, threshold on the rounded-6 values (the
+    cross-engine determinism contract)."""
     scored = _pair_overlap(sh, cand, id_col=id_col).select(
         "a",
         "b",
@@ -666,6 +676,64 @@ def containment_of_pairs(
     return scored.filter(
         (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
     ).orderBy("a", "b")
+
+
+def winnow_containment(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    w: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Containment screen with WINNOWING fingerprints as the candidate
+    generator (Schleimer et al. 2003), verified on full shingle sets.
+
+    Blocking: two documents are candidates iff they share a winnowing
+    fingerprint — a per-window minimum of token k-gram hashes, selected
+    per row with NO shuffle (text.winnow_fingerprints). The winnowing
+    guarantee makes this a principled blocker for CONTAINMENT: any shared
+    token run of >= w+k-1 tokens yields a shared fingerprint, so a quoted
+    passage of that length ALWAYS surfaces the pair — the recall case
+    resemblance-tuned MinHash banding provably misses (a short doc inside
+    a long one has low Jaccard, so band collisions are unlikely; see
+    containment_of_pairs' recall caveat). Versus full-shingle blocking
+    (ngram_jaccard_pairs' self-join) the fingerprint table carries an
+    expected 2/(w+1) of the rows into the equi-join — same candidates for
+    long overlaps at ~w/2 x less shuffle.
+
+    Verify: exact containment/Jaccard over the full n-gram shingle sets
+    for candidates only (_containment_scored — one common-shingle join).
+
+    ``max_fp_df``: hot-fingerprint cap (the df-cap discipline): a
+    fingerprint shared by d documents contributes d^2 candidate pairs, so
+    boilerplate spans need the same guard as hot shingles. Candidates
+    lost to the cap are pairs whose ONLY shared runs are corpus-wide
+    boilerplate — the pairs a dedup screen wants suppressed anyway.
+    """
+    from .text import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col)
+    if max_fp_df is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp")
+    fa = fp.select(F.col(id_col).alias("a"), "fp")
+    fb = fp.select(F.col(id_col).alias("b"), "fp")
+    cand = (
+        fa.join(fb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = word_shingles(docs, n=n, id_col=id_col)
+    return _containment_scored(sh, cand, id_col=id_col, threshold=threshold)
 
 
 def containment_short_side(

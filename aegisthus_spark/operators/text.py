@@ -211,6 +211,38 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def winnow_fingerprints(
+    docs: DataFrame, *, k: int = 3, w: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp): the document's winnowing fingerprint SET — per-window
+    (w) minimum of the token k-gram hashes, distinct per doc. The ONE
+    implementation of the selection expression, shared by
+    :func:`winnowing_shared` (corpus screen) and
+    ``dedup.winnow_containment`` (candidate generator): selection is a
+    pure per-row expression (no shuffle), and the exploded output carries
+    ~2/(w+1) the rows of the full shingle table."""
+    m = f"(size(toks) - {k - 1})"  # k-gram count
+    h = H32.format(col="g")
+    grams = f"transform(sequence(1, {m}), i -> array_join(slice(toks, i, {k}), ' '))"
+    hashes = f"transform({grams}, g -> {h})"
+    # let-bind the hash array (lambda vars are single nodes): inlining it
+    # into the per-window lambda would recompute EVERY gram's md5 once per
+    # window — O(m^2) digests per document (measured 20.6s -> sub-second
+    # at sf0.1); the round-7 expression-tree rule again
+    fps = (
+        f"element_at(transform(array({hashes}), hs -> "
+        f"array_distinct(CASE WHEN size(hs) < {w} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(1, size(hs) - {w - 1}), "
+        f"i -> array_min(slice(hs, i, {w}))) END)), 1)"
+    )
+    return (
+        docs.select(id_col, F.split(text_col, " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
 def winnowing_shared(
     docs: DataFrame, *, k: int = 3, w: int = 4,
     id_col: str = "doc_id", text_col: str = "text",
@@ -240,27 +272,9 @@ def winnowing_shared(
     window) is moot here: equal minima select equal VALUES, and the
     fingerprint SET deduplicates them, so both engines agree without a
     positional tie rule."""
-    m = f"(size(toks) - {k - 1})"  # k-gram count
-    h = H32.format(col="g")
-    grams = f"transform(sequence(1, {m}), i -> array_join(slice(toks, i, {k}), ' '))"
-    hashes = f"transform({grams}, g -> {h})"
-    # let-bind the hash array (lambda vars are single nodes): inlining it
-    # into the per-window lambda would recompute EVERY gram's md5 once per
-    # window — O(m^2) digests per document (measured 20.6s -> sub-second
-    # at sf0.1); the round-7 expression-tree rule again
-    fps = (
-        f"element_at(transform(array({hashes}), hs -> "
-        f"array_distinct(CASE WHEN size(hs) < {w} THEN array(array_min(hs)) "
-        f"ELSE transform(sequence(1, size(hs) - {w - 1}), "
-        f"i -> array_min(slice(hs, i, {w}))) END)), 1)"
-    )
     from pyspark.sql import Window
 
-    fp = (
-        docs.select(id_col, F.split(text_col, " ").alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
-    )
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     # fingerprint df via a PARTITIONED count window, not groupBy+join-back:
     # the join formulation re-runs the tokenize+gram+md5 explode lineage
     # (the dominant stage) a second time for the probe side — same call as

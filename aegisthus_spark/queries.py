@@ -4210,6 +4210,53 @@ def dedup_containment_capped(spark, sf_dir):
 
 
 @register(
+    "dedup_winnow_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+    wh AS (SELECT doc_id,
+                  [{_H32_SQL.format(col="array_to_string(toks[i:i+2], ' ')")}
+                   FOR i IN range(1, len(toks) - 1)] AS hs
+           FROM wt),
+    wfp AS MATERIALIZED (SELECT doc_id,
+                 unnest(list_distinct(
+                   CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                        ELSE [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+                   END)) AS fp
+           FROM wh),
+    wcand AS MATERIALIZED (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM wfp l JOIN wfp r ON l.fp = r.fp AND l.doc_id < r.doc_id),
+    whn AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    wcommon AS MATERIALIZED (
+        SELECT c.a, c.b, COUNT(*) AS common
+        FROM wcand c JOIN sh sa ON sa.doc_id = c.a
+                     JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b)
+    SELECT c.a, c.b,
+           round(CAST(common AS DOUBLE) / na.n, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / nb.n, 6) AS containment_b,
+           round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6) AS jaccard
+    FROM wcommon c JOIN whn na ON na.doc_id = c.a
+                   JOIN whn nb ON nb.doc_id = c.b
+    WHERE round(CAST(common AS DOUBLE) / na.n, 6) >= 0.5
+       OR round(CAST(common AS DOUBLE) / nb.n, 6) >= 0.5
+    ORDER BY c.a, c.b
+    """,
+    doc="containment screen blocked by WINNOWING fingerprints instead of "
+        "MinHash bands: candidates = pairs sharing a per-window-min "
+        "k-gram hash (guaranteed for any shared run >= w+k-1 tokens — "
+        "the short-inside-long recall case resemblance-tuned banding "
+        "provably misses), at ~2/(w+1) the blocking shuffle of full "
+        "shingles; verify = exact containment/Jaccard on candidates only",
+)
+def dedup_winnow_containment(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.winnow_containment(docs, k=3, w=4, n=3, threshold=0.5)
+
+
+@register(
     "dedup_ngram_coverage_capped",
     f"""
     WITH {_SHINGLES_CTE},
