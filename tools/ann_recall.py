@@ -1,0 +1,157 @@
+"""Sampled ANN recall@k vs exact brute-force ranking (round-11 verdict,
+next #3): the registered ANN queries have wall-time and candidate-count
+evidence but no accuracy number — this records recall@k against the exact
+cosine ranking for a deterministic id-modulus sample of query vectors, and
+patches the result into BENCH_SF1.json (``ann_recall`` key) so the scaling
+artifact carries the accuracy evidence next to the speed evidence.
+
+Method: ground truth is the exact float64 cosine top-k per sampled query
+(rounded to 6, id tie-breaks — the same determinism rule every registered
+similarity query uses), computed in numpy over the full corpus (the sample
+is ~40 queries, so the exact pass is 40 x n dots — a ground-truth probe,
+not a pipeline stage). Each ANN operator then runs AS REGISTERED (same
+parameters as its queries() entry, query vector swapped for the sampled
+one) and recall@k = |ann top-k ∩ exact top-k| / k, averaged over the
+sample. sim_knn_join is a single all-vectors job; its per-vector top-3 is
+checked against exact top-3 on the same sample.
+
+Floors: each query carries a stated floor; ``pass`` = mean recall >= floor.
+Floors are the evidence bar for the SYNTHETIC corpus (label-clustered
+embeddings, see tools/make_sf1.py) — a real corpus shifts the numbers, but
+a regression below the floor means a parameter or code change broke the
+candidate funnel, not the corpus.
+
+Usage: python tools/ann_recall.py [sf_dir=testdata_sf1] [--sample N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+#: stated recall floors (see module docstring); measured values at sf1
+#: sit comfortably above — a run below the floor is a regression signal
+FLOORS = {
+    "sim_cosine_lsh": 0.60,
+    "sim_pq_refine": 0.80,
+    "sim_ivfpq_topk": 0.50,
+    "sim_matryoshka_rerank": 0.80,
+    "sim_quantized_topk": 0.90,
+    "sim_knn_join": 0.70,
+}
+
+
+def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
+    from aegisthus_spark.operators import similarity as sim
+    from aegisthus_spark.queries import knn_plane_count
+    from aegisthus_spark.session import get_spark
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = len(ids)
+    step = max(n // sample, 1)
+    qpos = [int(i) for i in range(0, n, step)][:sample]
+    print(f"{sf_dir}: {n} vectors, {len(qpos)} sampled queries (id stride {step})")
+
+    # normalized once; exact ranks for all sampled queries in one matmul
+    Nrm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cosM = np.round(Nrm[qpos] @ Nrm.T, 6)
+
+    def exact(rowi: int, qi: int, k: int) -> set[int]:
+        cos = cosM[rowi]
+        order = sorted((j for j in range(n) if j != qi),
+                       key=lambda j: (-cos[j], ids[j]))
+        return {int(ids[j]) for j in order[:k]}
+
+    spark = get_spark("ann-recall", cpus=cpus)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    emb.count()
+
+    # single-query operators, AS REGISTERED (params mirror queries())
+    single = {
+        "sim_cosine_lsh": lambda qv, qid: sim.cosine_topk_lsh(
+            emb, qv, k=10, n_planes=6, seed=1234, exclude_id=qid),
+        "sim_pq_refine": lambda qv, qid: sim.pq_refine_topk(
+            emb, qv, m=8, k=16, shortlist=50, topk=10, exclude_id=qid),
+        "sim_ivfpq_topk": lambda qv, qid: sim.pq_topk_ivf(
+            emb, qv, probes=3, m=8, k=16, topk=10, exclude_id=qid),
+        "sim_matryoshka_rerank": lambda qv, qid: sim.cosine_topk_matryoshka(
+            emb, qv, prefix_dim=16, shortlist=50, k=10, exclude_id=qid),
+        "sim_quantized_topk": lambda qv, qid: sim.cosine_topk_quantized(
+            emb, query_id=qid, k=10),
+    }
+    out = {}
+    for name, fn in single.items():
+        recalls = []
+        for rowi, qi in enumerate(qpos):
+            qv = [float(x) for x in V[qi]]
+            got = {int(r[0]) for r in fn(qv, int(ids[qi])).collect()}
+            recalls.append(len(got & exact(rowi, qi, 10)) / 10.0)
+        out[name] = {
+            "k": 10, "n_queries": len(qpos),
+            "recall_mean": round(float(np.mean(recalls)), 3),
+            "recall_min": round(float(np.min(recalls)), 3),
+        }
+        print(f"{name}: recall@10 mean {out[name]['recall_mean']} "
+              f"min {out[name]['recall_min']}")
+
+    # the all-vectors join: ONE job, per-vector top-3 vs exact top-3
+    p = knn_plane_count(n)
+    knn = sim.knn_join(emb, k=3, dim=V.shape[1], n_planes=p, seed=1234)
+    sample_ids = {int(ids[qi]) for qi in qpos}
+    got_rows = [r for r in knn.collect() if int(r["vec_id"]) in sample_ids]
+    by_q: dict[int, set[int]] = {}
+    for r in got_rows:
+        by_q.setdefault(int(r["vec_id"]), set()).add(int(r["nn"]))
+    recalls = [
+        len(by_q.get(int(ids[qi]), set()) & exact(rowi, qi, 3)) / 3.0
+        for rowi, qi in enumerate(qpos)
+    ]
+    out["sim_knn_join"] = {
+        "k": 3, "n_queries": len(qpos), "planes": p,
+        "recall_mean": round(float(np.mean(recalls)), 3),
+        "recall_min": round(float(np.min(recalls)), 3),
+    }
+    print(f"sim_knn_join: recall@3 mean {out['sim_knn_join']['recall_mean']} "
+          f"min {out['sim_knn_join']['recall_min']} (p={p})")
+    spark.stop()
+
+    for name, rec in out.items():
+        rec["floor"] = FLOORS[name]
+        rec["pass"] = rec["recall_mean"] >= FLOORS[name]
+    return out
+
+
+def main() -> None:
+    sf_dir = os.path.join(ROOT, "testdata_sf1")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        sf_dir = args[0]
+    sample = 40
+    if "--sample" in sys.argv:
+        sample = int(sys.argv[sys.argv.index("--sample") + 1])
+    result = compute(sf_dir, sample=sample)
+
+    path = os.path.join(ROOT, "BENCH_SF1.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            art = json.load(f)
+        art["ann_recall"] = result
+        with open(path, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"patched {path} (ann_recall)")
+    failed = [k for k, v in result.items() if not v["pass"]]
+    print("ALL FLOORS MET" if not failed else f"BELOW FLOOR: {failed}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1112,6 +1112,156 @@ def bti_plan_bench(cpus: int, rows: int, files: int) -> None:
           f"(driver never reads Data.db)")
 
 
+def incremental_bench(cpus: int, n_keys: int, n_batches: int) -> None:
+    """Bucketed incremental-merge steady state (round-11 verdict, next #7):
+    the plan property (snapshot side of ``merge_bucketed`` has no Exchange,
+    tests/test_bucketed_merge.py) measured under load.
+
+    Builds an initial compacted snapshot of ``n_keys`` partitions x 8 cells
+    (distributed generation), then merges ``n_batches`` batches of ~2%
+    churn (half updates, half new keys) into a growing bucketed snapshot,
+    timing each merge INCLUDING the versioned-table rewrite. Steady state
+    = per-batch wall flat (the snapshot grows ~1%/batch, so drift bounds
+    the slope). The control re-runs the same batches against a PLAIN
+    (unbucketed) snapshot table, whose merge join must Exchange the full
+    snapshot side every batch.
+
+    The decisive number is per-batch SHUFFLE BYTES (measured as the
+    block-manager directory growth per merge): bucketed ~ batch-sized,
+    plain ~ snapshot-sized. Local-mode WALL times understate the gap —
+    a local[N] "shuffle" is an in-memory file copy, while on a cluster
+    the plain path ships the whole snapshot over the network every
+    batch; the bytes column is the scale-invariant evidence.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aegisthus_spark.compact import compact, merge_compacted
+    from aegisthus_spark.session import get_spark
+    from aegisthus_spark.streaming.incremental import (
+        merge_bucketed,
+        write_snapshot_bucketed,
+    )
+
+    wd = tempfile.mkdtemp(prefix="stress_incremental_")
+    os.chdir(wd)  # saveAsTable warehouse lands here, cleaned at exit
+    local_dir = os.path.join(wd, "spark_local")
+    os.environ["SPARK_LOCAL_DIRS"] = local_dir
+    spark = get_spark("stress-incremental", cpus=cpus)
+    buckets = 32
+    cells_per_key = 8
+
+    def shuffle_bytes() -> int:
+        """Cumulative block-manager bytes (shuffle + checkpoint blocks);
+        per-merge deltas isolate each merge's shuffle volume."""
+        roots = _glob.glob(os.path.join(local_dir, "**", "blockmgr-*"),
+                           recursive=True) or _glob.glob(
+            os.path.join(tempfile.gettempdir(), "blockmgr-*"))
+        total = 0
+        for r in roots:
+            for dirpath, _, files in os.walk(r):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+        return total
+
+    def make_cells(key_expr: str, n: int, gen: int, ts0: int):
+        """``n`` synthetic partitions x 8 cells, keys from ``key_expr``
+        over ``id`` in [0, n) — pure expressions, no driver loops."""
+        return (
+            spark.range(n)
+            .selectExpr(f"({key_expr}) AS k")
+            .select(
+                "k", F.explode(F.expr(f"sequence(0, {cells_per_key - 1})")).alias("ci")
+            )
+            .selectExpr(
+                f"'gen{gen}' AS source_path",
+                f"CAST({gen} AS INT) AS generation",
+                "CAST(format_string('k%012d', k) AS BINARY) AS partition_key",
+                f"CAST({-(1 << 63)} AS LONG) AS row_deleted_at",
+                "'c' AS kind",
+                "CAST(format_string('col%02d', ci) AS BINARY) AS cell_name",
+                "CAST(NULL AS BINARY) AS cell_name_max",
+                "CAST(repeat('x', 40) AS BINARY) AS value",
+                f"CAST({ts0} + ci AS LONG) AS ts",
+                "CAST(NULL AS INT) AS ttl",
+                "CAST(NULL AS INT) AS local_deletion_time",
+                "CAST(NULL AS LONG) AS ts_of_last_delete",
+            )
+        )
+
+    batch_keys = max(n_keys // 50, 1000)  # ~2% churn per batch
+
+    def batch_cells(b: int):
+        # even ids update an existing key (strided so updates spread over
+        # the key space / all buckets), odd ids append a brand-new key
+        key_expr = (
+            f"IF(id % 2 = 0, (id * 997) % {n_keys}, "
+            f"{n_keys} + {b} * {batch_keys} + id)"
+        )
+        return make_cells(key_expr, batch_keys, gen=b + 2, ts0=(b + 2) * 1000)
+
+    base = compact(make_cells("id", n_keys, gen=1, ts0=1000),
+                   keep_range_tombstones=True)
+    n0 = base.count()
+    print(f"initial snapshot: {n0} partitions x {cells_per_key} cells, "
+          f"batch churn {batch_keys} keys x {n_batches} batches, "
+          f"{buckets} buckets, {cpus} cores")
+
+    results = {}
+    for mode in ("bucketed", "plain"):
+        for t in [r.tableName for r in spark.sql("SHOW TABLES").collect()]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if mode == "bucketed":
+            write_snapshot_bucketed(base, "snap_v0", buckets=buckets)
+        else:
+            base.write.mode("overwrite").format("parquet").saveAsTable("snap_v0")
+        walls, shuf = [], []
+        for b in range(n_batches):
+            cur, nxt = f"snap_v{b}", f"snap_v{b + 1}"
+            bc = batch_cells(b).localCheckpoint()  # generation out of timing
+            s0 = shuffle_bytes()
+            t0 = time.time()
+            if mode == "bucketed":
+                merge_bucketed(spark, bc, cur, nxt, buckets=buckets)
+            else:
+                rows = compact(bc, keep_range_tombstones=True)
+                merge_compacted(spark.table(cur), rows).write.mode(
+                    "overwrite").format("parquet").saveAsTable(nxt)
+            walls.append(time.time() - t0)
+            shuf.append(max(shuffle_bytes() - s0, 0))
+            spark.sql(f"DROP TABLE {cur}")
+        results[mode] = (walls, shuf)
+        tail = walls[1:] or walls  # batch 0 carries JVM/codegen warmup
+        print(f"{mode:9s}: per-batch wall "
+              + " ".join(f"{w:.1f}s" for w in walls)
+              + f" | steady max/min {max(tail) / min(tail):.2f}x")
+        print(f"{mode:9s}: per-batch shuffle "
+              + " ".join(f"{s / 1e6:.1f}MB" for s in shuf))
+
+    final = spark.table(f"snap_v{n_batches}").count()
+    exp = n0 + n_batches * ((batch_keys + 1) // 2)
+    assert final == exp, (final, exp)
+    bw, bs = results["bucketed"]
+    pw, ps = results["plain"]
+    bsm, psm = sum(bs[1:]) / 1e6, sum(ps[1:]) / 1e6
+    print(f"steady-state (batches 2..{n_batches}): wall bucketed "
+          f"{sum(bw[1:]):.1f}s vs plain {sum(pw[1:]):.1f}s; shuffle "
+          f"bucketed {bsm:.0f}MB vs plain {psm:.0f}MB -> bucketing moves "
+          f"{psm / max(bsm, 0.1):.1f}x fewer bytes per merge of the "
+          f"{final}-row snapshot (the cluster-scale saving: the plain "
+          f"path re-Exchanges the whole snapshot every batch)")
+    spark.stop()
+    os.chdir("/")
+    shutil.rmtree(wd, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=400_000)
@@ -1158,6 +1308,11 @@ def main() -> None:
     ap.add_argument("--decode-ma", action="store_true",
                     help="run the 3.x (ma) distributed decode benchmark "
                          "(--rows partitions per file, --files files)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="bucketed incremental-merge steady state: N ~2%% "
+                         "churn batches into a growing snapshot (--keys "
+                         "initial partitions), bucketed vs plain control")
+    ap.add_argument("--batches", type=int, default=6)
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--keys", type=int, default=10_000)
     ap.add_argument("--hot-cells", type=int, default=3_000_000)
@@ -1204,6 +1359,9 @@ def main() -> None:
         return
     if args.corpus_dedup:
         corpus_dedup_bench(args.cpus, args.docs)
+        return
+    if args.incremental:
+        incremental_bench(args.cpus, args.keys, args.batches)
         return
 
     from aegisthus_spark.session import get_spark
