@@ -120,23 +120,37 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
     ``n_planes`` fixed Gaussian hyperplane dots (SimHash for vectors), probe
-    the query's bucket plus all Hamming-distance-1 neighbors, exact-rank the
-    candidates.
+    the query's bucket plus all Hamming-distance<=``probe_radius``
+    neighbors, exact-rank the candidates.
 
     Scale shape: the bucket id is a pure per-row expression (no shuffle to
     assign), candidate selection is a bucket-id filter — on a bucket-
     partitioned table that is partition pruning, the same story as the IVF
-    variant but without needing trained centroids. Probing H+1 buckets of
-    2^H bounds the scanned fraction at ~(H+1)/2^H of the corpus.
+    variant but without needing trained centroids. Probing radius R scans
+    ~sum(C(H,r))/2^H of the corpus; the recall lever is R, not H: at the
+    top-1 neighbor cosine this corpus actually has (~0.67 at sf1,
+    tools/ann_recall.py), radius 1 over 6 planes recalls ~0.4 of the exact
+    top-10 where radius 2 recalls ~0.8 for a 22/64-bucket scan.
     """
     planes = hyperplanes(len(query_vec), n_planes, seed)
     q = _query_lit(query_vec)
     qb = _bucket_expr(q, planes)  # constant-folds in codegen
-    probes = f"array({qb}, " + ", ".join(
-        f"({qb} ^ {1 << j})" for j in range(n_planes)
+    flips = [0] + [1 << j for j in range(n_planes)]
+    if probe_radius >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if probe_radius >= 3:
+        raise ValueError("probe_radius > 2 unsupported (probe list blows up "
+                         "combinatorially; raise n_planes instead)")
+    probes = "array(" + ", ".join(
+        qb if m == 0 else f"({qb} ^ {m})" for m in flips
     ) + ")"
     cand = emb.withColumn("_b", F.expr(_bucket_expr(vec_col, planes))).filter(
         F.expr(f"array_contains({probes}, _b)")
@@ -269,6 +283,101 @@ def knn_join(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(F.col("a").alias(id_col), F.col("nn"), "cos", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    *,
+    k: int = 3,
+    cells: int = 32,
+    probes: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ALL-vectors k-NN join via IVF (k-means cell) blocking — the
+    moderate-similarity complement to :func:`knn_join`'s sign-bit LSH.
+
+    Sign-bit LSH only retrieves near-identical vectors: at the top-1
+    neighbor cosine this corpus actually has (~0.67 at sf1,
+    tools/ann_recall.py), P(Hamming<=1 over 14 planes) is ~8%, so
+    ``knn_join`` is a NEAR-DUP candidate generator, not a general k-NN.
+    IVF blocks by data-adaptive k-means cells instead: neighbors at
+    moderate cosine share a cell (or the runner-up cell) with high
+    probability because the cells are fitted to the corpus's own cluster
+    structure, not to random hyperplanes.
+
+    Shape: one Lloyd-refined clustering (``_lloyd_clusters`` — seeds =
+    ``cells`` lowest ids, decimal-exact means, shared bit-for-bit with
+    kmeans_assign and its green oracle); the RIGHT side is each vector in
+    its own (top-1) cell, the LEFT side probes its ``probes`` nearest
+    cells by flat centroid rank — candidates come from ONE equi-join on
+    cell id, ~``probes * n/cells`` per vector, never all-pairs. With
+    ``cells ~ sqrt(n/2)`` (the registered query's choice, the SemDeDup
+    contract) total candidate work is ~n^1.5; fixed-size cells
+    (``cells ~ n/c``) make it linear at the price of a bigger centroid
+    broadcast — at production scale use the two-level route for the
+    probe rank too. Scoring and ranking mirror knn_join: float left-fold
+    cosine rounded to 6, per-vector rank window, id tie-breaks.
+
+    Own-cell assignment reuses the kmeans two-level route above 32 cells
+    (approximate, identical to the kmeans_assign oracle); probe ranks are
+    exact flat ranks over the final centroids — both rules are mirrored
+    verbatim in the registered oracle, so a vector whose routed own cell
+    differs from its flat top-1 produces the same candidates in both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    emb = ensure_parallelism(emb, id_col)
+    clusters, k_c = _lloyd_clusters(
+        emb, cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [([(cid, cent) for cid, cent in clusters],)],
+        schema="_cents array<struct<j:int,cent:array<double>>>",
+    )
+    norm = F.sqrt(F.expr(_dot_float(vec_col, vec_col)))
+    # right: every vector in its own top-1 cell (two-level above 32 cells,
+    # the kmeans_assign rule)
+    own = _kmeans_assign_once(
+        emb, clusters, id_col=id_col, vec_col=vec_col, k_c=k_c
+    ).select(
+        F.col(id_col).alias("nn"), F.col(vec_col).alias("vb"),
+        F.col("cluster").alias("cell"),
+    ).withColumn("nb", F.sqrt(F.expr(_dot_float("vb", "vb"))))
+    # left: flat rank of ALL cells per vector, keep the top ``probes``
+    # (array_sort on struct(d, j) == ORDER BY d2, cluster)
+    pr = (
+        f"transform(slice(array_sort(transform(_cents, c -> "
+        f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j))), "
+        f"1, {probes}), s -> s.j)"
+    )
+    left = (
+        emb.crossJoin(F.broadcast(cents_df))
+        .select(
+            F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+            norm.alias("na"), F.explode(F.expr(pr)).alias("pcell"),
+        )
+    )
+    scored = left.join(
+        own, (F.col("pcell") == F.col("cell")) & (F.col("a") != F.col("nn"))
+    ).select(
+        "a", "nn",
+        F.round(
+            F.expr(_dot_float("va", "vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), "nn")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("a").alias(id_col), F.col("nn"), "cos",
+            F.col("rn").cast("int").alias("rn"),
+        )
     )
 
 
@@ -534,6 +643,26 @@ def kmeans_assign(
     rounded to 6.
     """
     emb = ensure_parallelism(emb, id_col)
+    clusters, k_c = _lloyd_clusters(
+        emb, k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _kmeans_assign_once(
+        emb, clusters, id_col=id_col, vec_col=vec_col, k_c=k_c
+    )
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+    )
+
+
+def _lloyd_clusters(
+    emb: DataFrame, k: int, *, iters: int, id_col: str, vec_col: str
+) -> tuple[list[tuple[int, list[float]]], int]:
+    """The Lloyd loop of :func:`kmeans_assign` with the FINAL centroids
+    exposed: ``iters - 1`` (assign, decimal-mean) updates from the
+    k-lowest-id seeds. Returns (centroids, k_c) so callers (kmeans_assign,
+    knn_join_ivf) share one bit-identical clustering."""
     seed_rows = emb.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     clusters = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seed_rows)
     if not clusters:
@@ -545,13 +674,10 @@ def kmeans_assign(
     # lowest SEED ids', so clamp (the SQL oracle's row_number <= kc picks
     # the same set when fewer rows exist)
     k_c = min(coarse_cell_count(k), len(clusters))
-    assigned = None
-    for it in range(iters):
+    for _ in range(iters - 1):
         assigned = _kmeans_assign_once(
             emb, clusters, id_col=id_col, vec_col=vec_col, k_c=k_c
         )
-        if it == iters - 1:
-            break
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("i", "x"))
             .groupBy("cluster", "i")
@@ -570,11 +696,7 @@ def kmeans_assign(
             (cid, [by_cluster[cid][i] for i in range(len(prev))]) if cid in by_cluster else (cid, prev)
             for cid, prev in clusters
         ]
-    return assigned.select(
-        id_col,
-        "cluster",
-        F.round(F.sqrt("d2"), 6).alias("dist"),
-    )
+    return clusters, k_c
 
 
 def _pq_seeds(

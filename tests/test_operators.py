@@ -771,6 +771,76 @@ def test_knn_join_invariants(spark):
     assert checked > 0
 
 
+def test_knn_join_ivf_invariants_and_recall(emb):
+    """The IVF join keeps knn_join's output contract AND must beat the
+    sign-bit LSH join on exact-top-1 recall at moderate neighbor cosine —
+    the reason it exists (round-12 ann_recall finding: LSH multiprobe
+    recall ~0.04 at sf1's ~0.67 top-1 cosine)."""
+    import math
+
+    from aegisthus_spark.operators.similarity import knn_join, knn_join_ivf
+
+    rows = knn_join_ivf(emb, k=3, cells=32, probes=5).collect()
+    per = {}
+    for r in rows:
+        assert r.vec_id != r.nn
+        per.setdefault(r.vec_id, []).append(r)
+    for vid, rs in per.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for x, y in zip(rs, rs[1:]):
+            assert (x.cos, -x.nn) >= (y.cos, -y.nn)
+
+    # exact ground truth on the fixture corpus (500 vectors)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return round(d / (math.sqrt(sum(a * a for a in u))
+                          * math.sqrt(sum(b * b for b in v))), 6)
+
+    def top1(vid):
+        return max(
+            ((cos(vecs[vid], v), -o) for o, v in vecs.items() if o != vid),
+        )[1] * -1
+
+    sample = sorted(vecs)[::25]  # 20 deterministic queries
+    exact1 = {vid: top1(vid) for vid in sample}
+    ivf_hits = sum(
+        any(r.nn == exact1[vid] for r in per.get(vid, [])) for vid in sample
+    )
+    lsh_per = {}
+    for r in knn_join(emb, k=3, dim=64, n_planes=6).collect():
+        lsh_per.setdefault(r.vec_id, []).append(r)
+    lsh_hits = sum(
+        any(r.nn == exact1[vid] for r in lsh_per.get(vid, []))
+        for vid in sample
+    )
+    assert ivf_hits >= max(lsh_hits, len(sample) // 2), (ivf_hits, lsh_hits)
+
+
+def test_cosine_lsh_probe_radius_monotone(emb):
+    """Radius-2 multiprobe must return a result at least as close to the
+    exact top-k as radius 1: its candidate set is a strict superset, so
+    every radius-1 hit survives and the top-k cosine sum is monotone."""
+    from aegisthus_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    r1 = cosine_topk_lsh(emb, q, k=10, n_planes=6, seed=1234, exclude_id=7,
+                         probe_radius=1).collect()
+    r2 = cosine_topk_lsh(emb, q, k=10, n_planes=6, seed=1234, exclude_id=7,
+                         probe_radius=2).collect()
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=7).collect()}
+    hits1 = sum(r.vec_id in exact for r in r1)
+    hits2 = sum(r.vec_id in exact for r in r2)
+    assert hits2 >= hits1
+    assert sum(r.cos for r in r2) >= sum(r.cos for r in r1)
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 
