@@ -75,6 +75,14 @@ def main():
         "sim_knn_join": (
             "~linear at 10x data (candidates ~ n * (p+1) * n/2^p with "
             "adaptive p); skew guards recorded by stress.py --knn --skew"),
+        "sim_knn_join_ivf": (
+            "O(n^1.5) BY DESIGN: cells ~ sqrt(n/2) puts ~probes*sqrt(2n) "
+            "candidates per vector (operator docstring; the linear regime "
+            "is fixed-size cells + two-level probe ranks)"),
+        "dedup_semantic": (
+            "O(n^1.5) BY DESIGN: k ~ sqrt(n/2) balances assignment vs "
+            "pair folds (semantic_dedup docstring; stress.py --semantic "
+            "measures the k-scaling contract)"),
         "dedup_containment": (
             "linear-ish: candidate pairs + shingle-df density grow with "
             "the corpus's duplicate families; equi-join shaped, never "

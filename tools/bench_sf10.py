@@ -133,15 +133,19 @@ def main() -> None:
             "candidate pairs grow with duplicate-family density; the "
             "max_shingle_df cap (round 11) bounds the boilerplate case"),
         "dedup_minhash_lsh": (
-            "corpus artifact, not algorithm: the synthetic documents "
-            "table draws from a FIXED 30-word vocabulary, so 3-gram "
-            "document frequencies grow ~n and random band collisions "
-            "(and true candidate pairs at any threshold) grow ~n^2 — at "
-            "sf10's 500k docs the whole corpus is one dense near-dup "
-            "family. Real corpora scale vocabulary with size; for "
-            "genuinely boilerplate-dense corpora the max_shingle_df cap "
-            "(exposed on minhash_lsh_dedup, round 11) is the bound — "
-            "stress.py --hot-shingle measures it"),
+            "r11 flagged 25.4x on the old fixed-30-word corpus (shingle "
+            "df ~ n made true pair density grow ~n^2 — a corpus artifact "
+            "no correct algorithm beats); round 12 scaled the synthetic "
+            "vocabulary with sf (Heaps' law, tools/make_sf1.py) so the "
+            "benchmark measures the algorithm; for genuinely "
+            "boilerplate-dense corpora the max_shingle_df cap remains "
+            "the bound (stress.py --hot-shingle)"),
+        "sim_knn_join_ivf": (
+            "O(n^1.5) BY DESIGN: cells ~ sqrt(n/2) (the SemDeDup "
+            "contract) puts ~probes*sqrt(2n) candidates per vector; "
+            "fixed-size cells + two-level probe ranks make it linear at "
+            "the price of a bigger centroid broadcast (operator "
+            "docstring)"),
     }
     queries = {}
     watch = {}
