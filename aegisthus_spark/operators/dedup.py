@@ -425,6 +425,55 @@ def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col
     )
 
 
+def simhash_pairs(
+    docs: DataFrame, *, max_hamming: int = 3, bits: int = 32,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming): document pairs whose 32-bit SimHash fingerprints
+    differ in <= ``max_hamming`` bits — the classic banded-pigeonhole
+    near-dup miner (Manku, Jain & Das Sarma 2007, "Detecting
+    Near-Duplicates for Web Crawling", §3).
+
+    Pigeonhole: split the fingerprint into ``max_hamming + 1`` bands; any
+    pair within Hamming distance ``max_hamming`` agrees EXACTLY on at
+    least one band, so candidates come from ONE equi-join on
+    (band index, band value) — never an all-pairs Hamming scan — and the
+    popcount verification touches only candidates. Recall is 1.0 by
+    construction (no probabilistic misses, unlike MinHash banding); the
+    scale number to watch is the hottest band bucket (a band value shared
+    by k docs contributes k^2 candidates — same lever as LSH bands, and
+    the same salting/df-cap remedies apply).
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands  # 32/4 = 8-bit bands at the defaults
+    sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+    ).withColumn(
+        "key",
+        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    l = bands.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "key"
+    )
+    r = bands.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "key"
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 def _dot_decimal(a: str, b: str) -> str:
     """SQL expr: exact-deterministic dot product of two float arrays —
     per-element double product rounded into DECIMAL(27,15) (identical in any

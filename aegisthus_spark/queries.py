@@ -2017,21 +2017,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return _dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
 
 
+#: fingerprint CTE chain ending in ``shv`` = (doc_id, simhash) — ONE
+#: definition backs both the fingerprint oracle and the banded-pair oracle
+_SIMHASH_CTE = f"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hh AS (SELECT doc_id, {_H32_SQL.format(col='tok')} AS h FROM tk),
+    bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM hh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
+    shv AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)"""
+
+
 @register(
     "dedup_simhash",
     f"""
-    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-    hh AS (SELECT doc_id, {_H32_SQL.format(col='tok')} AS h FROM tk),
-    bits AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-             FROM hh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM shv ORDER BY doc_id
     """,
     doc="32-bit SimHash bit-majority fingerprint per document",
 )
 def dedup_simhash(spark, sf_dir):
     return _dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 8)) & 255 AS key
+      FROM shv, (SELECT unnest(range(4)) AS b) b),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS ha, r.simhash AS hb
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY a, b
+    """,
+    doc="SimHash near-dup pairs at Hamming<=3 via banded pigeonhole "
+        "(Manku et al. 2007): any pair within distance 3 agrees exactly "
+        "on one of 4 8-bit bands, so candidates come from ONE equi-join "
+        "on (band, value) — recall 1.0 by construction, popcount verify "
+        "touches candidates only; the MinHash-free sibling of "
+        "dedup_minhash_lsh",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return _dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 _DOT_SQL = (

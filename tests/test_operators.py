@@ -771,6 +771,25 @@ def test_knn_join_invariants(spark):
     assert checked > 0
 
 
+def test_simhash_pairs_pigeonhole_recall_is_total(docs):
+    """Banded pigeonhole must find EVERY pair within Hamming<=3 (unlike
+    MinHash banding there is no probabilistic miss): brute-force the
+    ground truth from the fingerprints and compare exactly."""
+    from aegisthus_spark.operators.dedup import simhash, simhash_pairs
+
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    got = sorted(map(tuple, simhash_pairs(docs, max_hamming=3).collect()))
+    assert got == want
+    assert len(got) > 0  # the fixture corpus does contain close pairs
+
+
 def test_knn_join_ivf_invariants_and_recall(emb):
     """The IVF join keeps knn_join's output contract AND must beat the
     sign-bit LSH join on exact-top-1 recall at moderate neighbor cosine —
