@@ -146,6 +146,21 @@ def jaccard_of_pairs(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "do
     )
 
 
+def _df_capped(rows: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """THE df-cap discipline, defined once: restrict ``rows`` to keys
+    (shingles / fingerprints) appearing in <= ``cap`` rows — one count
+    aggregate + one equi-join back. Every hot-key cap site (LSH shingles,
+    n-gram Jaccard, winnowing fingerprints) shares this definition so the
+    boundary semantics (<=, row-count df) cannot silently fork."""
+    keep = (
+        rows.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= cap)
+        .select(key_col)
+    )
+    return rows.join(keep, key_col)
+
+
 def minhash_lsh_dedup(
     docs: DataFrame, *, threshold: float = 0.1, n: int = 3,
     persist_shingles: bool = False, max_shingle_df: int | None = None,
@@ -198,13 +213,7 @@ def _lsh_shingles_and_candidates(
     minhash). None (default) keeps the exact full-vocabulary semantics."""
     sh = word_shingles(docs, n=n, id_col=id_col)
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
+        sh = _df_capped(sh, "shingle", max_shingle_df)
     if persist_shingles:
         from pyspark import StorageLevel
 
@@ -248,13 +257,7 @@ def ngram_jaccard_pairs(
     sh = word_shingles(docs, n=n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
+        sh = _df_capped(sh, "shingle", max_shingle_df)
     sa = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("s"))
     sb = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s"))
     common = (
@@ -766,13 +769,7 @@ def winnow_containment(
 
     fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col)
     if max_fp_df is not None:
-        keep = (
-            fp.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_fp_df)
-            .select("fp")
-        )
-        fp = fp.join(keep, "fp")
+        fp = _df_capped(fp, "fp", max_fp_df)
     fa = fp.select(F.col(id_col).alias("a"), "fp")
     fb = fp.select(F.col(id_col).alias("b"), "fp")
     cand = (

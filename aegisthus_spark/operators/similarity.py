@@ -139,16 +139,18 @@ def cosine_topk_lsh(
     planes = hyperplanes(len(query_vec), n_planes, seed)
     q = _query_lit(query_vec)
     qb = _bucket_expr(q, planes)  # constant-folds in codegen
-    flips = [0] + [1 << j for j in range(n_planes)]
+    if not 0 <= probe_radius <= 2:
+        raise ValueError("probe_radius must be 0, 1 or 2 (the probe list "
+                         "blows up combinatorially; raise n_planes instead)")
+    flips = [0]
+    if probe_radius >= 1:
+        flips += [1 << j for j in range(n_planes)]
     if probe_radius >= 2:
         flips += [
             (1 << i) | (1 << j)
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    if probe_radius >= 3:
-        raise ValueError("probe_radius > 2 unsupported (probe list blows up "
-                         "combinatorially; raise n_planes instead)")
     probes = "array(" + ", ".join(
         qb if m == 0 else f"({qb} ^ {m})" for m in flips
     ) + ")"

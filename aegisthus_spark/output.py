@@ -375,7 +375,11 @@ def to_aeg_json(
         )
         if source_path is None:
             return line
-        head, _, body = line.partition("\t")
+        # rpartition, not partition: a rendered KEY may itself contain a
+        # tab (text comparators pass it through), while the JSON body
+        # never holds a literal tab (json escapes control chars) — the
+        # LAST tab is always the key/body boundary
+        head, _, body = line.rpartition("\t")
         return f"{head}\t{source_path}\t{body}"
 
     render_udf = F.udf(_render, "string")

@@ -2236,7 +2236,7 @@ def sim_pq_adc_topk(spark, sf_dir):
       SELECT vec_id, adist FROM pqd
       WHERE vec_id <> 0
       ORDER BY adist, vec_id
-      LIMIT (SELECT GREATEST(50, CAST(count(*) / 100 AS INT)) FROM embeddings))
+      LIMIT (SELECT GREATEST(50, count(*) // 100) FROM embeddings))
     SELECT e.vec_id, s.adist,
            round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
                  / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
@@ -4908,7 +4908,7 @@ def graph_triangles(spark, sf_dir):
                AS coarse
       FROM embeddings e, q WHERE e.vec_id <> 0),
     short AS (SELECT * FROM coarse ORDER BY coarse DESC, vec_id
-              LIMIT (SELECT GREATEST(50, CAST(count(*) / 40 AS INT))
+              LIMIT (SELECT GREATEST(50, count(*) // 40)
                      FROM embeddings))
     SELECT s.vec_id, s.coarse,
            round({_DOT_SQL.format(a='s.embedding', b='q.qv')}

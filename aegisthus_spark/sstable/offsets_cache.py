@@ -60,6 +60,15 @@ def cache_dir() -> str:
             tempfile.gettempdir(), f"aegisthus_spark-offsets-{os.getuid()}"
         )
         os.makedirs(d, mode=0o700, exist_ok=True)
+        # exist_ok never checks WHO owns a pre-existing dir: under a
+        # sticky-bit temp dir another user can pre-create the name and
+        # seed well-formed sidecars (crc only defends bit-rot, not a
+        # writer). Refuse a dir we don't own or that others can write;
+        # fall back to a fresh private dir for this process.
+        st = os.stat(d)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            d = tempfile.mkdtemp(prefix="aegisthus_spark-offsets-")
+            os.environ[_ENV] = d  # stable for the rest of this process
     else:
         os.makedirs(d, exist_ok=True)
     return d

@@ -79,15 +79,24 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
     qpos = [int(i) for i in range(0, n, step)][:sample]
     print(f"{sf_dir}: {n} vectors, {len(qpos)} sampled queries (id stride {step})")
 
-    # normalized once; exact ranks for all sampled queries in one matmul
+    # normalized once; exact ranks for all sampled queries in one matmul,
+    # orderings memoized per query (every operator/k reuses them)
     Nrm = V / np.linalg.norm(V, axis=1, keepdims=True)
     cosM = np.round(Nrm[qpos] @ Nrm.T, 6)
+    _order_cache: dict[int, np.ndarray] = {}
 
     def exact(rowi: int, qi: int, k: int) -> set[int]:
-        cos = cosM[rowi]
-        order = sorted((j for j in range(n) if j != qi),
-                       key=lambda j: (-cos[j], ids[j]))
-        return {int(ids[j]) for j in order[:k]}
+        if rowi not in _order_cache:
+            # lexsort: primary -cos desc, ties broken by ascending id
+            _order_cache[rowi] = np.lexsort((ids, -cosM[rowi]))
+        order = _order_cache[rowi]
+        out, i = [], 0
+        while len(out) < k and i < len(order):
+            j = int(order[i])
+            if j != qi:
+                out.append(int(ids[j]))
+            i += 1
+        return set(out)
 
     spark = get_spark("ann-recall", cpus=cpus)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
@@ -177,13 +186,19 @@ def main() -> None:
     result = compute(sf_dir, sample=sample)
 
     path = os.path.join(ROOT, "BENCH_SF1.json")
-    if os.path.exists(path):
+    # only the sf1 run backs the sf1 artifact — a different corpus's
+    # numbers (different adaptive planes/cells/shortlists) must not
+    # silently overwrite the recorded evidence
+    is_sf1 = os.path.abspath(sf_dir) == os.path.join(ROOT, "testdata_sf1")
+    if is_sf1 and os.path.exists(path):
         with open(path) as f:
             art = json.load(f)
         art["ann_recall"] = result
         with open(path, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)
         print(f"patched {path} (ann_recall)")
+    elif not is_sf1:
+        print("non-sf1 corpus: BENCH_SF1.json left untouched")
     failed = [k for k, v in result.items() if not v["pass"]]
     print("ALL FLOORS MET" if not failed else f"BELOW FLOOR: {failed}")
 

@@ -1246,7 +1246,7 @@ def incremental_bench(cpus: int, n_keys: int, n_batches: int) -> None:
               + " ".join(f"{s / 1e6:.1f}MB" for s in shuf))
 
     final = spark.table(f"snap_v{n_batches}").count()
-    exp = n0 + n_batches * ((batch_keys + 1) // 2)
+    exp = n0 + n_batches * (batch_keys // 2)  # odd ids are the new keys
     assert final == exp, (final, exp)
     bw, bs = results["bucketed"]
     pw, ps = results["plain"]
