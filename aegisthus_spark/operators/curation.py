@@ -159,13 +159,14 @@ def sample_weighted(
     The classic algorithm draws u from an RNG; here u is the md5-prefix
     hash of (salt, id) — so the "random" draw is a pure per-row
     expression: reruns and any partitioning pick the identical sample,
-    and re-sampling with a new salt gives an independent draw. One
-    cross-engine caveat: pow() is a transcendental with no bit-identity
-    guarantee between libm implementations (<= 1 ulp each), unlike the
-    decimal-protected sums used elsewhere — a pair of keys within 1 ulp
-    of each other at the top-k boundary (probability ~ k * 2^-45 per
-    draw) could select differently in another engine; ties and boundary
-    rounding are otherwise pinned by the (skey, id) order.
+    and re-sampling with a new salt gives an independent draw.
+    Ranking uses ROUND(key, 6) with id tie-breaks — the repo's standard
+    cross-engine determinism rule: pow() is a transcendental with no
+    bit-identity guarantee between libm implementations, and with many
+    draws the top-k boundary is densely packed with near-ties (a raw
+    full-precision rank picked a different 100th row than DuckDB at
+    sf1's 50k docs — round-12 sweep), while equal rounded keys resolve
+    identically everywhere by the id order.
     Selection is ORDER BY key DESC LIMIT k — Spark executes that as
     per-partition partial top-k (TakeOrderedAndProject) + a k-row driver
     merge, never a global sort, so the cost at 100 TB is one scan.
@@ -182,7 +183,7 @@ def sample_weighted(
         scored.select(
             id_col,
             F.col(weight_col).alias("w"),
-            F.expr(f"power({u}, 1.0 / {weight_col})").alias("skey"),
+            F.round(F.expr(f"power({u}, 1.0 / {weight_col})"), 6).alias("skey"),
         )
         .orderBy(F.desc("skey"), id_col)
         .limit(k)
