@@ -42,8 +42,8 @@ sys.path.insert(0, ROOT)
 #: Hamming<=2 multiprobe, the IVF join).
 FLOORS = {
     "sim_cosine_lsh": 0.60,
-    "sim_pq_refine": 0.70,
-    "sim_ivfpq_topk": 0.30,
+    "sim_pq_refine": 0.65,
+    "sim_ivfpq_topk": 0.25,
     "sim_matryoshka_rerank": 0.65,
     "sim_quantized_topk": 0.90,
     "sim_knn_join": 0.0,

@@ -83,6 +83,12 @@ def main():
             "O(n^1.5) BY DESIGN: k ~ sqrt(n/2) balances assignment vs "
             "pair folds (semantic_dedup docstring; stress.py --semantic "
             "measures the k-scaling contract)"),
+        "dedup_simhash_pairs": (
+            "band saturation: 4x8-bit pigeonhole buckets hold n/256 docs "
+            "each, so candidate pairs grow ~n^2/2^8 once n >> 256 — the "
+            "documented Manku-et-al scale lever is a WIDER fingerprint "
+            "(simhash_pairs exposes bits/max_hamming; 64-bit/6-band at "
+            "web scale), not more compute on 32 bits"),
         "dedup_containment": (
             "linear-ish: candidate pairs + shingle-df density grow with "
             "the corpus's duplicate families; equi-join shaped, never "

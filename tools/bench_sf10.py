@@ -140,6 +140,12 @@ def main() -> None:
             "benchmark measures the algorithm; for genuinely "
             "boilerplate-dense corpora the max_shingle_df cap remains "
             "the bound (stress.py --hot-shingle)"),
+        "dedup_simhash_pairs": (
+            "band saturation: 4x8-bit pigeonhole buckets hold n/256 docs "
+            "each, so candidate pairs grow ~n^2/2^8 once n >> 256 — the "
+            "documented Manku-et-al scale lever is a WIDER fingerprint "
+            "(simhash_pairs exposes bits/max_hamming), not more compute "
+            "on 32 bits"),
         "sim_knn_join_ivf": (
             "O(n^1.5) BY DESIGN: cells ~ sqrt(n/2) (the SemDeDup "
             "contract) puts ~probes*sqrt(2n) candidates per vector; "
