@@ -160,13 +160,18 @@ def sample_weighted(
     hash of (salt, id) — so the "random" draw is a pure per-row
     expression: reruns and any partitioning pick the identical sample,
     and re-sampling with a new salt gives an independent draw.
-    Ranking uses ROUND(key, 6) with id tie-breaks — the repo's standard
-    cross-engine determinism rule: pow() is a transcendental with no
-    bit-identity guarantee between libm implementations, and with many
-    draws the top-k boundary is densely packed with near-ties (a raw
+    Ranking uses ROUND(key, 6) — the repo's standard cross-engine
+    determinism rule: pow() is a transcendental with no bit-identity
+    guarantee between libm implementations, and with many draws the
+    top-k boundary is densely packed with near-ties (a raw
     full-precision rank picked a different 100th row than DuckDB at
-    sf1's 50k docs — round-12 sweep), while equal rounded keys resolve
-    identically everywhere by the id order.
+    sf1's 50k docs — round-12 sweep). Rounded-key ties resolve by a
+    SECOND independent hash draw, not the raw id (r12 ADVICE: at large
+    n the 1e-6 quantum collapses many boundary keys, and an id
+    tie-break would select the marginal rows by id order — a
+    weight-proportionality bias that grows with corpus size; a hash
+    draw keeps the marginal pick uniform). The id is the final
+    tie-break only for bit-identical double ties.
     Selection is ORDER BY key DESC LIMIT k — Spark executes that as
     per-partition partial top-k (TakeOrderedAndProject) + a k-row driver
     merge, never a global sort, so the cost at 100 TB is one scan.
@@ -179,14 +184,17 @@ def sample_weighted(
         f"(cast({H32.format(col=f'concat(%r, cast({id_col} as string))' % salt)} "
         "as double) + 1.0) / 4294967296.0"
     )
+    tb = H32.format(col=f"concat(%r, cast({id_col} as string))" % (salt + "#tb"))
     return (
         scored.select(
             id_col,
             F.col(weight_col).alias("w"),
             F.round(F.expr(f"power({u}, 1.0 / {weight_col})"), 6).alias("skey"),
+            F.expr(tb).alias("_tb"),
         )
-        .orderBy(F.desc("skey"), id_col)
+        .orderBy(F.desc("skey"), "_tb", id_col)
         .limit(k)
+        .drop("_tb")
     )
 
 

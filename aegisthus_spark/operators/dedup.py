@@ -23,6 +23,8 @@ mod P with P = 4294967291 (largest 32-bit prime) and fixed a_i/b_i.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -36,6 +38,76 @@ MINHASH_B = [(40503 * (i + 1) * 2654435761) % (1 << 29) for i in range(MINHASH_K
 
 #: Spark SQL expression: deterministic 32-bit token hash
 H32 = "cast(conv(substring(md5({col}), 1, 8), 16, 10) as bigint)"
+
+#: Spark SQL expression: the HIGH half of the 64-bit token hash (md5 hex
+#: chars 9..16; H32's chars 1..8 are the low half)
+H32B = "cast(conv(substring(md5({col}), 9, 8), 16, 10) as bigint)"
+
+#: portable signed-64 minimum literal — DuckDB errors on (1 << 63), and
+#: both engines reject the bare -9223372036854775808 literal form, so bit
+#: 63 of a fingerprint is materialized via this subtraction
+I64_MIN = "(-9223372036854775807 - 1)"
+
+
+def simhash_block_widths(bits: int, n_blocks: int) -> list:
+    """Fingerprint block widths: even split, the LAST block absorbs the
+    remainder — every bit lands in exactly one block, which the pigeonhole
+    recall guarantee requires (a silently-dropped top remainder would
+    still keep recall 1.0 but admit junk candidates; see ADVICE r12)."""
+    w = bits // n_blocks
+    return [w] * (n_blocks - 1) + [bits - w * (n_blocks - 1)]
+
+
+def simhash_band_key_exprs(bits: int, max_hamming: int, blocks=None) -> list:
+    """One SQL key expression per band over a column named ``simhash``,
+    in engine-portable syntax (``>> & * +`` only — identical strings are
+    embedded in the Spark plan and the DuckDB oracle CTE).
+
+    ``blocks=None``: classic pigeonhole — ``max_hamming + 1`` bands, each
+    keyed on ONE block. Any pair within Hamming distance ``max_hamming``
+    agrees exactly on >= 1 band. Bucket count per band is only
+    2^(bits/(k+1)), so candidates grow ~n^2/2^width once n >> 2^width.
+
+    ``blocks=d > max_hamming``: Manku combination keying ("Detecting
+    Near-Duplicates for Web Crawling", 2007, §3 table design) — split
+    into d blocks; <= k bit errors touch <= k blocks, so at least d-k
+    blocks match exactly; key each of the C(d, d-k) combinations of d-k
+    blocks concatenated. Key width ~ bits*(d-k)/d (e.g. 64-bit, d=6,
+    k=3 -> 20 bands of ~34-bit keys), so buckets >> n at any corpus
+    size — this is the 100 TB-scale variant.
+    """
+    if not (0 < max_hamming + 1 <= bits):
+        raise ValueError(
+            f"need 0 < max_hamming + 1 <= bits, got max_hamming={max_hamming} bits={bits}"
+        )
+    if blocks is None:
+        n_blocks, per_key = max_hamming + 1, 1
+    else:
+        if blocks <= max_hamming:
+            raise ValueError(
+                f"combination keying needs blocks > max_hamming, got {blocks} <= {max_hamming}"
+            )
+        n_blocks, per_key = blocks, blocks - max_hamming
+    widths = simhash_block_widths(bits, n_blocks)
+    los = [sum(widths[:i]) for i in range(n_blocks)]
+    # arithmetic >> then mask extracts the same bits whether the engine's
+    # shift is arithmetic or logical (mask kills the sign-fill) — verified
+    # against DuckDB's arithmetic BIGINT >>
+    blk = [
+        f"((simhash >> {los[i]}) & {(1 << widths[i]) - 1})" for i in range(n_blocks)
+    ]
+    slot = max(widths)
+    if slot * per_key > 62:
+        raise ValueError("band key would overflow a signed BIGINT")
+    exprs = []
+    for combo in itertools.combinations(range(n_blocks), per_key):
+        exprs.append(
+            " + ".join(
+                f"{blk[c]} * {1 << (slot * p)}"
+                for p, c in zip(range(per_key - 1, -1, -1), combo)
+            )
+        )
+    return exprs
 
 
 def exact_dedup_map(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -407,21 +479,45 @@ def connected_components(
 
 
 def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): bit-majority fingerprint over token hashes."""
+    """(id, simhash): bit-majority fingerprint over token hashes.
+
+    ``bits <= 32`` hashes each token with the md5-prefix H32; up to 64
+    bits uses BOTH md5 halves (chars 1-8 -> fingerprint bits 0..31,
+    chars 9-16 -> bits 32..63) so every bit position carries real
+    entropy. Bit 63 is materialized as the signed two's-complement
+    minimum (``I64_MIN``) so the fingerprint stays an engine-portable
+    signed BIGINT — DuckDB raises on ``1 << 63``.
+    """
+    if not (0 < bits <= 64):
+        raise ValueError(f"bits must be in 1..64, got {bits}")
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.expr(H32.format(col="tok")))
+    if bits <= 32:
+        hash_cols = ["h"]
+        bit_sel = "h >> cast(j as int)"
+    else:
+        toks = toks.withColumn("h2", F.expr(H32B.format(col="tok")))
+        hash_cols = ["h", "h2"]
+        bit_sel = (
+            "CASE WHEN j < 32 THEN h >> cast(j as int) "
+            "ELSE h2 >> cast(j - 32 as int) END"
+        )
     bit = toks.select(
-        id_col, F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"), "h"
+        id_col, F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"), *hash_cols
     ).withColumn(
-        "contrib", F.expr("CASE WHEN (h >> cast(j as int)) & 1 = 1 THEN 1 ELSE -1 END")
+        "contrib", F.expr(f"CASE WHEN ({bit_sel}) & 1 = 1 THEN 1 ELSE -1 END")
     )
     votes = bit.groupBy(id_col, "j").agg(F.sum("contrib").alias("v"))
     return (
         votes.groupBy(id_col)
         .agg(
             F.sum(
-                F.expr("CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), cast(j as int)) ELSE cast(0 as bigint) END")
+                F.expr(
+                    "CASE WHEN v <= 0 THEN cast(0 as bigint) "
+                    f"WHEN j = 63 THEN cast({I64_MIN} as bigint) "
+                    "ELSE shiftleft(cast(1 as bigint), cast(j as int)) END"
+                )
             ).alias("simhash")
         )
         .orderBy(id_col)
@@ -429,33 +525,47 @@ def simhash(docs: DataFrame, *, bits: int = 32, id_col: str = "doc_id", text_col
 
 
 def simhash_pairs(
-    docs: DataFrame, *, max_hamming: int = 3, bits: int = 32,
+    docs: DataFrame, *, max_hamming: int = 3, bits: int = 32, blocks: int = None,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """(a, b, hamming): document pairs whose 32-bit SimHash fingerprints
-    differ in <= ``max_hamming`` bits — the classic banded-pigeonhole
-    near-dup miner (Manku, Jain & Das Sarma 2007, "Detecting
+    """(a, b, hamming): document pairs whose SimHash fingerprints differ
+    in <= ``max_hamming`` bits (Manku, Jain & Das Sarma 2007, "Detecting
     Near-Duplicates for Web Crawling", §3).
 
-    Pigeonhole: split the fingerprint into ``max_hamming + 1`` bands; any
-    pair within Hamming distance ``max_hamming`` agrees EXACTLY on at
-    least one band, so candidates come from ONE equi-join on
-    (band index, band value) — never an all-pairs Hamming scan — and the
-    popcount verification touches only candidates. Recall is 1.0 by
-    construction (no probabilistic misses, unlike MinHash banding); the
-    scale number to watch is the hottest band bucket (a band value shared
-    by k docs contributes k^2 candidates — same lever as LSH bands, and
-    the same salting/df-cap remedies apply).
+    Candidates come from ONE equi-join on (band index, band key) — never
+    an all-pairs Hamming scan — and the popcount verification touches
+    only candidates. Recall is 1.0 by construction in BOTH keying modes
+    (no probabilistic misses, unlike MinHash banding):
+
+    - ``blocks=None`` (classic pigeonhole, the small-scale teaching
+      shape): ``max_hamming + 1`` bands keyed on one block each; bucket
+      count 2^(bits/(k+1)) saturates once n >> 2^width, growing
+      candidates ~n^2/2^width.
+    - ``blocks=d`` (Manku combination keying, the 100 TB shape): d
+      blocks, key each C(d, d-k) combination of d-k blocks; key width
+      ~bits*(d-k)/d keeps buckets >> n at any corpus size (64-bit, d=6,
+      k=3 -> 20 bands of ~34-bit keys).
+
+    Validation + the remainder-bits band fix live in
+    ``simhash_band_key_exprs`` (shared verbatim with the DuckDB oracle).
     """
-    n_bands = max_hamming + 1
-    width = bits // n_bands  # 32/4 = 8-bit bands at the defaults
+    key_exprs = simhash_band_key_exprs(bits, max_hamming, blocks)
     sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
     bands = sh.select(
-        F.col(id_col), F.col("simhash"),
-        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
-    ).withColumn(
-        "key",
-        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.expr(k).cast("bigint").alias("key")
+                    )
+                    for i, k in enumerate(key_exprs)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     l = bands.select(
         F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "key"

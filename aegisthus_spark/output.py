@@ -392,8 +392,18 @@ def to_aeg_json(
 def parse_aeg_json_line(line: str) -> dict:
     """aeg-JSON line -> {key, deleted_at, columns:[{name,value,ts,kind,...}]}
     (hex-string fields; parser parity with AegisthusSerializer.deserialize)."""
-    key_str, _, body = line.partition("\t")
+    # LAST tab is the key/body boundary, mirroring the writer: a rendered
+    # KEY may itself contain tabs (text comparators pass them through)
+    # while the JSON body never holds a literal tab (json escapes control
+    # chars)
+    key_str, _, body = line.rpartition("\t")
     obj = json.loads(body)
+    if key_str not in obj and "\t" in key_str:
+        # trace_source lines carry key \t source_path \t {json}: the JSON
+        # object is keyed by the bare key, so drop the trailing field
+        head, _, _ = key_str.rpartition("\t")
+        if head in obj:
+            key_str = head
     row = obj[key_str]
     columns = []
     for entry in row["columns"]:

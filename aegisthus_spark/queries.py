@@ -2068,6 +2068,64 @@ def dedup_simhash_pairs(spark, sf_dir):
     return _dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+#: 64-bit fingerprint CTE (both md5 halves; bit 63 via the portable signed
+#: minimum — DuckDB raises on 1<<63) ending in ``shv64`` = (doc_id, simhash)
+_SIMHASH64_CTE = """tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hh AS (SELECT doc_id,
+           CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 8)) AS BIGINT) AS h1,
+           CAST(CONCAT('0x', SUBSTR(md5(tok), 9, 8)) AS BIGINT) AS h2 FROM tk),
+    bits AS (SELECT doc_id, j,
+             SUM(CASE WHEN (CASE WHEN j < 32 THEN (h1 >> j) ELSE (h2 >> (j - 32)) END) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+             FROM hh, (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+    shv64 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v <= 0 THEN 0
+                           WHEN j = 63 THEN -9223372036854775807 - 1
+                           ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id)"""
+
+#: Manku combination band keys (64-bit, 6 blocks, hamming<=3 -> C(6,3)=20
+#: bands keyed on 3 concatenated blocks) — the SAME expression strings the
+#: Spark operator embeds, so oracle and engine agree bit-for-bit
+_SH64_KEYS = _dd.simhash_band_key_exprs(64, 3, 6)
+_SH64_KEY_CASE = (
+    "CASE bn.band "
+    + " ".join(f"WHEN {i} THEN ({k})" for i, k in enumerate(_SH64_KEYS))
+    + " END"
+)
+
+
+@register(
+    "dedup_simhash_pairs64",
+    f"""
+    WITH {_SIMHASH64_CTE},
+    bands AS (
+      SELECT doc_id, simhash, bn.band AS band, {_SH64_KEY_CASE} AS key
+      FROM shv64, (SELECT unnest(range({len(_SH64_KEYS)})) AS band) bn),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS ha, r.simhash AS hb
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+    SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    ORDER BY a, b
+    """,
+    doc="64-bit SimHash near-dup pairs at Hamming<=3 via Manku combination "
+        "keying (Manku et al. 2007 §3 table design): 6 blocks, key each "
+        "C(6,3)=20 combination of 3 concatenated blocks (~34-bit keys). "
+        "Recall 1.0 by construction AND buckets >> n at any corpus size — "
+        "the scale flagship; dedup_simhash_pairs (32-bit, 4x8 pigeonhole) "
+        "stays as the small-scale teaching twin whose buckets saturate at "
+        "n >> 256",
+)
+def dedup_simhash_pairs64(spark, sf_dir):
+    return _dd.simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=64, max_hamming=3, blocks=6
+    )
+
+
 _DOT_SQL = (
     "(SELECT CAST(SUM(CAST(x * y AS DECIMAL(27,15))) AS DOUBLE) "
     " FROM (SELECT CAST(unnest({a}) AS DOUBLE) AS x, CAST(unnest({b}) AS DOUBLE) AS y))"
@@ -5105,10 +5163,11 @@ def ev_moving_avg(spark, sf_dir):
       SELECT doc_id, quality,
              power((CAST({_H32_SQL.format(col="'wsample-v1' || CAST(doc_id AS VARCHAR)")}
                         AS DOUBLE) + 1.0) / 4294967296.0,
-                   1.0 / quality) AS skey
+                   1.0 / quality) AS skey,
+             {_H32_SQL.format(col="'wsample-v1#tb' || CAST(doc_id AS VARCHAR)")} AS tb
       FROM q)
     SELECT doc_id, round(quality, 6) AS quality, round(skey, 6) AS skey
-    FROM keyed ORDER BY skey DESC, doc_id LIMIT 100
+    FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 100
     """,
     doc="deterministic weighted sampling without replacement (Efraimidis-"
         "Spirakis): quality-proportional top-100 by u^(1/w) with a "

@@ -33,11 +33,14 @@ Design:
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import struct
 import tempfile
 import threading
+import warnings
 import zlib
 
 _ENV = "AEG_SPARK_OFFSET_CACHE_DIR"
@@ -67,8 +70,19 @@ def cache_dir() -> str:
         # fall back to a fresh private dir for this process.
         st = os.stat(d)
         if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            # r12 ADVICE: say so (the host silently loses cross-process
+            # caching otherwise) and clean the private dir up at exit so
+            # an affected host doesn't accrete one orphan per process
             d = tempfile.mkdtemp(prefix="aegisthus_spark-offsets-")
             os.environ[_ENV] = d  # stable for the rest of this process
+            warnings.warn(
+                f"offsets cache dir is not privately owned; falling back to "
+                f"process-private {d} (cross-process cache reuse disabled). "
+                f"Set ${_ENV} to a trusted directory to restore sharing.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            atexit.register(shutil.rmtree, d, True)
     else:
         os.makedirs(d, exist_ok=True)
     return d

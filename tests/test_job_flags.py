@@ -203,6 +203,30 @@ def test_render_row_json_non_ascii_utf8():
     assert parsed["columns"][0]["name"] == "naïve"
 
 
+def test_parse_aeg_json_line_tabbed_key_roundtrip():
+    """r12 ADVICE: writer and parser must agree that the LAST tab is the
+    key/body boundary — a text-comparator key containing a literal tab
+    must round-trip through the repo's own parser."""
+    from aegisthus_spark import types as aegtypes
+    from aegisthus_spark.output import parse_aeg_json_line, render_row_json
+
+    utf8 = aegtypes.get("UTF8Type")
+    line = render_row_json(
+        "tab\there".encode(), -(1 << 63),
+        [{"name": b"n", "value": b"v", "ts": 5, "kind": "c", "ttl": None,
+          "local_deletion_time": None, "ts_of_last_delete": None}],
+        key_conv=utf8, name_conv=utf8, value_conv=utf8,
+    )
+    parsed = parse_aeg_json_line(line)
+    assert parsed["key"] == "tab\there"
+    assert parsed["columns"][0]["ts"] == 5
+    # trace_source 3-field form: key \t source_path \t {json}
+    head, _, body = line.rpartition("\t")
+    traced = f"{head}\t/bucket/path/db-1-Data.db\t{body}"
+    parsed2 = parse_aeg_json_line(traced)
+    assert parsed2["key"] == "tab\there"
+
+
 def test_sstable2json_cli(capsys):
     """sstable2json parity (scripts/README.md:1-17): dump the reference's own
     sample tables — the compressed one is a Snappy ib table, so this also

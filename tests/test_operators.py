@@ -790,6 +790,54 @@ def test_simhash_pairs_pigeonhole_recall_is_total(docs):
     assert len(got) > 0  # the fixture corpus does contain close pairs
 
 
+def test_simhash_pairs64_manku_recall_is_total(docs):
+    """Manku combination keying (64-bit, 6 blocks, C(6,3)=20 bands) must
+    find EXACTLY the brute-force Hamming<=3 pairs — recall 1.0 with keys
+    wide enough (~34 bits) that buckets outnumber any corpus."""
+    from aegisthus_spark.operators.dedup import simhash, simhash_pairs
+
+    fps = {r.doc_id: r.simhash & ((1 << 64) - 1) for r in simhash(docs, bits=64).collect()}
+    ids = sorted(fps)
+    want = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    )
+    got = sorted(
+        map(tuple, simhash_pairs(docs, bits=64, max_hamming=3, blocks=6).collect())
+    )
+    assert got == want
+
+
+def test_simhash_band_key_validation():
+    """r12 ADVICE: reject degenerate band parameters instead of silently
+    dropping fingerprint bits or collapsing every key to 0, and give the
+    LAST band the remainder bits so every bit is covered."""
+    import pytest as _pytest
+
+    from aegisthus_spark.operators.dedup import (
+        simhash_band_key_exprs,
+        simhash_block_widths,
+    )
+
+    # max_hamming+1 > bits -> 0-width bands -> would be a full n^2 cross join
+    with _pytest.raises(ValueError):
+        simhash_band_key_exprs(4, 4)
+    with _pytest.raises(ValueError):
+        simhash_band_key_exprs(32, -1)
+    # combination keying needs blocks > max_hamming
+    with _pytest.raises(ValueError):
+        simhash_band_key_exprs(64, 6, blocks=6)
+    # remainder bits go to the last band: 64 bits / 6 blocks = 5x10 + 14
+    assert simhash_block_widths(64, 6) == [10, 10, 10, 10, 10, 14]
+    assert sum(simhash_block_widths(61, 4)) == 61
+    # non-dividing classic split covers every bit (33 = 3x8 + 9)
+    assert simhash_block_widths(33, 4) == [8, 8, 8, 9]
+    assert len(simhash_band_key_exprs(64, 3, blocks=6)) == 20
+    assert len(simhash_band_key_exprs(32, 3)) == 4
+
+
 def test_knn_join_ivf_invariants_and_recall(emb):
     """The IVF join keeps knn_join's output contract AND must beat the
     sign-bit LSH join on exact-top-1 recall at moderate neighbor cosine —
