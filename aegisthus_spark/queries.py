@@ -4166,20 +4166,24 @@ def _knn_ivf_oracle_sql(k: int = 3, probes: int = 5) -> str:
 
 @register(
     "sim_knn_join_ivf",
-    _knn_ivf_oracle_sql(),
+    _knn_ivf_oracle_sql(probes=8),
     doc="all-vectors k-NN join (k=3) via IVF blocking: Lloyd-refined "
         "k-means cells (max(32, sqrt(n/2)) — the SemDeDup contract), "
-        "right side = own cell, left side probes its 5 nearest cells, "
-        "ONE equi-join on cell id (~5*n/cells candidates per vector, "
+        "right side = own cell, left side probes its 8 nearest cells, "
+        "ONE equi-join on cell id (~8*n/cells candidates per vector, "
         "never all-pairs). The moderate-similarity complement to "
         "sim_knn_join's sign-bit LSH: at this corpus's top-1 neighbor "
         "cosine (~0.67 at sf1) LSH multiprobe recalls ~0.04 of the exact "
-        "top-3 where IVF recalls ~0.78 (tools/ann_recall.py)",
+        "top-3 where IVF recalls ~0.92 mean / 0.33 worst-sample "
+        "(probes=5 left the worst sampled query at 0.0 — r12 verdict "
+        "task #7; 8 probes fixed the tail for ~0 wall cost because the "
+        "Lloyd loop, not the candidate join, dominates; "
+        "tools/ann_recall.py)",
 )
 def sim_knn_join_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cells = semantic_cluster_count(emb.count())
-    return _sim.knn_join_ivf(emb, k=3, cells=cells, probes=5).orderBy(
+    return _sim.knn_join_ivf(emb, k=3, cells=cells, probes=8).orderBy(
         "vec_id", "rn"
     )
 

@@ -43,7 +43,14 @@ def test_merge_compacted_equals_one_shot(spark):
     assert got == want
 
 
-def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path):
+@pytest.mark.parametrize("buckets", [BUCKETS, 32])
+def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path, buckets):
+    """Pinned at TWO bucket counts (r12 verdict task #8): the Exchange-free
+    snapshot side must be a property of the bucketed-table design, not an
+    artifact of one bucket count happening to match a session default —
+    a refactor that re-shuffles the snapshot at any count fails here, and
+    the measured consequence (17.9x fewer shuffle bytes/batch at 200k
+    partitions, stress.py --incremental) is recorded in BASELINE.md."""
     from aegisthus_spark.compact import compact, merge_compacted
     from aegisthus_spark.plans import physical_plan
     from aegisthus_spark.streaming.incremental import (
@@ -54,14 +61,15 @@ def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path):
     cells, files = _cells(spark, "2.0.10/randomtable")
     cells = cells.cache()
     half = files[len(files) // 2]
+    t0, t1 = f"snap_b{buckets}_v0", f"snap_b{buckets}_v1"
 
     try:
         write_snapshot_bucketed(
-            compact(cells.filter(F.col("source_path") < half)), "snap_v0", buckets=BUCKETS
+            compact(cells.filter(F.col("source_path") < half)), t0, buckets=buckets
         )
         merge_bucketed(
-            spark, cells.filter(F.col("source_path") >= half), "snap_v0", "snap_v1",
-            buckets=BUCKETS,
+            spark, cells.filter(F.col("source_path") >= half), t0, t1,
+            buckets=buckets,
         )
 
         # correctness: the merged table (minus retained RT metadata) equals
@@ -71,17 +79,17 @@ def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path):
 
         got = sorted(
             r.value
-            for r in to_aeg_json(strip_range_tombstones(spark.table("snap_v1"))).collect()
+            for r in to_aeg_json(strip_range_tombstones(spark.table(t1))).collect()
         )
         want = sorted(r.value for r in to_aeg_json(compact(cells)).collect())
         assert got == want
 
         # scale property: in the merge plan, the bucketed scan side has no
         # Exchange between the table scan and the join
-        snap = spark.table("snap_v0")
+        snap = spark.table(t0)
         batch_rows = compact(
             cells.filter(F.col("source_path") >= half)
-        ).repartition(BUCKETS, "partition_key")
+        ).repartition(buckets, "partition_key")
         plan = physical_plan(merge_compacted(snap, batch_rows), "formatted")
         # bucketed read markers: the scan reports selected bucket count
         assert re.search(r"Bucketed: true", plan), plan[:2000]
@@ -90,7 +98,7 @@ def test_bucketed_merge_snapshot_side_does_not_shuffle(spark, tmp_path):
     finally:
         # DROP in finally: a leaked managed-table dir fails every later run
         # with LOCATION_ALREADY_EXISTS, masking the original failure
-        for t in ("snap_v0", "snap_v1"):
+        for t in (t0, t1):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

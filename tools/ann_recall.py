@@ -47,7 +47,22 @@ FLOORS = {
     "sim_matryoshka_rerank": 0.65,
     "sim_quantized_topk": 0.90,
     "sim_knn_join": 0.0,
-    "sim_knn_join_ivf": 0.70,
+    "sim_knn_join_ivf": 0.85,  # probes=8 (r13: 5 left the worst query at 0)
+}
+
+#: stated per-query MINIMUM floors (r12 verdict task #7): the WORST sampled
+#: query must clear these — a mean floor alone lets one query silently get
+#: nothing back. Every 0.0 entry must carry an ANNOTATIONS explanation
+#: (enforced below); nonzero minima were set ~one recall step below the
+#: measured sf1 worst sample so real tail regressions trip them.
+FLOORS_MIN = {
+    "sim_cosine_lsh": 0.1,        # measured worst 0.2 — see annotation
+    "sim_pq_refine": 0.3,         # measured worst 0.4
+    "sim_ivfpq_topk": 0.0,        # pure ADC by design — see annotation
+    "sim_matryoshka_rerank": 0.1,  # measured worst 0.2
+    "sim_quantized_topk": 0.8,    # measured worst 0.9
+    "sim_knn_join": 0.0,          # near-dup generator by design — annotated
+    "sim_knn_join_ivf": 0.2,      # probes=8 measured worst 0.33
 }
 
 #: context the floor alone can't carry
@@ -61,8 +76,24 @@ ANNOTATIONS = {
     "sim_ivfpq_topk": (
         "pure ADC ranking (no exact-rerank stage by design — the refine "
         "stage is the separate sim_pq_refine query): recall is bounded by "
-        "PQ quantization error of first-id codebooks, not by routing"),
+        "PQ quantization error of first-id codebooks, not by routing; a "
+        "worst-sample query whose true neighbors all quantize poorly can "
+        "recall 0 — hence min floor 0.0, with sim_pq_refine (min floor "
+        "0.3) as the documented accuracy path"),
+    "sim_cosine_lsh": (
+        "single-query sign-bit LSH at 6 planes / Hamming<=2 multiprobe: "
+        "per-query recall variance is inherent (a query whose true "
+        "neighbors straddle >2 hyperplane flips misses them; "
+        "probe_radius is capped at 2 because the probe list grows "
+        "combinatorially — operator ValueError). Worst sf1 sample 0.2; "
+        "guaranteed-recall alternatives are sim_quantized_topk "
+        "(min floor 0.8) and sim_pq_refine"),
 }
+
+for _name, _floor in FLOORS_MIN.items():
+    assert _floor > 0 or _name in ANNOTATIONS, (
+        f"{_name}: a 0.0 min floor requires a by-design annotation"
+    )
 
 
 def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
@@ -144,8 +175,8 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
         ),
         "sim_knn_join_ivf": (
             sim.knn_join_ivf(
-                emb, k=3, cells=semantic_cluster_count(n), probes=5),
-            {"cells": semantic_cluster_count(n), "probes": 5},
+                emb, k=3, cells=semantic_cluster_count(n), probes=8),
+            {"cells": semantic_cluster_count(n), "probes": 8},
         ),
     }
     sample_ids = {int(ids[qi]) for qi in qpos}
@@ -169,7 +200,11 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
 
     for name, rec in out.items():
         rec["floor"] = FLOORS[name]
-        rec["pass"] = rec["recall_mean"] >= FLOORS[name]
+        rec["floor_min"] = FLOORS_MIN[name]
+        rec["pass"] = (
+            rec["recall_mean"] >= FLOORS[name]
+            and rec["recall_min"] >= FLOORS_MIN[name]
+        )
         if name in ANNOTATIONS:
             rec["annotation"] = ANNOTATIONS[name]
     return out
@@ -193,6 +228,14 @@ def main() -> None:
     if is_sf1 and os.path.exists(path):
         with open(path) as f:
             art = json.load(f)
+        # the cost/recall frontier is ONE table (r12 verdict task #6):
+        # each recall row carries the query's sf1 wall so a recall fix
+        # that tripled the wall (r12: ivfpq 2.05->7.30s) is visible in
+        # the same artifact row, not across two files
+        for name, rec in result.items():
+            q = art.get("queries", {}).get(name, {})
+            if q.get("sf1"):
+                rec["sf1_wall"] = q["sf1"]
         art["ann_recall"] = result
         with open(path, "w") as f:
             json.dump(art, f, indent=1, sort_keys=True)

@@ -86,9 +86,9 @@ def main():
         "dedup_simhash_pairs": (
             "band saturation: 4x8-bit pigeonhole buckets hold n/256 docs "
             "each, so candidate pairs grow ~n^2/2^8 once n >> 256 — the "
-            "documented Manku-et-al scale lever is a WIDER fingerprint "
-            "(simhash_pairs exposes bits/max_hamming; 64-bit/6-band at "
-            "web scale), not more compute on 32 bits"),
+            "small-scale teaching twin; the registered scale flagship is "
+            "dedup_simhash_pairs64 (64-bit Manku combination keying, "
+            "~34-bit band keys, buckets >> n at any corpus size)"),
         "dedup_containment": (
             "linear-ish: candidate pairs + shingle-df density grow with "
             "the corpus's duplicate families; equi-join shaped, never "

@@ -107,6 +107,12 @@ def main() -> None:
         reverse=True,
     )
     heavies = [k for _, k in ranked[:top_n]]
+    # queries not yet in BENCH_SF1.json (registered this round) ride along
+    # via --include so new flagships get a scaling datapoint immediately
+    if "--include" in sys.argv:
+        for name in sys.argv[sys.argv.index("--include") + 1].split(","):
+            if name and name not in heavies:
+                heavies.append(name)
     print(f"top-{top_n} sf1 heavies: {heavies}")
 
     if not os.path.isdir(SF10) and "--skip-gen" not in sys.argv:
@@ -143,9 +149,9 @@ def main() -> None:
         "dedup_simhash_pairs": (
             "band saturation: 4x8-bit pigeonhole buckets hold n/256 docs "
             "each, so candidate pairs grow ~n^2/2^8 once n >> 256 — the "
-            "documented Manku-et-al scale lever is a WIDER fingerprint "
-            "(simhash_pairs exposes bits/max_hamming), not more compute "
-            "on 32 bits"),
+            "small-scale teaching twin; the registered scale flagship is "
+            "dedup_simhash_pairs64 (64-bit Manku combination keying, "
+            "~34-bit band keys, buckets >> n at any corpus size)"),
         "sim_knn_join_ivf": (
             "O(n^1.5) BY DESIGN: cells ~ sqrt(n/2) (the SemDeDup "
             "contract) puts ~probes*sqrt(2n) candidates per vector; "
