@@ -692,6 +692,68 @@ def ngram_duplication(
     )
 
 
+def dup_spans(
+    docs: DataFrame, *, n: int = 3, min_len: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_len): maximal runs of consecutive shingle
+    positions whose word n-gram also occurs in ANOTHER document — the
+    span-EXTRACTION step of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at shingle granularity. Where
+    ``ngram_duplication`` scores how much of a doc is duplicated, this
+    says WHERE, so a rewrite stage can cut the span instead of dropping
+    the document (the paper's ExactSubstr remedy).
+
+    ``span_start`` is the word offset of the run's first shingle;
+    ``span_len`` counts consecutive duplicated shingles (the run covers
+    ``span_len + n - 1`` words). Runs shorter than ``min_len`` shingles
+    are dropped (single-shingle hits are mostly stop-phrase noise).
+
+    Scale shape: one positional explode, one distinct+aggregate for the
+    cross-doc vocabulary (map-side combinable), one equi-join on shingle,
+    one per-document window for the gaps-and-islands grouping — never a
+    doc-pair join (this extracts spans, it does not mine pairs). The
+    window partitions by doc_id, so its state is bounded by document
+    length, not corpus size.
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    posh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"if(size(t) >= {n}, "
+                f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n}))), "
+                "array())"
+            )
+        ).alias("pos", "shingle"),
+    )
+    # cross-doc duplicated vocabulary: shingle present in >= 2 DISTINCT
+    # docs (within-doc repeats alone don't make a shingle "duplicated")
+    dup = (
+        posh.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > 1)
+        .select("shingle")
+    )
+    from pyspark.sql import Window
+
+    marked = posh.join(dup, "shingle").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            F.count(F.lit(1)).cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_len")
+        .orderBy(id_col, "span_start")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,

@@ -4210,6 +4210,38 @@ def dedup_ngram_coverage(spark, sf_dir):
 
 
 @register(
+    "dedup_dup_spans",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pi AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+    posh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                    array_to_string(t[i:i+2], ' ') AS shingle FROM pi),
+    dup AS (SELECT shingle FROM (
+              SELECT shingle, COUNT(DISTINCT doc_id) AS d
+              FROM posh GROUP BY shingle) WHERE d > 1),
+    marked AS (SELECT p.doc_id, p.pos FROM posh p JOIN dup USING (shingle)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM marked)
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(COUNT(*) AS INT) AS span_len
+    FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2
+    ORDER BY doc_id, span_start
+    """,
+    doc="maximal cross-doc duplicated 3-gram RUNS per document (Lee et al. "
+        "2022 ExactSubstr span extraction at shingle granularity): where "
+        "dedup_ngram_coverage scores HOW MUCH of a doc is duplicated, this "
+        "says WHERE, so a rewrite stage can cut the span instead of "
+        "dropping the document — positional explode, cross-doc vocabulary "
+        "aggregate, one equi-join, per-doc gaps-and-islands window; never "
+        "a pair join",
+)
+def dedup_dup_spans(spark, sf_dir):
+    return _dd.dup_spans(_t(spark, sf_dir, "documents"), n=3, min_len=2)
+
+
+@register(
     "ev_topk_cms",
     f"""
     WITH {_sk.cms_oracle_cte("events", "user_id")}

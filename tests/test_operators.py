@@ -810,6 +810,39 @@ def test_simhash_pairs64_manku_recall_is_total(docs):
     assert got == want
 
 
+def test_dup_spans_matches_python_reference(docs):
+    """Span extraction (Lee et al. ExactSubstr at shingle granularity):
+    gaps-and-islands over cross-doc duplicated trigram positions must
+    reproduce a direct Python scan exactly."""
+    import collections
+
+    from aegisthus_spark.operators.dedup import dup_spans
+
+    rows = docs.select("doc_id", "text").collect()
+    sh_docs = collections.defaultdict(set)
+    grams_by_doc = {}
+    for r in rows:
+        t = r.text.split(" ")
+        grams = [" ".join(t[i:i + 3]) for i in range(len(t) - 2)] if len(t) >= 3 else []
+        grams_by_doc[r.doc_id] = grams
+        for g in set(grams):
+            sh_docs[g].add(r.doc_id)
+    dup = {g for g, s in sh_docs.items() if len(s) > 1}
+    want = []
+    for did, grams in grams_by_doc.items():
+        run = None
+        for i, g in enumerate(grams + [None]):
+            if g in dup:
+                run = i if run is None else run
+            else:
+                if run is not None and i - run >= 2:
+                    want.append((did, run, i - run))
+                run = None
+    got = sorted(map(tuple, dup_spans(docs, n=3, min_len=2).collect()))
+    assert got == sorted(want)
+    assert got, "fixture corpus contains duplicated spans"
+
+
 def test_simhash_band_key_validation():
     """r12 ADVICE: reject degenerate band parameters instead of silently
     dropping fingerprint bits or collapsing every key to 0, and give the
