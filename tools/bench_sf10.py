@@ -113,6 +113,15 @@ def main() -> None:
         for name in sys.argv[sys.argv.index("--include") + 1].split(","):
             if name and name not in heavies:
                 heavies.append(name)
+    # --only a,b re-measures JUST those rows (after a targeted fix) and
+    # merges them into the existing BENCH_SF10.json instead of discarding
+    # 23 good rows to refresh 2 — the r12 INTERIM-artifact failure mode
+    merge_only = None
+    if "--only" in sys.argv:
+        merge_only = [
+            n for n in sys.argv[sys.argv.index("--only") + 1].split(",") if n
+        ]
+        heavies = merge_only
     print(f"top-{top_n} sf1 heavies: {heavies}")
 
     if not os.path.isdir(SF10) and "--skip-gen" not in sys.argv:
@@ -160,16 +169,23 @@ def main() -> None:
             "docstring)"),
     }
     queries = {}
+    if merge_only:
+        with open(os.path.join(ROOT, "BENCH_SF10.json")) as f:
+            queries = json.load(f)["queries"]
     watch = {}
     for name in heavies:
         t1 = base["queries"].get(name)
         t10 = sf10["queries"].get(name)
         ratio = round(t10 / t1, 2) if t1 and t10 else None
         queries[name] = {"sf1": t1, "sf10": t10, "ratio": ratio}
-        if ratio and ratio > 12:
-            watch[name] = ratio
+    for name, v in queries.items():
+        if v["ratio"] and v["ratio"] > 12:
+            watch[name] = v["ratio"]
 
     knn = knn_candidate_stats([SF1, SF10]) if "sim_knn_join" in heavies else {}
+    if merge_only and not knn:
+        with open(os.path.join(ROOT, "BENCH_SF10.json")) as f:
+            knn = json.load(f).get("knn_lsh_candidates", {})
 
     out = {
         "metric": "bench_sf10_scaling",
