@@ -475,14 +475,25 @@ def cleanse(compacted: DataFrame, *, drop_empty_rows: bool = True) -> DataFrame:
 
     Drops cell tombstones (kind 'd') and — defensively, as the reference does
     — cells shadowed by the row tombstone; optionally drops rows left empty.
+
+    The empty-row filter rides an ``explode(array(...))`` (a 1:1 Generate)
+    rather than a plain withColumn + filter: Catalyst's predicate pushdown
+    substitutes a filter on a projected alias with the alias's FULL
+    expression below the Project, so ``size(columns) > 0`` over compact's
+    chained higher-order functions re-evaluated the entire per-row merge
+    pipeline a second time inside the pushed Filter (measured 2x wall at
+    sf10, plan growing 7k -> 20k chars; the r13 sf10 ladder's
+    aeg_json_roundtrip row). Generator output attributes are not aliases,
+    so the chain is evaluated exactly once and the size test reads the
+    materialized array.
     """
-    out = compacted.withColumn(
-        "columns",
-        F.expr("filter(columns, x -> x.kind != 'd' AND x.ts > deleted_at)"),
-    )
-    if drop_empty_rows:
-        out = out.filter(F.size("columns") > 0)
-    return out
+    kept = "filter(columns, x -> x.kind != 'd' AND x.ts > deleted_at)"
+    if not drop_empty_rows:
+        return compacted.withColumn("columns", F.expr(kept))
+    passthrough = [c for c in compacted.columns if c != "columns"]
+    return compacted.select(
+        *passthrough, F.explode(F.array(F.expr(kept))).alias("columns")
+    ).filter(F.size("columns") > 0)
 
 
 def compacted_to_cells(compacted: DataFrame) -> DataFrame:
