@@ -21,7 +21,8 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int) -> dict:
+def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int,
+        only: list | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -30,6 +31,8 @@ def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int) -> dict:
         SPARK_GRAFT_BENCH_REPS_SUB=str(reps),
         SPARK_GRAFT_BENCH_REPS_HEAVY=str(heavy_reps),
     )
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
     subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, check=True, cwd=ROOT,
@@ -43,8 +46,30 @@ def main():
     reps = 1
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
-    base = run("/root/testdata/sf0.1", "/tmp/bench_sf01_detail.json", reps, max(reps, 2))
-    sf1 = run(os.path.join(ROOT, "testdata_sf1"), "/tmp/bench_sf1_detail.json", reps, max(reps, 2))
+    # --only a,b re-measures just those rows (after a targeted fix) and
+    # merges them into the existing artifact, preserving everything else
+    only = None
+    if "--only" in sys.argv:
+        only = [n for n in sys.argv[sys.argv.index("--only") + 1].split(",") if n]
+    base = run("/root/testdata/sf0.1", "/tmp/bench_sf01_detail.json", reps,
+               max(reps, 2), only)
+    sf1 = run(os.path.join(ROOT, "testdata_sf1"), "/tmp/bench_sf1_detail.json",
+              reps, max(reps, 2), only)
+
+    prior = {}
+    path = os.path.join(ROOT, "BENCH_SF1.json")
+    if only:
+        with open(path) as f:
+            prior = json.load(f)
+        # merge: totals re-derive from the merged per-query map below
+        merged_base = {k: v["sf0.1"] for k, v in prior["queries"].items()}
+        merged_sf1 = {k: v["sf1"] for k, v in prior["queries"].items()}
+        merged_base.update(base["queries"])
+        merged_sf1.update(sf1["queries"])
+        base = {"queries": merged_base,
+                "value": round(sum(v for v in merged_base.values() if v), 3)}
+        sf1 = {"queries": merged_sf1,
+               "value": round(sum(v for v in merged_sf1.values() if v), 3)}
 
     queries = {}
     watch = {}
@@ -120,7 +145,19 @@ def main():
         "watchlist_unexplained": sorted(k for k in watch if k not in annotations),
         "queries": queries,
     }
-    path = os.path.join(ROOT, "BENCH_SF1.json")
+    # the ann_recall section is owned by tools/ann_recall.py — carry it
+    # across rewrites (a full bench re-run must not silently drop the
+    # recorded accuracy evidence); its sf1_wall values refresh on the
+    # next ann_recall run
+    if not prior and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+    if prior.get("ann_recall"):
+        out["ann_recall"] = prior["ann_recall"]
+        for name, rec in out["ann_recall"].items():
+            q = out["queries"].get(name, {})
+            if q.get("sf1"):
+                rec["sf1_wall"] = q["sf1"]
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path}: total {base['value']}s -> {sf1['value']}s "
