@@ -491,9 +491,15 @@ def cleanse(compacted: DataFrame, *, drop_empty_rows: bool = True) -> DataFrame:
     if not drop_empty_rows:
         return compacted.withColumn("columns", F.expr(kept))
     passthrough = [c for c in compacted.columns if c != "columns"]
-    return compacted.select(
-        *passthrough, F.explode(F.array(F.expr(kept))).alias("columns")
-    ).filter(F.size("columns") > 0)
+    return (
+        compacted.select(
+            *passthrough, F.explode(F.array(F.expr(kept))).alias("columns")
+        )
+        .filter(F.size("columns") > 0)
+        # restore the input's column order: the explode appends 'columns'
+        # last, which would misalign positional consumers (ADVICE r13)
+        .select(*compacted.columns)
+    )
 
 
 def compacted_to_cells(compacted: DataFrame) -> DataFrame:

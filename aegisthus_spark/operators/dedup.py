@@ -89,6 +89,13 @@ def simhash_band_key_exprs(bits: int, max_hamming: int, blocks=None) -> list:
             )
         n_blocks, per_key = blocks, blocks - max_hamming
     widths = simhash_block_widths(bits, n_blocks)
+    if min(widths) <= 0:
+        # blocks > bits yields zero-width blocks whose key terms are
+        # constantly 0: recall stays 1.0 but band buckets collapse, and
+        # the BIGINT-overflow guard below only sometimes catches it
+        raise ValueError(
+            f"blocks={n_blocks} > bits={bits} produces zero-width blocks"
+        )
     los = [sum(widths[:i]) for i in range(n_blocks)]
     # arithmetic >> then mask extracts the same bits whether the engine's
     # shift is arithmetic or logical (mask kills the sign-fill) — verified
@@ -231,11 +238,17 @@ def _df_capped(rows: DataFrame, key_col: str, cap: int) -> DataFrame:
     capped flagship's scan work (r12 verdict, What's wrong #3). The
     window shuffles the rows by key once — the same partitioning the
     downstream common-key join wants — and a hot key's partition only
-    streams a count, so skew stays bounded."""
+    streams a count, so skew stays bounded.
+
+    NULL keys are dropped explicitly (the pre-r13 aggregate+join-back
+    form dropped them via the inner equi-join; a bare window count would
+    silently retain them as one group — ADVICE r13). Current callers'
+    keys are never null, so this is boundary pinning, not behavior."""
     from pyspark.sql import Window
 
     return (
-        rows.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        rows.filter(F.col(key_col).isNotNull())
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
         .filter(F.col("_df") <= cap)
         .drop("_df")
     )
@@ -258,6 +271,12 @@ def minhash_lsh_dedup(
     _lsh_shingles_and_candidates. On a boilerplate-dense corpus the
     shared shingles both inflate band collisions and densify true pairs;
     the cap restricts the working vocabulary to df<=cap shingles.
+
+    Setting ``max_shingle_df`` force-enables ``persist_shingles`` (an
+    explicit False is overridden): the capped vocabulary feeds three
+    consumers and none can take the raw-shingle shortcut, so re-deriving
+    explode+distinct+window per consumer tripled the cap's scan work at
+    10x data (r12 verdict) — the capped table always materializes once.
     """
     sh, cand = _lsh_shingles_and_candidates(
         docs, n=n, id_col="doc_id", persist_shingles=persist_shingles,

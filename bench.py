@@ -26,6 +26,18 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # measurement-exclusivity stamp (r13 verdict #2: a concurrent Spark
+    # job silently contaminated a full sf10 ladder ~3x). bench.py STAMPS
+    # but never refuses — the driver depends on this script producing a
+    # BENCH artifact every round; the interactive ladder tools
+    # (tools/bench_sf1.py / bench_sf10.py) are the ones that hard-fail.
+    from tools.isolation import snapshot as isolation_snapshot
+
+    iso_start = isolation_snapshot()
+    if iso_start["contaminated"]:
+        print(f"# WARNING: box not exclusive at start: {iso_start}",
+              file=sys.stderr)
+
     from aegisthus_spark.queries import REGISTRY
     from aegisthus_spark.session import get_spark
 
@@ -124,6 +136,14 @@ def main():
             file=sys.stderr,
         )
 
+    iso_end = isolation_snapshot(check_load=False)
+    isolation = {
+        "start": iso_start,
+        "end": iso_end,
+        "contaminated": bool(
+            iso_start["contaminated"] or iso_end["contaminated"]
+        ),
+    }
     detail = {
         "metric": "bench_total_query_time",
         "value": round(total, 3),
@@ -136,6 +156,7 @@ def main():
         "rep_counts": rep_counts,
         "rep_spread": spreads,
         "min_gap": min_gaps,
+        "isolation": isolation,
     }
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -158,6 +179,15 @@ def main():
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries": slowest,
+                # exclusivity stamp (kept tiny: the driver tail-captures
+                # ~2 KB of stdout; full snapshots live in BENCH_DETAIL)
+                "isolation": {
+                    "contaminated": isolation["contaminated"],
+                    "loadavg_start": iso_start["loadavg"][0],
+                    "foreign_jvms_start": iso_start["foreign_jvms"],
+                    "loadavg_end": iso_end["loadavg"][0],
+                    "foreign_jvms_end": iso_end["foreign_jvms"],
+                },
             }
         )
     )

@@ -72,7 +72,8 @@ ANNOTATIONS = {
         "top-1 neighbor cosine (~0.67) P(Hamming<=1 over 14 planes) is "
         "~8%, so recall vs the exact top-3 is near zero BY CONSTRUCTION; "
         "planted near-identical vectors would collide with prob ~1. The "
-        "general-similarity twin is sim_knn_join_ivf (floor 0.70)"),
+        "general-similarity twin is sim_knn_join_ivf (floors 0.85 mean "
+        "/ 0.2 min, probes=8)"),
     "sim_ivfpq_topk": (
         "pure ADC ranking (no exact-rerank stage by design — the refine "
         "stage is the separate sim_pq_refine query): recall is bounded by "

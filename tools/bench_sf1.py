@@ -43,6 +43,9 @@ def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int,
 
 
 def main():
+    from isolation import assert_exclusive, snapshot
+
+    iso_start = assert_exclusive("bench_sf1")  # hard-fails on a busy box
     reps = 1
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
@@ -143,6 +146,7 @@ def main():
             if k in annotations
         },
         "watchlist_unexplained": sorted(k for k in watch if k not in annotations),
+        "isolation": {"start": iso_start, "end": snapshot(check_load=False)},
         "queries": queries,
     }
     # the ann_recall section is owned by tools/ann_recall.py — carry it

@@ -33,6 +33,20 @@ SF10 = os.path.join(ROOT, "testdata_sf10")
 #: documented quadratic baseline, not the engine
 BY_DESIGN_QUADRATIC = {"dedup_ngram_jaccard", "dedup_embedding_nn"}
 
+#: registered teaching twins whose super-linear sf10 ratio is the
+#: DOCUMENTED saturation their flagship replacement exists to avoid —
+#: re-measuring them every ladder run spends minutes confirming a known
+#: annotation (r13 verdict, What's wrong #3). They stay in the registry
+#: and the correctness sweeps; only the scaling ladder skips them.
+EXCLUDED_TEACHING_TWINS = {
+    "dedup_simhash_pairs": (
+        "32-bit 4x8 pigeonhole SimHash: bucket saturation gives ~n^2/2^8 "
+        "candidate growth once n >> 256 (x27.27 measured in the r13 "
+        "ladder, 649 s of run time re-confirming the annotation); the "
+        "registered scale flagship dedup_simhash_pairs64 (Manku "
+        "combination keying) stays in the ladder"),
+}
+
 
 def run(sf_dir: str, only: list[str], detail_path: str) -> dict:
     if "--reuse-details" in sys.argv and os.path.exists(detail_path):
@@ -95,6 +109,9 @@ def knn_candidate_stats(sf_dirs: list[str]) -> dict:
 
 
 def main() -> None:
+    from isolation import assert_exclusive, snapshot
+
+    iso_start = assert_exclusive("bench_sf10")  # hard-fails on a busy box
     top_n = 10
     if "--top" in sys.argv:
         top_n = int(sys.argv[sys.argv.index("--top") + 1])
@@ -103,7 +120,8 @@ def main() -> None:
         sf1_art = json.load(f)
     ranked = sorted(
         ((v["sf1"], k) for k, v in sf1_art["queries"].items()
-         if v.get("sf1") and k not in BY_DESIGN_QUADRATIC),
+         if v.get("sf1") and k not in BY_DESIGN_QUADRATIC
+         and k not in EXCLUDED_TEACHING_TWINS),
         reverse=True,
     )
     heavies = [k for _, k in ranked[:top_n]]
@@ -172,6 +190,8 @@ def main() -> None:
     if merge_only:
         with open(os.path.join(ROOT, "BENCH_SF10.json")) as f:
             queries = json.load(f)["queries"]
+        for name in EXCLUDED_TEACHING_TWINS:
+            queries.pop(name, None)
     watch = {}
     for name in heavies:
         t1 = base["queries"].get(name)
@@ -192,6 +212,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(queries),
         "excluded_by_design_quadratic": sorted(BY_DESIGN_QUADRATIC),
+        "excluded_teaching_twins": EXCLUDED_TEACHING_TWINS,
         "total_sf1": round(sum(v["sf1"] or 0 for v in queries.values()), 2),
         "total_sf10": round(sum(v["sf10"] or 0 for v in queries.values()), 2),
         "missing_timings": sorted(
@@ -202,6 +223,7 @@ def main() -> None:
         "watchlist_unexplained": sorted(k for k in watch
                                         if k not in annotations),
         "knn_lsh_candidates": knn,
+        "isolation": {"start": iso_start, "end": snapshot(check_load=False)},
         "queries": queries,
     }
     path = os.path.join(ROOT, "BENCH_SF10.json")
