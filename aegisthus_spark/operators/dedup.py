@@ -772,6 +772,62 @@ def dup_spans(
     )
 
 
+def cut_spans(
+    docs: DataFrame, *, n: int = 3, min_len: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_removed): the span-CUT rewrite stage that
+    dup_spans' extraction exists to serve — Lee et al. 2022's ExactSubstr
+    REMEDY: instead of dropping a partially-duplicated document, remove
+    the duplicated spans and keep the rest.
+
+    A span of ``span_len`` consecutive duplicated shingles covers
+    ``span_len + n - 1`` words (word offsets span_start ..
+    span_start + span_len + n - 2); every covered word is removed and
+    the survivors re-join on single spaces. Documents with no qualifying
+    span pass through verbatim; a fully-duplicated document becomes the
+    empty string (callers filter on n_removed / length as policy).
+
+    Scale shape: dup_spans' shape (positional explode, cross-doc
+    vocabulary aggregate, one equi-join, per-doc gaps-and-islands
+    window), then the spans explode to removed WORD offsets (bounded by
+    total duplicated words, adjacent spans may overlap by up to n-1
+    words — hence the per-doc set), one doc_id aggregate, and one
+    doc_id equi-join back to the token table. The rewrite itself is a
+    JVM-side higher-order filter over the token array — per-row state
+    bounded by document length, never a doc-pair join, no Python UDF.
+    """
+    spans = dup_spans(
+        docs, n=n, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+    removed = (
+        spans.select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(span_start, span_start + span_len + {n - 2})")
+            ).alias("widx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("widx").alias("removed"))
+    )
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    return (
+        toks.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "concat_ws(' ', filter(t, (w, i) -> "
+                "removed IS NULL OR NOT array_contains(removed, i)))"
+            ).alias("clean_text"),
+            F.when(F.col("removed").isNull(), F.lit(0))
+            .otherwise(F.size("removed"))
+            .cast("int")
+            .alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     *,

@@ -4242,6 +4242,51 @@ def dedup_dup_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_cut_spans",
+    """
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pi AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+    posh AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                    array_to_string(t[i:i+2], ' ') AS shingle FROM pi),
+    dup AS (SELECT shingle FROM (
+              SELECT shingle, COUNT(DISTINCT doc_id) AS d
+              FROM posh GROUP BY shingle) WHERE d > 1),
+    marked AS (SELECT p.doc_id, p.pos FROM posh p JOIN dup USING (shingle)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM marked),
+    spans AS (SELECT doc_id, MIN(pos) AS span_start, COUNT(*) AS span_len
+              FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 2),
+    rw AS (SELECT DISTINCT doc_id, widx FROM (
+             SELECT doc_id,
+                    unnest(range(span_start, span_start + span_len + 2))
+                      AS widx
+             FROM spans)),
+    rl AS (SELECT doc_id, list(widx) AS removed FROM rw GROUP BY doc_id)
+    SELECT tk.doc_id,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+           -- concat_ws over an empty array is '' (fully-cut documents)
+           COALESCE(array_to_string([t[i] FOR i IN range(1, len(t) + 1)
+                                     IF removed IS NULL
+                                        OR NOT list_contains(removed, i - 1)],
+                                    ' '), '') AS clean_text,
+           CAST(COALESCE(len(removed), 0) AS INT) AS n_removed
+    FROM tk LEFT JOIN rl USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="span-CUT rewrite (Lee et al. 2022 ExactSubstr remedy, completing "
+        "dedup_dup_spans): remove every word covered by a cross-doc "
+        "duplicated 3-gram run (span_len + n - 1 words per span, adjacent "
+        "spans may overlap by up to n-1 words), keep the rest — documents "
+        "survive partially instead of being dropped; JVM-side "
+        "higher-order filter over the token array, never a pair join",
+)
+def dedup_cut_spans(spark, sf_dir):
+    return _dd.cut_spans(_t(spark, sf_dir, "documents"), n=3, min_len=2)
+
+
+@register(
     "ev_topk_cms",
     f"""
     WITH {_sk.cms_oracle_cte("events", "user_id")}

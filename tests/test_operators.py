@@ -843,6 +843,31 @@ def test_dup_spans_matches_python_reference(docs):
     assert got, "fixture corpus contains duplicated spans"
 
 
+def test_cut_spans_matches_python_reference(docs):
+    """Span-CUT rewrite (the ExactSubstr remedy dup_spans exists to
+    serve): every word covered by a qualifying span (span_len + n - 1
+    words, adjacent spans may overlap) is removed, survivors re-join on
+    single spaces, untouched docs pass through verbatim."""
+    from aegisthus_spark.operators.dedup import cut_spans, dup_spans
+
+    spans = {}
+    for r in dup_spans(docs, n=3, min_len=2).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        t = r.text.split(" ")
+        removed = set()
+        for start, slen in spans.get(r.doc_id, []):
+            removed.update(range(start, start + slen + 3 - 1))
+        kept = [w for i, w in enumerate(t) if i not in removed]
+        want[r.doc_id] = (" ".join(kept), len(removed))
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in cut_spans(docs, n=3, min_len=2).collect()}
+    assert got == want
+    assert any(n for _, n in got.values()), "fixture corpus has cut docs"
+    assert any(n == 0 for _, n in got.values()), "fixture corpus has untouched docs"
+
+
 def test_simhash_band_key_validation():
     """r12 ADVICE: reject degenerate band parameters instead of silently
     dropping fingerprint bits or collapsing every key to 0, and give the
