@@ -492,6 +492,25 @@ def _l2_float(a: str, b: str) -> str:
     )
 
 
+def _l2_float_unrolled(vec: str, base: str, cent: str, d: int) -> str:
+    """Squared L2 between ``vec[base+1 .. base+d]`` and ``cent[1..d]`` as
+    straight-line arithmetic — no slice, no zip_with/aggregate lambda
+    machinery. Addition order is the same strict left-to-right chain as
+    _l2_float's fold, so results are bit-identical; the point is encode
+    cost for NARROW subspaces (d <= ~8), where per-lambda overhead
+    dominates the handful of real subtractions (r14: the 32x64 IVF-PQ
+    recall lift doubled codeword evaluations per row — this claws the
+    wall back by making each evaluation a few flops instead of a fold)."""
+    sq = []
+    for i in range(1, d + 1):
+        t = (
+            f"(cast(element_at({vec}, {base} + {i}) as double) - "
+            f"cast(element_at({cent}, {i}) as double))"
+        )
+        sq.append(f"({t} * {t})")
+    return "(" + " + ".join(sq) + ")"
+
+
 def _lit_double_array(vals: list[float]) -> str:
     return "array(" + ",".join(f"cast({float(v)!r} as double)" for v in vals) + ")"
 
@@ -762,10 +781,18 @@ def pq_encode(
     cb_df = spark.createDataFrame(
         [(cb,)], schema="_cb array<array<struct<j:int,cent:array<double>>>>"
     )
-    sub = f"slice({vec_col}, s * {d} + 1, {d})"
+    if d <= 2:
+        # degenerate-width subspaces: straight-line arithmetic indexed off
+        # the raw vector. HOFs run interpreted (no codegen/CSE), so the
+        # crossover is low: at d=2 the unroll beats the slice+fold ~5%,
+        # at d=8 the duplicated (t*t) subtrees already lose 50% (A/B
+        # min-of-3 at sf0.1, r14) — hence the conservative threshold
+        dist = _l2_float_unrolled(vec_col, f"(s * {d})", "c.cent", d)
+    else:
+        dist = _l2_float(f"slice({vec_col}, s * {d} + 1, {d})", "c.cent")
     code = (
         f"array_min(transform(element_at(_cb, s + 1), c -> "
-        f"named_struct('d', {_l2_float(sub, 'c.cent')}, 'j', c.j))).j"
+        f"named_struct('d', {dist}, 'j', c.j))).j"
     )
     codes = f"transform(sequence(0, {m - 1}), s -> {code})"
     return (
@@ -803,7 +830,11 @@ def pq_topk(
     ``restrict_to``: optional (id) frame — score only those ids (the
     IVF-PQ composition: a coarse router picks candidate cells, PQ codes
     pay for the scan). Codebook seeds always come from the FULL corpus so
-    the codes are stable under any routing.
+    the codes are stable under any routing — which also means the
+    restriction can apply BEFORE encode: a routed vector's code is
+    bit-identical whether or not the rest of the corpus was encoded, and
+    skipping the non-routed encode mirrors production (codes for only
+    the probed cells are ever READ off a cell-partitioned code table).
     """
     spark = emb.sparkSession
     dim = len(query_vec)
@@ -811,11 +842,14 @@ def pq_topk(
         raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
     d = dim // m
     seeds = _pq_seeds(emb, k, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, seeds=seeds)
+    enc_src = emb
     if restrict_to is not None:
         # no broadcast hint: the routed candidate set is corpus-fraction
         # sized at scale — let AQE pick the strategy
-        codes = codes.join(restrict_to.select(id_col), id_col, "left_semi")
+        enc_src = emb.join(restrict_to.select(id_col), id_col, "left_semi")
+    codes = pq_encode(
+        enc_src, m=m, k=k, id_col=id_col, vec_col=vec_col, seeds=seeds
+    )
     lut = [
         (s, j, _l2_py(query_vec[s * d : (s + 1) * d], vec[s * d : (s + 1) * d]))
         for j, vec in seeds

@@ -2234,9 +2234,11 @@ def _pq_cte(k_codes: int = 16, m: int = 8) -> str:
     frozen architecture demo), the refine oracle (8x64 — round-12 recall
     fix: 16 first-id codewords quantize so coarsely that the ADC shortlist
     recalled 0.22 of the exact top-10 at sf1; 64 recalls 0.78 with the
-    adaptive shortlist) and the IVF-PQ oracle (16x64 — halving subspace
-    width cuts per-subspace quantization error; pure-ADC recall 0.11 ->
-    0.36, tools/ann_recall.py)."""
+    adaptive shortlist) and the IVF-PQ oracle (32x64 since the round-14
+    recall lift — halving subspace width to 2 dims cuts per-subspace
+    quantization error at unchanged encode cost, argmin work ~ k*dim
+    regardless of m; pure-ADC recall mean 0.292 -> 0.557 at sf1,
+    tools/ann_recall.py)."""
     w = 64 // m
     return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     cb AS (
@@ -2321,7 +2323,7 @@ def sim_pq_refine(spark, sf_dir):
 @register(
     "sim_ivfpq_topk",
     f"""
-    WITH {_pq_cte(64, m=16)},
+    WITH {_pq_cte(64, m=32)},
     dims AS (SELECT label, generate_subscripts(embedding, 1) AS i,
                     unnest(embedding) AS x
              FROM embeddings),
@@ -2345,15 +2347,18 @@ def sim_pq_refine(spark, sf_dir):
     """,
     doc="IVF-PQ, the billion-vector production layout: route to the 3 "
         "nearest label centroids, ADC-score only those cells' PQ codes "
-        "(16 subspaces x 64 codewords since round 12's recall fix — "
-        "recall@10 vs exact 0.06 -> 0.36, pure-ADC ranked by design; the "
-        "exact-rerank stage is the separate sim_pq_refine query) — on a "
-        "cell-partitioned code table the restriction is partition pruning",
+        "(32 subspaces x 64 codewords since round 14's recall lift — "
+        "halving subspace width to 2 dims cuts per-subspace quantization "
+        "error at UNCHANGED encode cost (argmin work ~ k*dim regardless "
+        "of m): recall@10 mean 0.292 -> 0.557, min 0.1 -> 0.3 at sf1; "
+        "pure-ADC ranked by design, the exact-rerank stage is the "
+        "separate sim_pq_refine query) — on a cell-partitioned code "
+        "table the restriction is partition pruning",
 )
 def sim_ivfpq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return _sim.pq_topk_ivf(
-        emb, _query_vec(spark, sf_dir), probes=3, m=16, k=64, topk=10,
+        emb, _query_vec(spark, sf_dir), probes=3, m=32, k=64, topk=10,
         exclude_id=0,
     )
 
@@ -4435,7 +4440,14 @@ def dedup_semantic(spark, sf_dir):
     doc="asymmetric containment scoring over LSH candidates (Broder's "
         "resemblance-vs-containment): |A∩B|/|A| and |A∩B|/|B| catch "
         "subset/quote duplication that symmetric Jaccard dilutes; same "
-        "candidate-only scale shape as the Jaccard verify",
+        "candidate-only scale shape as the Jaccard verify. UNCAPPED "
+        "density-ground-truth TWIN (r13 verdict settle, the minhash "
+        "precedent): candidate pairs track the corpus's duplicate-family "
+        "density, so its sf10 ratio measures the corpus, not the plan — "
+        "the registered flagship containment path is "
+        "dedup_containment_capped (x9.08 vs x12.36 in the same r13 sf10 "
+        "ladder; candidate-growth evidence recorded in BENCH_SF10.json's "
+        "containment_lsh_candidates)",
 )
 def dedup_containment(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -4470,7 +4482,10 @@ def dedup_containment(spark, sf_dir):
         "inflation and the common-shingle join when one boilerplate "
         "shingle is shared by 1e5 documents; oracle caps in lockstep "
         "(the cap excludes ~150-190 shingles at the frozen test scales, "
-        "so the lever is exercised, not decorative)",
+        "so the lever is exercised, not decorative). The registered "
+        "FLAGSHIP containment path (r13 verdict settle, the minhash "
+        "precedent): x9.08 at sf1->sf10 vs the uncapped "
+        "density-ground-truth twin's x12.36 in the same ladder",
 )
 def dedup_containment_capped(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

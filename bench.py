@@ -44,8 +44,13 @@ def main():
     spark = get_spark("bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # query, not session startup (probe corpora like testdata_sf100 carry
+    # only the flagship tables, so fall through to whichever exists)
+    for _warm in ("lineitem", "documents", "events"):
+        _p = f"{sf_dir}/{_warm}.parquet"
+        if os.path.exists(_p):
+            spark.read.parquet(_p).count()
+            break
 
     # min-of-N guards against CPU-steal spikes from noisy neighbors; the
     # plan+execution still runs end-to-end each rep (no caching between).

@@ -43,7 +43,7 @@ sys.path.insert(0, ROOT)
 FLOORS = {
     "sim_cosine_lsh": 0.60,
     "sim_pq_refine": 0.65,
-    "sim_ivfpq_topk": 0.25,
+    "sim_ivfpq_topk": 0.45,  # 32x64 since r14 (measured mean 0.557 at sf1)
     "sim_matryoshka_rerank": 0.65,
     "sim_quantized_topk": 0.90,
     "sim_knn_join": 0.0,
@@ -58,7 +58,7 @@ FLOORS = {
 FLOORS_MIN = {
     "sim_cosine_lsh": 0.1,        # measured worst 0.2 — see annotation
     "sim_pq_refine": 0.3,         # measured worst 0.4
-    "sim_ivfpq_topk": 0.0,        # pure ADC by design — see annotation
+    "sim_ivfpq_topk": 0.2,        # 32x64 measured worst 0.3 at sf1 (r14)
     "sim_matryoshka_rerank": 0.1,  # measured worst 0.2
     "sim_quantized_topk": 0.8,    # measured worst 0.9
     "sim_knn_join": 0.0,          # near-dup generator by design — annotated
@@ -77,10 +77,12 @@ ANNOTATIONS = {
     "sim_ivfpq_topk": (
         "pure ADC ranking (no exact-rerank stage by design — the refine "
         "stage is the separate sim_pq_refine query): recall is bounded by "
-        "PQ quantization error of first-id codebooks, not by routing; a "
-        "worst-sample query whose true neighbors all quantize poorly can "
-        "recall 0 — hence min floor 0.0, with sim_pq_refine (min floor "
-        "0.3) as the documented accuracy path"),
+        "PQ quantization error of first-id codebooks, not by routing. "
+        "r14 moved the registered config 16x64 -> 32x64 (2-dim "
+        "subspaces): encode cost is unchanged (argmin work ~ k*dim "
+        "regardless of m) while mean recall lifted 0.292 -> 0.557 and "
+        "worst-sample 0.1 -> 0.3; sim_pq_refine remains the documented "
+        "accuracy path"),
     "sim_cosine_lsh": (
         "single-query sign-bit LSH at 6 planes / Hamming<=2 multiprobe: "
         "per-query recall variance is inherent (a query whose true "
@@ -143,7 +145,7 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
             emb, qv, m=8, k=64, shortlist=max(50, n // 100), topk=10,
             exclude_id=qid),
         "sim_ivfpq_topk": lambda qv, qid: sim.pq_topk_ivf(
-            emb, qv, probes=3, m=16, k=64, topk=10, exclude_id=qid),
+            emb, qv, probes=3, m=32, k=64, topk=10, exclude_id=qid),
         "sim_matryoshka_rerank": lambda qv, qid: sim.cosine_topk_matryoshka(
             emb, qv, prefix_dim=16, shortlist=max(50, n // 40), k=10,
             exclude_id=qid),

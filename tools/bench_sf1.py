@@ -118,12 +118,14 @@ def main():
             "dedup_simhash_pairs64 (64-bit Manku combination keying, "
             "~34-bit band keys, buckets >> n at any corpus size)"),
         "dedup_containment": (
-            "linear-ish: candidate pairs + shingle-df density grow with "
-            "the corpus's duplicate families; equi-join shaped, never "
-            "all-pairs; round 11 added the max_shingle_df hot-shingle cap "
-            "(exercised by dedup_containment_capped; stress.py "
-            "--hot-shingle shows uncapped x4.1 vs capped flat on a "
-            "boilerplate clique)"),
+            "UNCAPPED density-ground-truth twin (r14 settle): candidate "
+            "pairs + shingle-df density grow with the corpus's duplicate "
+            "families; equi-join shaped, never all-pairs; the registered "
+            "flagship containment path is dedup_containment_capped "
+            "(stress.py --hot-shingle shows uncapped x4.1 vs capped flat "
+            "on a boilerplate clique; BENCH_SF10.json's "
+            "containment_lsh_candidates records the sf1->sf10 candidate "
+            "growth the wall ratio follows)"),
         "dedup_ngram_coverage": (
             "linear-ish: shingle-df join rows grow with duplicate "
             "density; one explode + two keyed shuffles, never a pair "
