@@ -940,6 +940,17 @@ def pq_refine_topk(
         emb, query_vec, m=m, k=k, topk=shortlist,
         id_col=id_col, vec_col=vec_col, exclude_id=exclude_id,
     )
+    return _exact_rerank(emb, short, query_vec, topk=topk,
+                         id_col=id_col, vec_col=vec_col)
+
+
+def _exact_rerank(
+    emb: DataFrame, short: DataFrame, query_vec: list[float], *,
+    topk: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """The shared exact-rerank tail: full-precision decimal cosine over the
+    shortlist ONLY (broadcast join — the shortlist is topk-bounded), rank
+    desc with id tie-breaks."""
     q = _query_lit(query_vec)
     cand = emb.join(F.broadcast(short.select(id_col, "adist")), id_col)
     return (
@@ -958,6 +969,40 @@ def pq_refine_topk(
         .orderBy(F.desc("cos"), id_col)
         .limit(topk)
     )
+
+
+def pq_refine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    *,
+    probes: int = 3,
+    m: int = 32,
+    k: int = 64,
+    shortlist: int = 50,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """(id, adist, cos): the COMPLETE production retrieval stack — IVF
+    coarse routing + PQ ADC shortlist + exact rerank (Jégou et al. 2011
+    §V's IVFADC with the standard refine stage; the FAISS
+    IndexIVFPQ+refine composition). Query cost decomposes as: routing
+    over the cell centroids (broadcast), ADC over only the probed cells'
+    codes (~(corpus/cells)*probes LUT lookups — partition pruning on a
+    cell-partitioned code table), and an exact pass that touches
+    ``shortlist`` vectors regardless of corpus size. The two approximate
+    stages bound WHICH vectors can surface; the exact stage fixes their
+    ORDER — so recall is routing*shortlist-bounded while ranking
+    precision is exact."""
+    short = pq_topk_ivf(
+        emb, query_vec, probes=probes, m=m, k=k, topk=shortlist,
+        id_col=id_col, label_col=label_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+    return _exact_rerank(emb, short, query_vec, topk=topk,
+                         id_col=id_col, vec_col=vec_col)
 
 
 def hybrid_rrf(

@@ -2364,6 +2364,56 @@ def sim_ivfpq_topk(spark, sf_dir):
 
 
 @register(
+    "sim_ivfpq_refine",
+    f"""
+    WITH {_pq_cte(64, m=32)},
+    dims AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                    unnest(embedding) AS x
+             FROM embeddings),
+    cent AS (SELECT label, i,
+                    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+                      / COUNT(*) AS c
+             FROM dims GROUP BY label, i),
+    centv AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+    routed AS (
+      SELECT label,
+             round({_DOT_SQL.format(a='centv.centroid', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='centv.centroid', b='centv.centroid')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS ccos
+      FROM centv, q ORDER BY ccos DESC, label LIMIT 3),
+    short AS (
+      SELECT p.vec_id, p.adist
+      FROM pqd p JOIN embeddings e ON e.vec_id = p.vec_id
+                 JOIN routed USING (label)
+      WHERE p.vec_id <> 0
+      ORDER BY p.adist, p.vec_id
+      LIMIT (SELECT GREATEST(50, count(*) // 100) FROM embeddings))
+    SELECT e.vec_id, s.adist,
+           round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cos
+    FROM embeddings e JOIN short s USING (vec_id), q
+    ORDER BY cos DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="the COMPLETE production retrieval stack (IVFADC + refine, the "
+        "FAISS IndexIVFPQ+rerank composition): route to 3 label "
+        "centroids, ADC-shortlist max(50, n/100) within those cells' "
+        "32x64 PQ codes only, exact decimal-cosine rerank of the "
+        "shortlist — the approximate stages bound WHICH vectors surface "
+        "(cell-pruned scan), the exact stage fixes their ORDER "
+        "(O(shortlist*dim) regardless of corpus size)",
+)
+def sim_ivfpq_refine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    shortlist = max(50, emb.count() // 100)
+    return _sim.pq_refine_topk_ivf(
+        emb, _query_vec(spark, sf_dir), probes=3, m=32, k=64,
+        shortlist=shortlist, topk=10, exclude_id=0,
+    )
+
+
+@register(
     "text_token_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,

@@ -44,6 +44,7 @@ FLOORS = {
     "sim_cosine_lsh": 0.60,
     "sim_pq_refine": 0.65,
     "sim_ivfpq_topk": 0.45,  # 32x64 since r14 (measured mean 0.557 at sf1)
+    "sim_ivfpq_refine": 0.9,  # r14: full IVFADC+refine stack (measured 1.0)
     "sim_matryoshka_rerank": 0.65,
     "sim_quantized_topk": 0.90,
     "sim_knn_join": 0.0,
@@ -59,6 +60,7 @@ FLOORS_MIN = {
     "sim_cosine_lsh": 0.1,        # measured worst 0.2 — see annotation
     "sim_pq_refine": 0.3,         # measured worst 0.4
     "sim_ivfpq_topk": 0.2,        # 32x64 measured worst 0.3 at sf1 (r14)
+    "sim_ivfpq_refine": 0.7,      # measured worst 1.0 at sf1 (r14)
     "sim_matryoshka_rerank": 0.1,  # measured worst 0.2
     "sim_quantized_topk": 0.8,    # measured worst 0.9
     "sim_knn_join": 0.0,          # near-dup generator by design — annotated
@@ -146,6 +148,9 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
             exclude_id=qid),
         "sim_ivfpq_topk": lambda qv, qid: sim.pq_topk_ivf(
             emb, qv, probes=3, m=32, k=64, topk=10, exclude_id=qid),
+        "sim_ivfpq_refine": lambda qv, qid: sim.pq_refine_topk_ivf(
+            emb, qv, probes=3, m=32, k=64, shortlist=max(50, n // 100),
+            topk=10, exclude_id=qid),
         "sim_matryoshka_rerank": lambda qv, qid: sim.cosine_topk_matryoshka(
             emb, qv, prefix_dim=16, shortlist=max(50, n // 40), k=10,
             exclude_id=qid),
