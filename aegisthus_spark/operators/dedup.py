@@ -774,6 +774,7 @@ def dup_spans(
 
 def cut_spans(
     docs: DataFrame, *, n: int = 3, min_len: int = 2,
+    drop_empty: bool = False,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, clean_text, n_removed): the span-CUT rewrite stage that
@@ -786,7 +787,13 @@ def cut_spans(
     span_start + span_len + n - 2); every covered word is removed and
     the survivors re-join on single spaces. Documents with no qualifying
     span pass through verbatim; a fully-duplicated document becomes the
-    empty string (callers filter on n_removed / length as policy).
+    empty string. ``drop_empty=True`` drops those fully-cut documents —
+    the surviving-corpus shape a curation pipeline feeds downstream
+    (and, because the filter reads ``clean_text``, a shape whose row
+    COUNT requires the rewrite: with the full-corpus default, Catalyst
+    correctly answers ``count()`` without the join — the right-hand
+    aggregate is unique per key, so the left join is eliminated — which
+    is great for users and misleading for row-count benchmarks).
 
     Scale shape: dup_spans' shape (positional explode, cross-doc
     vocabulary aggregate, one equi-join, per-doc gaps-and-islands
@@ -811,21 +818,20 @@ def cut_spans(
         .agg(F.collect_set("widx").alias("removed"))
     )
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
-    return (
-        toks.join(removed, id_col, "left")
-        .select(
-            id_col,
-            F.expr(
-                "concat_ws(' ', filter(t, (w, i) -> "
-                "removed IS NULL OR NOT array_contains(removed, i)))"
-            ).alias("clean_text"),
-            F.when(F.col("removed").isNull(), F.lit(0))
-            .otherwise(F.size("removed"))
-            .cast("int")
-            .alias("n_removed"),
-        )
-        .orderBy(id_col)
+    out = toks.join(removed, id_col, "left").select(
+        id_col,
+        F.expr(
+            "concat_ws(' ', filter(t, (w, i) -> "
+            "removed IS NULL OR NOT array_contains(removed, i)))"
+        ).alias("clean_text"),
+        F.when(F.col("removed").isNull(), F.lit(0))
+        .otherwise(F.size("removed"))
+        .cast("int")
+        .alias("n_removed"),
     )
+    if drop_empty:
+        out = out.filter(F.col("clean_text") != "")
+    return out.orderBy(id_col)
 
 
 def semantic_dedup(

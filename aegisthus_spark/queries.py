@@ -4318,27 +4318,37 @@ def dedup_dup_spans(spark, sf_dir):
                     unnest(range(span_start, span_start + span_len + 2))
                       AS widx
              FROM spans)),
-    rl AS (SELECT doc_id, list(widx) AS removed FROM rw GROUP BY doc_id)
-    SELECT tk.doc_id,
-           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
-           -- concat_ws over an empty array is '' (fully-cut documents)
-           COALESCE(array_to_string([t[i] FOR i IN range(1, len(t) + 1)
-                                     IF removed IS NULL
-                                        OR NOT list_contains(removed, i - 1)],
-                                    ' '), '') AS clean_text,
-           CAST(COALESCE(len(removed), 0) AS INT) AS n_removed
-    FROM tk LEFT JOIN rl USING (doc_id)
+    rl AS (SELECT doc_id, list(widx) AS removed FROM rw GROUP BY doc_id),
+    cut AS (
+      SELECT tk.doc_id,
+             -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+             -- concat_ws over an empty array is '' (fully-cut documents)
+             COALESCE(array_to_string([t[i] FOR i IN range(1, len(t) + 1)
+                                       IF removed IS NULL
+                                          OR NOT list_contains(removed, i - 1)],
+                                      ' '), '') AS clean_text,
+             CAST(COALESCE(len(removed), 0) AS INT) AS n_removed
+      FROM tk LEFT JOIN rl USING (doc_id))
+    SELECT doc_id, clean_text, n_removed
+    FROM cut WHERE clean_text <> ''
     ORDER BY doc_id
     """,
     doc="span-CUT rewrite (Lee et al. 2022 ExactSubstr remedy, completing "
         "dedup_dup_spans): remove every word covered by a cross-doc "
         "duplicated 3-gram run (span_len + n - 1 words per span, adjacent "
-        "spans may overlap by up to n-1 words), keep the rest — documents "
-        "survive partially instead of being dropped; JVM-side "
-        "higher-order filter over the token array, never a pair join",
+        "spans may overlap by up to n-1 words), keep the rest, DROP "
+        "documents cut to nothing — the surviving corpus a curation "
+        "pipeline feeds downstream; JVM-side higher-order filter over "
+        "the token array, never a pair join. drop_empty also keeps the "
+        "bench honest: the full-corpus variant's row count is answerable "
+        "WITHOUT the rewrite (Catalyst eliminates the left join against "
+        "the per-key-unique aggregate under count()), so this row would "
+        "otherwise measure a token-split scan, not the operator",
 )
 def dedup_cut_spans(spark, sf_dir):
-    return _dd.cut_spans(_t(spark, sf_dir, "documents"), n=3, min_len=2)
+    return _dd.cut_spans(
+        _t(spark, sf_dir, "documents"), n=3, min_len=2, drop_empty=True
+    )
 
 
 @register(

@@ -866,6 +866,9 @@ def test_cut_spans_matches_python_reference(docs):
     assert got == want
     assert any(n for _, n in got.values()), "fixture corpus has cut docs"
     assert any(n == 0 for _, n in got.values()), "fixture corpus has untouched docs"
+    surviving = {r.doc_id for r in
+                 cut_spans(docs, n=3, min_len=2, drop_empty=True).collect()}
+    assert surviving == {d for d, (t, _) in want.items() if t != ""}
 
 
 def test_simhash_band_key_validation():
