@@ -52,6 +52,21 @@ def main():
             spark.read.parquet(_p).count()
             break
 
+    # JIT warmup (r14): at ladder scale the first ~6 min of a fresh JVM
+    # run 2x slow — codegen compilation, buffer pools — so whichever
+    # query runs FIRST absorbs ~+100 s at sf10 regardless of reps (the
+    # containment twins' walls literally swapped when their order did:
+    # 195/97 vs 194/93 s for identical code). Ladder tools set
+    # SPARK_GRAFT_BENCH_JIT_WARMUP to a query name; it executes ONCE,
+    # untimed, before any timed rep, then caches are cleared.
+    warm_q = os.environ.get("SPARK_GRAFT_BENCH_JIT_WARMUP")
+    if warm_q:
+        REGISTRY[warm_q].fn(spark, sf_dir).count()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     # min-of-N guards against CPU-steal spikes from noisy neighbors; the
     # plan+execution still runs end-to-end each rep (no caching between).
     # Sub-second queries are fixed-overhead dominated (32-task stage

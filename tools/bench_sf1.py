@@ -33,6 +33,10 @@ def run(sf_dir: str, detail_path: str, reps: int, heavy_reps: int,
     )
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+        # small --only sessions put every row in the fresh-JVM cold
+        # window (~2x for the first ~6 min at scale) — run the first
+        # query once untimed so timed rows are steady-state (bench.py)
+        env["SPARK_GRAFT_BENCH_JIT_WARMUP"] = only[0]
     subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         env=env, check=True, cwd=ROOT,
