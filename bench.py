@@ -98,8 +98,28 @@ def main():
     rep_counts: dict[str, int] = {}
     spreads: dict[str, float] = {}
     min_gaps: dict[str, float] = {}
+    # per-QUERY exclusivity: a periodic external job (r14: a harness
+    # heartbeat spawning a local[32] Spark session mid-leg) can
+    # contaminate SOME rows of a long leg while the leg-level start/end
+    # stamps both read clean. A daemon thread samples foreign processes
+    # every 5 s; a query whose time window contains a dirty sample is
+    # marked contaminated so ladder merges know WHICH rows to distrust.
+    import threading
+
+    _dirty_times: list[float] = []
+    _sampler_stop = threading.Event()
+
+    def _sampler() -> None:
+        while not _sampler_stop.wait(5.0):
+            if isolation_snapshot(check_load=False)["contaminated"]:
+                _dirty_times.append(time.monotonic())
+
+    threading.Thread(target=_sampler, daemon=True).start()
+    query_windows: dict[str, tuple[float, float]] = {}
+    contaminated_queries: list[str] = []
     total = 0.0
     for name, q in registry.items():
+        _win_start = time.monotonic()
         try:
             spark._jvm.System.gc()  # outside the timers
         except Exception:
@@ -150,12 +170,20 @@ def main():
             round(two_best[1] / two_best[0] - 1.0, 3) if len(two_best) > 1 else None
         )
         total += best
+        query_windows[name] = (_win_start, time.monotonic())
+        if any(_win_start <= t for t in _dirty_times):
+            # any dirty sample since this query started (samples are
+            # appended monotonically, earlier queries already closed)
+            contaminated_queries.append(name)
         print(
             f"# {name}: {best:.3f}s ({n} rows, min of {done}, "
-            f"spread {spreads[name]:.0%})",
+            f"spread {spreads[name]:.0%}"
+            + (", CONTAMINATED" if name in contaminated_queries else "")
+            + ")",
             file=sys.stderr,
         )
 
+    _sampler_stop.set()
     iso_end = isolation_snapshot(check_load=False)
     isolation = {
         "start": iso_start,
@@ -177,6 +205,7 @@ def main():
         "rep_spread": spreads,
         "min_gap": min_gaps,
         "isolation": isolation,
+        "contaminated_queries": contaminated_queries,
     }
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

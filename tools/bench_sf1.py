@@ -63,6 +63,18 @@ def main():
     sf1 = run(os.path.join(ROOT, "testdata_sf1"), "/tmp/bench_sf1_detail.json",
               reps, max(reps, 2), only)
 
+    # distrust rows whose timing window overlapped a foreign Spark/JVM
+    # process (bench.py's 5s sampler): drop them from the fresh legs so
+    # merge mode keeps the prior value, and say so loudly
+    dirty = set(base.get("contaminated_queries", [])) | set(
+        sf1.get("contaminated_queries", [])
+    )
+    if dirty:
+        print(f"CONTAMINATED rows skipped (re-run them): {sorted(dirty)}")
+        for art in (base, sf1):
+            for name in dirty:
+                art["queries"].pop(name, None)
+
     prior = {}
     path = os.path.join(ROOT, "BENCH_SF1.json")
     if only:

@@ -232,8 +232,21 @@ def main() -> None:
             queries = json.load(f)["queries"]
         for name in EXCLUDED_TEACHING_TWINS:
             queries.pop(name, None)
+    # rows whose timing window overlapped a foreign Spark/JVM process
+    # (bench.py's 5s sampler) are NOT trusted into the artifact: keep the
+    # prior value (merge mode) or record null, and say so loudly
+    dirty = set(base.get("contaminated_queries", [])) | set(
+        sf10.get("contaminated_queries", [])
+    )
+    if dirty:
+        print(f"CONTAMINATED rows skipped (re-run them): {sorted(dirty)}")
     watch = {}
     for name in heavies:
+        if name in dirty:
+            if name not in queries:
+                queries[name] = {"sf1": None, "sf10": None, "ratio": None,
+                                 "contaminated": True}
+            continue
         t1 = base["queries"].get(name)
         t10 = sf10["queries"].get(name)
         ratio = round(t10 / t1, 2) if t1 and t10 else None
