@@ -54,6 +54,25 @@ def run(sf_dir: str, only: list[str], detail_path: str) -> dict:
         # reuse their detail files when only the aggregation changed
         with open(detail_path) as f:
             return json.load(f)
+    if "--isolate" in sys.argv:
+        # fresh-JVM-per-query protocol (r14): within one long session,
+        # later queries run 2-4x slower than the same query solo — even
+        # with per-rep cache clearing and inter-query System.gc (shingle-
+        # heavy rows measured 97 s solo vs 283-363 s late-session, with
+        # NO foreign process present). One bench.py invocation per query
+        # (self-warmup + timed reps) makes every row steady-state and
+        # order-independent, at ~15 s JVM startup per row.
+        merged: dict = {"queries": {}, "contaminated_queries": []}
+        for name in only:
+            part = run_one([name], sf_dir, detail_path + f".{name}")
+            merged["queries"].update(part["queries"])
+            merged["contaminated_queries"] += part.get(
+                "contaminated_queries", [])
+        return merged
+    return run_one(only, sf_dir, detail_path)
+
+
+def run_one(only: list[str], sf_dir: str, detail_path: str) -> dict:
     # single-shot by default; AEGISTHUS_SF10_REPS=2 upgrades a targeted
     # --only re-measure to min-of-N with the spread discipline — for
     # contested rows whose single-shot delta is inside the ~20% noise
