@@ -813,6 +813,7 @@ def pq_topk(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     restrict_to: DataFrame | None = None,
+    topk_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, adist): approximate top-k by ASYMMETRIC distance computation
     (ADC): the query stays full-precision, every corpus vector is its PQ
@@ -835,6 +836,18 @@ def pq_topk(
     bit-identical whether or not the rest of the corpus was encoded, and
     skipping the non-routed encode mirrors production (codes for only
     the probed cells are ever READ off a cell-partitioned code table).
+
+    ``topk_df``: optional 1-row ``(_lim bigint)`` frame — a corpus-derived
+    shortlist size that rides the PLAN (broadcast scalar) instead of a
+    driver-side action (r14 verdict: ``sim_ivfpq_refine`` used to
+    ``emb.count()`` on the driver). ``topk`` is ignored when given. A
+    dynamic limit can't be a literal ``LIMIT``, so selection is a
+    two-phase rank: prune to the top-``_lim`` of each partition (keyed,
+    no funnel — every global-top-lim row is in its own partition's
+    top-lim), then rank the <= partitions*_lim survivors globally. That
+    survivor count is exactly what the literal-limit path's
+    TakeOrderedAndProject merges on the driver, so the scale shape is
+    unchanged; it just stays on an executor.
     """
     spark = emb.sparkSession
     dim = len(query_vec)
@@ -868,6 +881,22 @@ def pq_topk(
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
+    if topk_df is not None:
+        from pyspark.sql import Window
+
+        loc = Window.partitionBy("_pid").orderBy("adist", id_col)
+        glob = Window.orderBy("adist", id_col)
+        pruned = (
+            scored.crossJoin(F.broadcast(topk_df))  # 1-row scalar attach
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lrk", F.row_number().over(loc))
+            .filter(F.col("_lrk") <= F.col("_lim"))
+        )
+        return (
+            pruned.withColumn("_rk", F.row_number().over(glob))
+            .filter(F.col("_rk") <= F.col("_lim"))
+            .select(id_col, "adist")
+        )
     return scored.orderBy("adist", id_col).limit(topk)
 
 
@@ -883,6 +912,7 @@ def pq_topk_ivf(
     label_col: str = "label",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    topk_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the billion-vector production layout (Jégou et al. 2011,
     §V) — a coarse router (here: per-label centroids, as in
@@ -911,7 +941,8 @@ def pq_topk_ivf(
     )
     pruned = emb.join(F.broadcast(routed.select(label_col)), label_col)
     return pq_topk(
-        emb, query_vec, m=m, k=k, topk=topk, id_col=id_col, vec_col=vec_col,
+        emb, query_vec, m=m, k=k, topk=topk, topk_df=topk_df,
+        id_col=id_col, vec_col=vec_col,
         exclude_id=exclude_id, restrict_to=pruned.select(id_col),
     )
 
@@ -978,7 +1009,7 @@ def pq_refine_topk_ivf(
     probes: int = 3,
     m: int = 32,
     k: int = 64,
-    shortlist: int = 50,
+    shortlist: int | None = 50,
     topk: int = 10,
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -995,9 +1026,23 @@ def pq_refine_topk_ivf(
     ``shortlist`` vectors regardless of corpus size. The two approximate
     stages bound WHICH vectors can surface; the exact stage fixes their
     ORDER — so recall is routing*shortlist-bounded while ranking
-    precision is exact."""
+    precision is exact.
+
+    ``shortlist=None`` derives the corpus-proportional default
+    ``GREATEST(50, n//100)`` IN-PLAN as a 1-row broadcast scalar (the
+    engine's TF-IDF/BM25 scalar precedent) — no driver-side count action
+    before the returned DataFrame (r14 verdict, Next #6)."""
+    lim_df = None
+    if shortlist is None:
+        lim_df = emb.agg(
+            F.greatest(
+                F.lit(50).cast("long"),
+                (F.count(F.lit(1)) / 100).cast("long"),
+            ).alias("_lim")
+        )
     short = pq_topk_ivf(
-        emb, query_vec, probes=probes, m=m, k=k, topk=shortlist,
+        emb, query_vec, probes=probes, m=m, k=k,
+        topk=shortlist if shortlist is not None else 0, topk_df=lim_df,
         id_col=id_col, label_col=label_col, vec_col=vec_col,
         exclude_id=exclude_id,
     )

@@ -2406,10 +2406,12 @@ def sim_ivfpq_topk(spark, sf_dir):
 )
 def sim_ivfpq_refine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    shortlist = max(50, emb.count() // 100)
+    # shortlist GREATEST(50, n//100) is derived IN-PLAN (1-row broadcast
+    # scalar, matching the oracle's scalar-subquery LIMIT) — no driver
+    # action before the returned DataFrame
     return _sim.pq_refine_topk_ivf(
         emb, _query_vec(spark, sf_dir), probes=3, m=32, k=64,
-        shortlist=shortlist, topk=10, exclude_id=0,
+        shortlist=None, topk=10, exclude_id=0,
     )
 
 
@@ -5745,52 +5747,52 @@ GATE_WINDOW = 50
 # RED r3 row (env TIMESTAMP_NTZ error) — staleness rotation puts it back
 # in the window until it re-earns green, which is the intended behavior.
 _LAST_GREEN = {
-    "aeg_cleanse": 13, "aeg_compact": 13, "aeg_compact_salted": 12,
-    "aeg_cql_frozen": 13, "aeg_cql_ma_inferred": 12, "aeg_cql_pivot": 13,
+    "aeg_cleanse": 13, "aeg_compact": 13, "aeg_compact_salted": 14,
+    "aeg_cql_frozen": 13, "aeg_cql_ma_inferred": 14, "aeg_cql_pivot": 13,
     "aeg_incremental_snapshot": 13, "aeg_json_roundtrip": 13, "aeg_sstable_roundtrip": 13,
-    "dedup_canonical_best": 12, "dedup_cdc_chunks": 13, "dedup_components": 13,
-    "dedup_containment": 12, "dedup_containment_capped": 13, "dedup_containment_seeded": 13,
-    "dedup_cross_doc_ngram": 13, "dedup_dup_spans": 13, "dedup_embedding_nn": 12,
-    "dedup_exact": 12, "dedup_minhash_lsh": 13, "dedup_minhash_lsh_capped": 12,
-    "dedup_ngram_coverage": 13, "dedup_ngram_coverage_capped": 11, "dedup_ngram_jaccard": 12,
-    "dedup_paragraph": 11, "dedup_semantic": 12, "dedup_simhash": 12,
-    "dedup_simhash_pairs": 12, "dedup_simhash_pairs64": 13, "dedup_sorted_neighborhood": 11,
-    "dedup_winnow_containment": 12, "doc_bloom_decontaminate": 12, "doc_chunk_windows": 12,
-    "doc_curate_pipeline": 12, "doc_decontaminate": 11, "doc_decontaminate_semantic": 12,
-    "doc_export_shards": 12, "doc_fingerprint": 12, "doc_mix_weights": 12,
-    "doc_pack_sequences": 11, "doc_pii_custom_registry": 11, "doc_pii_scan": 13,
-    "doc_sample_balanced": 11, "doc_sample_weighted": 13, "doc_split_assign": 11,
-    "ev_asof_forward_tolerance": 13, "ev_asof_join": 11, "ev_daily_anomaly": 13,
-    "ev_daily_rollup": 13, "ev_distinct_sketch": 11, "ev_funnel_signup_purchase": 13,
-    "ev_interval_join": 11, "ev_json_extract": 12, "ev_latest_per_user": 12,
-    "ev_moving_avg": 12, "ev_retention_cohorts": 12, "ev_rollup_dense": 13,
-    "ev_sessionize": 12, "ev_stream_dedup": 12, "ev_stream_distinct_sketch": 13,
-    "ev_stream_join": 13, "ev_stream_latest": 12, "ev_stream_rollup": 12,
-    "ev_stream_sessionize": 12, "ev_stream_topk_cms": 13, "ev_topk_cms": 13,
-    "ev_value_quantile_binned": 13, "ev_value_quantiles": 12, "ev_value_rank": 12,
-    "graph_lpa_communities": 13, "graph_pagerank": 13, "graph_triangles": 11,
-    "mm_features": 12, "mm_features_png": 11, "mm_frame_plan": 11,
-    "mm_media_stats": 11, "mm_phash_dedup": 11, "mm_thumbnail_plan": 12,
-    "q10_returned_items": 11, "q11_important_parts": 13, "q12_latency_priority": 13,
-    "q13_customer_distribution": 12, "q14_promo_revenue": 11, "q15_top_supplier": 11,
-    "q16_supplier_part_count": 11, "q17_small_qty_revenue": 12, "q18_large_volume_customers": 11,
-    "q19_disjunctive_pred": 11, "q1_pricing_summary": 11, "q20_promo_suppliers": 13,
-    "q21_waiting_supplier": 12, "q22_global_sales": 12, "q2_min_cost_supplier": 11,
-    "q3_shipping_priority": 13, "q4_order_priority": 12, "q5_local_supplier_volume": 12,
-    "q6_revenue_forecast": 12, "q7_volume_shipping": 12, "q8_market_share": 12,
-    "q9_nation_profit": 12, "q_cube_orders": 12, "q_rollup_revenue": 13,
-    "q_supplier_revenue_rank": 13, "sim_cosine_ivf": 13, "sim_cosine_lsh": 13,
-    "sim_cosine_topk": 13, "sim_hybrid_rrf": 12, "sim_ivfpq_topk": 13,
-    "sim_kmeans_assign": 13, "sim_knn_join": 13, "sim_knn_join_ivf": 12,
-    "sim_matryoshka_rerank": 12, "sim_pq_adc_topk": 13, "sim_pq_refine": 13,
-    "sim_quantized_topk": 11, "sst_decode_bti_split": 13, "sst_decode_combined": 11,
-    "sst_decode_compressed": 11, "sst_decode_ma": 12, "sst_decode_ma_external": 13,
-    "sst_decode_oa_external": 11, "sst_decode_randomtable": 11, "sst_decode_rangetombstone": 11,
-    "sst_decode_rt_storm": 12, "sst_decode_staged": 13, "sst_decode_varint": 11,
-    "text_bm25_topk": 11, "text_bpe_pretokenize": 11, "text_fuzzy_join": 12,
-    "text_langid": 13, "text_quality": 11, "text_repetition": 11,
-    "text_tfidf_topk": 13, "text_token_stats": 13, "text_unigram_logppl": 12,
-    "text_winnowing": 11,
+    "dedup_canonical_best": 14, "dedup_cdc_chunks": 13, "dedup_components": 13,
+    "dedup_containment": 14, "dedup_containment_capped": 13, "dedup_containment_seeded": 13,
+    "dedup_cross_doc_ngram": 13, "dedup_cut_spans": 14, "dedup_dup_spans": 13,
+    "dedup_embedding_nn": 14, "dedup_exact": 14, "dedup_minhash_lsh": 13,
+    "dedup_minhash_lsh_capped": 14, "dedup_ngram_coverage": 13, "dedup_ngram_coverage_capped": 14,
+    "dedup_ngram_jaccard": 14, "dedup_paragraph": 14, "dedup_semantic": 14,
+    "dedup_simhash": 14, "dedup_simhash_pairs": 14, "dedup_simhash_pairs64": 13,
+    "dedup_sorted_neighborhood": 14, "dedup_winnow_containment": 14, "doc_bloom_decontaminate": 12,
+    "doc_chunk_windows": 12, "doc_curate_pipeline": 12, "doc_decontaminate": 14,
+    "doc_decontaminate_semantic": 12, "doc_export_shards": 12, "doc_fingerprint": 12,
+    "doc_mix_weights": 12, "doc_pack_sequences": 14, "doc_pii_custom_registry": 14,
+    "doc_pii_scan": 13, "doc_sample_balanced": 14, "doc_sample_weighted": 13,
+    "doc_split_assign": 14, "ev_asof_forward_tolerance": 13, "ev_asof_join": 14,
+    "ev_daily_anomaly": 13, "ev_daily_rollup": 13, "ev_distinct_sketch": 14,
+    "ev_funnel_signup_purchase": 13, "ev_interval_join": 14, "ev_json_extract": 12,
+    "ev_latest_per_user": 12, "ev_moving_avg": 12, "ev_retention_cohorts": 12,
+    "ev_rollup_dense": 13, "ev_sessionize": 12, "ev_stream_dedup": 12,
+    "ev_stream_distinct_sketch": 13, "ev_stream_join": 13, "ev_stream_latest": 12,
+    "ev_stream_rollup": 12, "ev_stream_sessionize": 12, "ev_stream_topk_cms": 13,
+    "ev_topk_cms": 13, "ev_value_quantile_binned": 13, "ev_value_quantiles": 12,
+    "ev_value_rank": 12, "graph_lpa_communities": 13, "graph_pagerank": 13,
+    "graph_triangles": 14, "mm_features": 12, "mm_features_png": 14,
+    "mm_frame_plan": 14, "mm_media_stats": 14, "mm_phash_dedup": 14,
+    "mm_thumbnail_plan": 12, "q10_returned_items": 14, "q11_important_parts": 13,
+    "q12_latency_priority": 13, "q13_customer_distribution": 12, "q14_promo_revenue": 14,
+    "q15_top_supplier": 14, "q16_supplier_part_count": 14, "q17_small_qty_revenue": 12,
+    "q18_large_volume_customers": 14, "q19_disjunctive_pred": 14, "q1_pricing_summary": 14,
+    "q20_promo_suppliers": 13, "q21_waiting_supplier": 12, "q22_global_sales": 12,
+    "q2_min_cost_supplier": 14, "q3_shipping_priority": 13, "q4_order_priority": 12,
+    "q5_local_supplier_volume": 12, "q6_revenue_forecast": 12, "q7_volume_shipping": 12,
+    "q8_market_share": 12, "q9_nation_profit": 12, "q_cube_orders": 12,
+    "q_rollup_revenue": 13, "q_supplier_revenue_rank": 13, "sim_cosine_ivf": 13,
+    "sim_cosine_lsh": 13, "sim_cosine_topk": 13, "sim_hybrid_rrf": 12,
+    "sim_ivfpq_refine": 14, "sim_ivfpq_topk": 13, "sim_kmeans_assign": 13,
+    "sim_knn_join": 13, "sim_knn_join_ivf": 12, "sim_matryoshka_rerank": 12,
+    "sim_pq_adc_topk": 13, "sim_pq_refine": 13, "sim_quantized_topk": 14,
+    "sst_decode_bti_split": 13, "sst_decode_combined": 14, "sst_decode_compressed": 14,
+    "sst_decode_ma": 12, "sst_decode_ma_external": 13, "sst_decode_oa_external": 14,
+    "sst_decode_randomtable": 14, "sst_decode_rangetombstone": 14, "sst_decode_rt_storm": 12,
+    "sst_decode_staged": 13, "sst_decode_varint": 14, "text_bm25_topk": 14,
+    "text_bpe_pretokenize": 14, "text_fuzzy_join": 12, "text_langid": 13,
+    "text_quality": 14, "text_repetition": 14, "text_tfidf_topk": 13,
+    "text_token_stats": 13, "text_unigram_logppl": 12, "text_winnowing": 14,
 }
 
 

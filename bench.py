@@ -41,6 +41,22 @@ def main():
     from aegisthus_spark.queries import REGISTRY
     from aegisthus_spark.session import get_spark
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a named subset (the sf1
+    # heavies run); unknown names error rather than silently shrink.
+    # Validated BEFORE the session spins up and before the JIT warmup
+    # (r14 advice: a typo'd warmup name used to raise a raw KeyError).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    registry = REGISTRY
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in names if n not in REGISTRY]
+        if missing:
+            raise SystemExit(f"unknown bench queries: {missing}")
+        registry = {n: REGISTRY[n] for n in names}
+    warm_q = os.environ.get("SPARK_GRAFT_BENCH_JIT_WARMUP")
+    if warm_q and warm_q not in REGISTRY:
+        raise SystemExit(f"unknown bench queries: [{warm_q!r}] (JIT warmup)")
+
     spark = get_spark("bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -59,7 +75,6 @@ def main():
     # 195/97 vs 194/93 s for identical code). Ladder tools set
     # SPARK_GRAFT_BENCH_JIT_WARMUP to a query name; it executes ONCE,
     # untimed, before any timed rep, then caches are cleared.
-    warm_q = os.environ.get("SPARK_GRAFT_BENCH_JIT_WARMUP")
     if warm_q:
         REGISTRY[warm_q].fn(spark, sf_dir).count()
         try:
@@ -84,16 +99,6 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     reps_sub = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUB", "4")))
     reps_heavy = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_HEAVY", "3")))
-    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a named subset (the sf1
-    # heavies run); unknown names error rather than silently shrink
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    registry = REGISTRY
-    if only:
-        names = [n.strip() for n in only.split(",") if n.strip()]
-        missing = [n for n in names if n not in REGISTRY]
-        if missing:
-            raise SystemExit(f"unknown bench queries: {missing}")
-        registry = {n: REGISTRY[n] for n in names}
     timings: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
     spreads: dict[str, float] = {}
@@ -170,10 +175,17 @@ def main():
             round(two_best[1] / two_best[0] - 1.0, 3) if len(two_best) > 1 else None
         )
         total += best
-        query_windows[name] = (_win_start, time.monotonic())
-        if any(_win_start <= t for t in _dirty_times):
-            # any dirty sample since this query started (samples are
-            # appended monotonically, earlier queries already closed)
+        # synchronous end-of-query snapshot (r14 advice: a foreign job
+        # that starts AND exits inside the 5 s sampler gap — or during a
+        # sub-5 s query — would otherwise be missed entirely)
+        if isolation_snapshot(check_load=False)["contaminated"]:
+            _dirty_times.append(time.monotonic())
+        _win_end = time.monotonic()
+        query_windows[name] = (_win_start, _win_end)
+        if any(_win_start <= t <= _win_end for t in _dirty_times):
+            # dirty sample inside this query's (start, end) window; the
+            # end bound matters because the sampler thread keeps running
+            # between queries and across the artifact-write tail
             contaminated_queries.append(name)
         print(
             f"# {name}: {best:.3f}s ({n} rows, min of {done}, "

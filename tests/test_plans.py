@@ -114,6 +114,13 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # window is the O(num range partitions) offset table (same documented
     # shape as ev_value_rank; operators/ranking.py module docstring)
     "dedup_sorted_neighborhood",
+    # the in-plan dynamic shortlist (r15): its global rank window sees
+    # only the <= partitions x shortlist survivors of a per-partition
+    # top-shortlist prune — the exact row count the former literal-limit
+    # TakeOrderedAndProject merged on the DRIVER (pq_topk docstring);
+    # a corpus-derived LIMIT can't be a literal, so this is the
+    # scale-equivalent executor-side shape
+    "sim_ivfpq_refine",
 }
 
 

@@ -91,6 +91,14 @@ def main():
                "value": round(sum(v for v in merged_sf1.values() if v), 3)}
 
     queries = {}
+    # in a FULL run there is no prior to merge a dirty row from, so
+    # record an explicit null+contaminated row (mirrors bench_sf10.py,
+    # r14 advice): the artifact shows the gap and a dropped heavy stays
+    # visible to bench_sf10.py's top-N ladder selection instead of
+    # silently falling out of it
+    for name in dirty:
+        queries[name] = {"sf0.1": None, "sf1": None, "ratio": None,
+                         "contaminated": True}
     watch = {}
     linearish = {}
     for name, t1 in sf1["queries"].items():

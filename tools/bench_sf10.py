@@ -268,8 +268,30 @@ def main() -> None:
             continue
         t1 = base["queries"].get(name)
         t10 = sf10["queries"].get(name)
-        ratio = round(t10 / t1, 2) if t1 and t10 else None
-        queries[name] = {"sf1": t1, "sf10": t10, "ratio": ratio}
+        row = {"sf1": t1, "sf10": t10}
+        # cross-leg minima protocol (README; r14 advice made it
+        # tool-enforced): a merge-mode re-measure APPENDS its wall to the
+        # row's observed_sf10 history and reports min(observed) — never
+        # silently replacing multi-leg evidence with a single-shot wall.
+        # Session-aging (see --isolate) makes the reproduced minimum the
+        # signal; every observed wall stays listed so a lone unreproduced
+        # minimum is visible as such. After a CODE change to the
+        # operator, pass --fresh to drop the stale history for the row.
+        prior = queries.get(name) if merge_only else None
+        if prior is not None and t10 is not None and "--fresh" not in sys.argv:
+            observed = list(prior.get("observed_sf10") or [])
+            if not observed and prior.get("sf10") is not None:
+                observed = [prior["sf10"]]
+            observed = sorted(set(round(x, 3) for x in observed + [t10]))
+            row["observed_sf10"] = observed
+            row["sf10"] = observed[0]
+        elif prior is not None and t10 is None:
+            row = dict(prior)  # leg produced nothing; keep the history
+        row["ratio"] = (
+            round(row["sf10"] / row["sf1"], 2)
+            if row.get("sf1") and row.get("sf10") else None
+        )
+        queries[name] = row
     for name, v in queries.items():
         if v["ratio"] and v["ratio"] > 12:
             watch[name] = v["ratio"]
