@@ -96,6 +96,21 @@ def _dot_float(a: str, b: str) -> str:
     )
 
 
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side bucket id for a literal query vector: the identical
+    strict left fold (0.0 seed, in-order adds over x*y doubles) as
+    _dot_float, so sign bits — hence the bucket — match the SQL
+    expression bit-for-bit."""
+    b = 0
+    for j, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, p):
+            acc += float(x) * float(y)
+        if acc > 0:
+            b |= 1 << j
+    return b
+
+
 def _bucket_expr(vec_sql: str, planes: list[list[float]]) -> str:
     """SQL: random-hyperplane LSH bucket id = sign bits of plane dots.
 
@@ -121,27 +136,35 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
     probe_radius: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket every vector by the sign pattern of
     ``n_planes`` fixed Gaussian hyperplane dots (SimHash for vectors), probe
     the query's bucket plus all Hamming-distance<=``probe_radius``
     neighbors, exact-rank the candidates.
 
-    Scale shape: the bucket id is a pure per-row expression (no shuffle to
-    assign), candidate selection is a bucket-id filter — on a bucket-
-    partitioned table that is partition pruning, the same story as the IVF
-    variant but without needing trained centroids. Probing radius R scans
-    ~sum(C(H,r))/2^H of the corpus; the recall lever is R, not H: at the
-    top-1 neighbor cosine this corpus actually has (~0.67 at sf1,
-    tools/ann_recall.py), radius 1 over 6 planes recalls ~0.4 of the exact
-    top-10 where radius 2 recalls ~0.8 for a 22/64-bucket scan.
+    ``n_tables`` > 1 is the classic OR-construction (Indyk-Motwani): L
+    independent plane sets (seeds ``seed + 7919*t``), a vector is a
+    candidate if it probe-matches in ANY table. Independent tables attack
+    per-query recall VARIANCE — a query whose true neighbors straddle >R
+    hyperplane flips in one table rarely straddles them in all L — which
+    single-table radius/plane tuning cannot (r15 frontier sweep,
+    tools/lsh_frontier.py: 2 tables x 8 planes dominates 1x6 on mean
+    0.74->0.815, worst-sample 0.2->0.6 AND scan fraction 0.368->0.305
+    at sf1; more planes at 1 table strictly LOSES recall).
+
+    Scale shape: each table's bucket id is a pure per-row expression (no
+    shuffle to assign), candidate selection is a bucket-id filter — on a
+    bucket-partitioned table that is partition pruning, the same story as
+    the IVF variant but without needing trained centroids. Probing radius
+    R scans ~L*sum(C(H,r))/2^H of the corpus (union overlap makes it
+    less); the recall levers are R and L, not H alone.
     """
-    planes = hyperplanes(len(query_vec), n_planes, seed)
-    q = _query_lit(query_vec)
-    qb = _bucket_expr(q, planes)  # constant-folds in codegen
     if not 0 <= probe_radius <= 2:
         raise ValueError("probe_radius must be 0, 1 or 2 (the probe list "
                          "blows up combinatorially; raise n_planes instead)")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
     flips = [0]
     if probe_radius >= 1:
         flips += [1 << j for j in range(n_planes)]
@@ -151,12 +174,21 @@ def cosine_topk_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    probes = "array(" + ", ".join(
-        qb if m == 0 else f"({qb} ^ {m})" for m in flips
-    ) + ")"
-    cand = emb.withColumn("_b", F.expr(_bucket_expr(vec_col, planes))).filter(
-        F.expr(f"array_contains({probes}, _b)")
-    ).drop("_b")
+    hit_terms = []
+    for t in range(n_tables):
+        planes = hyperplanes(len(query_vec), n_planes, seed + 7919 * t)
+        # query-side bucket folded in Python: the same strict left fold
+        # over the same doubles as _dot_float, so the bucket id is
+        # bit-identical to what the SQL expression would compute — but
+        # the probe list becomes a literal int array instead of 37
+        # copies of an 8x64-literal expression tree (keeps the plan
+        # kilobytes, not megabytes)
+        qb = _py_bucket(query_vec, planes)
+        probes = "array(" + ", ".join(str(qb ^ m) for m in flips) + ")"
+        hit_terms.append(
+            f"array_contains({probes}, {_bucket_expr(vec_col, planes)})"
+        )
+    cand = emb.filter(F.expr(" OR ".join(hit_terms)))
     return cosine_topk(
         cand, query_vec, k=k, id_col=id_col, vec_col=vec_col, exclude_id=exclude_id
     )

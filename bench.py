@@ -31,9 +31,25 @@ def main():
     # but never refuses — the driver depends on this script producing a
     # BENCH artifact every round; the interactive ladder tools
     # (tools/bench_sf1.py / bench_sf10.py) are the ones that hard-fail.
+    # Middle ground for transient intruders (r14: the headline bench
+    # started next to a foreign JVM that exited minutes later): wait a
+    # bounded time for the box to drain before stamping and starting.
     from tools.isolation import snapshot as isolation_snapshot
 
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_EXCLUSIVE_S", "180"))
     iso_start = isolation_snapshot()
+    waited = 0.0
+    while iso_start["contaminated"] and waited < wait_s:
+        if not waited:
+            print(f"# box not exclusive at start: {iso_start}; waiting up "
+                  f"to {wait_s:.0f}s for it to drain", file=sys.stderr)
+        time.sleep(5)
+        waited += 5
+        iso_start = isolation_snapshot()
+    if waited:
+        iso_start["waited_for_exclusive_s"] = round(waited, 1)
+        print(f"# waited {waited:.0f}s; start stamp now: {iso_start}",
+              file=sys.stderr)
     if iso_start["contaminated"]:
         print(f"# WARNING: box not exclusive at start: {iso_start}",
               file=sys.stderr)

@@ -969,6 +969,40 @@ def test_cosine_lsh_probe_radius_monotone(emb):
     assert sum(r.cos for r in r2) >= sum(r.cos for r in r1)
 
 
+def test_cosine_lsh_multitable_superset(emb):
+    """OR-construction: the 2-table candidate set is a superset of table
+    1's (same seed), so top-k quality is monotone in n_tables; and the
+    driver-side _py_bucket fold must agree bit-for-bit with the SQL
+    bucket expression for the same planes (same strict left fold)."""
+    from aegisthus_spark.operators.similarity import (
+        _bucket_expr,
+        _py_bucket,
+        cosine_topk,
+        cosine_topk_lsh,
+        hyperplanes,
+    )
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    r1 = cosine_topk_lsh(emb, q, k=10, n_planes=8, seed=1234, exclude_id=7,
+                         probe_radius=2, n_tables=1).collect()
+    r2 = cosine_topk_lsh(emb, q, k=10, n_planes=8, seed=1234, exclude_id=7,
+                         probe_radius=2, n_tables=2).collect()
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10, exclude_id=7).collect()}
+    assert sum(r.vec_id in exact for r in r2) >= sum(r.vec_id in exact for r in r1)
+    assert sum(r.cos for r in r2) >= sum(r.cos for r in r1)
+
+    # _py_bucket == the SQL bucket expr, across both tables' plane sets
+    spark = emb.sparkSession
+    for t in range(2):
+        planes = hyperplanes(len(q), 8, 1234 + 7919 * t)
+        sql_b = spark.sql(
+            "SELECT " + _bucket_expr(
+                "array(" + ",".join(f"cast({v!r} as float)" for v in q) + ")",
+                planes) + " AS b"
+        ).first().b
+        assert _py_bucket(q, planes) == sql_b
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 

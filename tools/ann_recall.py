@@ -41,7 +41,7 @@ sys.path.insert(0, ROOT)
 #: the round-12 recall fixes (64 PQ codewords, adaptive shortlists,
 #: Hamming<=2 multiprobe, the IVF join).
 FLOORS = {
-    "sim_cosine_lsh": 0.60,
+    "sim_cosine_lsh": 0.70,  # 2x8-plane OR-construction since r15 (measured mean 0.815)
     "sim_pq_refine": 0.65,
     "sim_ivfpq_topk": 0.45,  # 32x64 since r14 (measured mean 0.557 at sf1)
     "sim_ivfpq_refine": 0.9,  # r14: full IVFADC+refine stack (measured 1.0)
@@ -57,7 +57,7 @@ FLOORS = {
 #: (enforced below); nonzero minima were set ~one recall step below the
 #: measured sf1 worst sample so real tail regressions trip them.
 FLOORS_MIN = {
-    "sim_cosine_lsh": 0.1,        # measured worst 0.2 — see annotation
+    "sim_cosine_lsh": 0.5,        # r15 2-table OR: measured worst 0.6 (was 0.2 at 1x6)
     "sim_pq_refine": 0.3,         # measured worst 0.4
     "sim_ivfpq_topk": 0.2,        # 32x64 measured worst 0.3 at sf1 (r14)
     "sim_ivfpq_refine": 0.7,      # measured worst 1.0 at sf1 (r14)
@@ -86,13 +86,16 @@ ANNOTATIONS = {
         "worst-sample 0.1 -> 0.3; sim_pq_refine remains the documented "
         "accuracy path"),
     "sim_cosine_lsh": (
-        "single-query sign-bit LSH at 6 planes / Hamming<=2 multiprobe: "
-        "per-query recall variance is inherent (a query whose true "
-        "neighbors straddle >2 hyperplane flips misses them; "
-        "probe_radius is capped at 2 because the probe list grows "
-        "combinatorially — operator ValueError). Worst sf1 sample 0.2; "
-        "guaranteed-recall alternatives are sim_quantized_topk "
-        "(min floor 0.8) and sim_pq_refine"),
+        "2-table OR-construction (r15): two independent 8-plane sign-bit "
+        "tables, Hamming<=2 multiprobe each, candidate = union. "
+        "Independent tables attack the per-query variance that "
+        "single-table radius/plane tuning cannot — the r15 frontier sweep "
+        "(tools/lsh_frontier.py) measured 16 configs: more planes at one "
+        "table strictly LOSES recall (1x8 at 0.535 mean / 0.0 min), while "
+        "2x8 dominates the old 1x6 on mean (0.74->0.815), worst-sample "
+        "(0.2->0.6) AND candidate fraction (0.368->0.305). The remaining "
+        "tail is inherent to sign-bit LSH; guaranteed-recall alternatives "
+        "are sim_quantized_topk (min floor 0.8) and sim_pq_refine"),
 }
 
 for _name, _floor in FLOORS_MIN.items():
@@ -141,8 +144,8 @@ def compute(sf_dir: str, sample: int = 40, cpus: int | None = None) -> dict:
     # single-query operators, AS REGISTERED (params mirror queries())
     single = {
         "sim_cosine_lsh": lambda qv, qid: sim.cosine_topk_lsh(
-            emb, qv, k=10, n_planes=6, seed=1234, exclude_id=qid,
-            probe_radius=2),
+            emb, qv, k=10, n_planes=8, seed=1234, exclude_id=qid,
+            probe_radius=2, n_tables=2),
         "sim_pq_refine": lambda qv, qid: sim.pq_refine_topk(
             emb, qv, m=8, k=64, shortlist=max(50, n // 100), topk=10,
             exclude_id=qid),
