@@ -122,6 +122,117 @@ def distinct_sketch_oracle_cte(
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog: log-space register distinct counting (Flajolet et al. 2007)
+# ---------------------------------------------------------------------------
+
+#: registers (b = 8 bucket bits); relative std ~ 1.04/sqrt(m) ~ 6.5%.
+#: State per group: m SMALL INTS (a rho in 0..25) vs KMV's m doubles —
+#: the reason HLL is the industry default at 100 TB: a full per-group
+#: sketch is ~256 bytes, mergeable by elementwise MAX.
+HLL_M = 256
+
+#: value bits left of the 32-bit hash after the register split
+_HLL_VALUE_BITS = 24
+
+#: standard bias constant for m >= 128
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rho_expr(w: str, bits: int = _HLL_VALUE_BITS) -> str:
+    """SQL: rank of the leftmost 1-bit of ``w`` within a ``bits``-wide
+    word, 1-based from the MSB; w = 0 -> bits + 1 (Flajolet's rho). A
+    pure integer CASE cascade — no float log2 whose boundary rounding
+    could differ between engines."""
+    cases = " ".join(
+        f"WHEN {w} >= {1 << (bits - k)} THEN {k}" for k in range(1, bits + 1)
+    )
+    return f"(CASE {cases} ELSE {bits + 1} END)"
+
+
+def hll_registers(
+    df: DataFrame, key_cols: list[str], value_col: str, *, m: int = HLL_M
+) -> DataFrame:
+    """Stage 1 — (key..., _reg, _rhomax): per-register max leading-zero
+    rank. Same md5-split as the KMV sketch (low log2(m) bits pick the
+    register, the remaining 24 bits carry the value); a plain MAX
+    aggregate, map-side combinable and mergeable across partitions,
+    batches, or streaming increments."""
+    h = H32.format(col=f"cast({value_col} as string)")
+    return df.select(
+        *key_cols,
+        F.expr(f"{h} % {m}").alias("_reg"),
+        F.expr(_rho_expr(f"({h} div {m})")).alias("_rho"),
+    ).groupBy(*key_cols, "_reg").agg(F.max("_rho").alias("_rhomax"))
+
+
+def hll_estimate(
+    regs: DataFrame, key_cols: list[str], *, m: int = HLL_M
+) -> DataFrame:
+    """Stage 2 — harmonic-mean estimate with the standard small-range
+    switch to linear counting.
+
+    The register sum runs in EXACT integers: sum_j 2^-M_j is scaled by
+    2^(bits+1) so every term 2^(bits+1-rho) is a whole number (empty
+    registers contribute the M_j = 0 term, 2^(bits+1)) — an
+    order-independent sum, so the estimate is bit-identical in any
+    engine. raw = alpha * m^2 * 2^(bits+1) / S; below 2.5m with empty
+    registers present, linear counting m*ln(m/V) is the better estimator
+    (Flajolet et al. 2007 S4). No 32-bit large-range correction: the
+    md5 prefix is uniform and these corpora sit far below 2^32/30."""
+    top = 1 << (_HLL_VALUE_BITS + 1)
+    s = (
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_VALUE_BITS + 1} - _rhomax)"))
+        + (F.lit(m) - F.count(F.lit(1))).cast("bigint") * F.lit(top)
+    ).cast("double")
+    v = (F.lit(m) - F.count(F.lit(1))).cast("double")
+    raw = F.lit(_HLL_ALPHA * m * m * top) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return regs.groupBy(*key_cols).agg(F.round(est, 2).alias("hll_est"))
+
+
+def hll_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, *, m: int = HLL_M
+) -> DataFrame:
+    """(key..., hll_est): deterministic HyperLogLog distinct estimate."""
+    return hll_estimate(hll_registers(df, key_cols, value_col, m=m), key_cols, m=m)
+
+
+def hll_oracle_cte(
+    table: str, key_cols: list[str], value_col: str, *, m: int = HLL_M
+) -> str:
+    """DuckDB CTE fragment ending in a ``hll`` relation with the identical
+    estimate (same hash split, same integer register sum, same
+    small-range switch). Compose as ``WITH {cte} SELECT ... FROM hll``."""
+    keys = ", ".join(key_cols)
+    bits = _HLL_VALUE_BITS
+    top = 1 << (bits + 1)
+    h32 = f"CAST(CONCAT('0x', SUBSTR(md5(CAST({value_col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    rho = _rho_expr(f"({h32} // {m})", bits)
+    return f"""
+    hhash AS (
+      SELECT {keys}, {h32} % {m} AS reg, {rho} AS rho FROM {table}),
+    hregs AS (SELECT {keys}, reg, MAX(rho) AS rhomax
+              FROM hhash GROUP BY {keys}, reg),
+    hll AS (
+      SELECT {keys},
+             round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                        THEN {float(m)!r} * ln({float(m)!r} / v)
+                        ELSE raw END, 2) AS hll_est
+      FROM (
+        SELECT {keys},
+               CAST({m} - COUNT(*) AS DOUBLE) AS v,
+               {_HLL_ALPHA * m * m * top!r}
+               / CAST(SUM(1::BIGINT << ({bits + 1} - rhomax))
+                      + ({m} - COUNT(*))::BIGINT * {top} AS DOUBLE) AS raw
+        FROM hregs GROUP BY {keys})
+      )
+    """
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: frequency estimation / heavy hitters
 # ---------------------------------------------------------------------------
 

@@ -4076,6 +4076,36 @@ def ev_distinct_sketch(spark, sf_dir):
     )
 
 
+@register(
+    "ev_distinct_hll",
+    f"""
+    WITH {_sk.hll_oracle_cte("events", ["event_type"], "user_id")},
+    exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY event_type)
+    SELECT h.event_type, h.hll_est, exact.exact_users
+    FROM hll h JOIN exact USING (event_type) ORDER BY h.event_type
+    """,
+    doc="HyperLogLog distinct-count sketch (Flajolet et al. 2007: 256 "
+        "log-space registers from the md5-split hash, integer-exact "
+        "2^(25-rho) register sum, linear-counting small-range switch): "
+        "deterministic estimate vs exact COUNT(DISTINCT) per event_type. "
+        "The KMV twin (ev_distinct_sketch) keeps m doubles per group; "
+        "HLL keeps m 5-bit ranks — the ~256-byte mergeable state that "
+        "makes it the 100 TB industry default",
+)
+def ev_distinct_hll(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sk = _sk.hll_sketch(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "hll_est", "exact_users")
+        .orderBy("event_type")
+    )
+
+
 #: SemDeDup cluster count shared by the Spark query and its oracle:
 #: k = max(32, ceil(sqrt(n/2))) balances the two cost terms — centroid
 #: assignment is n*k distance folds and within-cluster pairing ~n^2/2k —

@@ -1291,6 +1291,27 @@ def test_distinct_sketch_separate_groups(spark):
         assert abs(est - 500) / 500 < 0.2, rows
 
 
+def test_hll_sketch_accuracy_regimes_and_partition_invariance(spark):
+    from aegisthus_spark.operators.sketch import hll_sketch
+
+    # harmonic-mean regime (n >> 2.5m = 640): within ~3 sigma of the
+    # 1.04/sqrt(256) ~ 6.5% relative std; duplicates never move a MAX
+    base = spark.range(5000).selectExpr("'g' AS grp", "id AS v")
+    df = base.unionAll(base).unionAll(base)
+    est = hll_sketch(df, ["grp"], "v").collect()[0].hll_est
+    assert abs(est - 5000) / 5000 < 0.2, est
+
+    # linear-counting regime (n < 2.5m with empty registers)
+    small = spark.range(50).selectExpr("'g' AS grp", "id AS v")
+    est_small = hll_sketch(small, ["grp"], "v").collect()[0].hll_est
+    assert abs(est_small - 50) / 50 < 0.2, est_small
+
+    # pure function of the value SET: any partitioning (any merge order
+    # of the integer register sum) yields the identical double
+    est2 = hll_sketch(df.repartition(17, "v"), ["grp"], "v").collect()[0].hll_est
+    assert est == est2
+
+
 def test_kmeans_assign_self_consistent_and_improving(emb):
     from aegisthus_spark.operators.similarity import kmeans_assign
 
