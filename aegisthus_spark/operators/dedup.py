@@ -876,43 +876,46 @@ def semantic_dedup(
     scaled and reports ~flat pairs-per-cluster / ~linear total candidate
     pairs, versus superlinear growth when k is (wrongly) held fixed.
     """
-    from .similarity import kmeans_assign, ensure_parallelism, _dot_float
+    from .similarity import _cells_for, _lloyd_clusters, ensure_parallelism
+    from .vectorized import assign_cells, cell_pair_dots
 
-    assigned = kmeans_assign(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    # per-vector norm computed ONCE (n rows), not once per pair side
-    # (pair-count x 2 folds); sqrt(fold) then multiply is the identical
-    # expression tree the oracle uses, so bit-parity is preserved
-    # materialize once: the (id, vec, cluster, norm) table feeds BOTH pair
-    # sides; without this the kmeans assignment expression and the id join
-    # evaluate twice, and the planner can't see how small the table is
-    # balance BEFORE the checkpoint: the pair join broadcasts one side and
-    # probes the checkpointed partitions as-is — a 1-2-split scan would
-    # otherwise serialize every pair cosine on 1-2 cores
-    withvec = (
-        ensure_parallelism(emb.select(id_col, vec_col), id_col)
-        .join(assigned.select(id_col, "cluster"), id_col)
-        .withColumn("_nrm", F.sqrt(F.expr(_dot_float(vec_col, vec_col))))
-        .localCheckpoint()
+    # r15 (guide §4.2): ONE vectorized kernel computes assignment + norm
+    # (formerly a kmeans_assign HOF pass + an id join-back + a norm fold),
+    # and the within-cluster pair cosines — formerly an interpreted HOF
+    # fold per pair — run as per-CLUSTER NumPy dot blocks
+    # (cell_pair_dots), bit-identical to the fold the oracle mirrors.
+    # materialize once: the (id, vec, cluster, norm) table feeds both pair
+    # sides and the final cluster join; already parallel BEFORE the
+    # checkpoint so the pair blocks spread over the cores.
+    emb2 = ensure_parallelism(emb.select(id_col, vec_col), id_col)
+    clusters, k_c = _lloyd_clusters(
+        emb2, k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    withvec = assign_cells(
+        emb2, _cells_for(clusters, k_c), k_c=k_c, id_col=id_col,
+        vec_col=vec_col, with_norm=True,
+    ).drop("d2").localCheckpoint()
     a = withvec.select(
         F.col(id_col).alias("a"),
         F.col("cluster").alias("blk"),
-        F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("na"),
+        F.col(vec_col).alias("vec"),
+        F.col("nrm"),
     )
     b = withvec.select(
         F.col(id_col).alias("b"),
         F.col("cluster").alias("blk"),
-        F.col(vec_col).alias("vb"),
-        F.col("_nrm").alias("nb"),
-    )
-    cos = F.round(
-        F.expr(_dot_float("va", "vb")) / (F.col("na") * F.col("nb")), 6
+        F.col(vec_col).alias("vec"),
+        F.col("nrm"),
     )
     pairs = (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .filter(cos >= F.lit(tau))
+        cell_pair_dots(
+            a, b, left_id="a", right_id="b", cell_col="blk",
+            vec_col="vec", norm_col="nrm", left_lt_right=True,
+        )
+        .filter(
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+            >= F.lit(tau)
+        )
         .select("a", "b")
     )
     comp = connected_components(pairs, emb.select(id_col), id_col=id_col)

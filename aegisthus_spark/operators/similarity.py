@@ -361,48 +361,46 @@ def knn_join_ivf(
     verbatim in the registered oracle, so a vector whose routed own cell
     differs from its flat top-1 produces the same candidates in both
     engines.
+
+    r15 (guide §4.2 + §8): ONE vectorized assignment kernel
+    (``vectorized.assign_cells``) computes own cell, probe list and norm
+    per vector, and the per-pair cosine fold — formerly an interpreted
+    HOF per candidate pair, the bench's single most expensive stage —
+    became a per-CELL NumPy block kernel (``vectorized.cell_pair_dots``):
+    the pair space never materializes through a JVM expression; vectors
+    cross one cell-keyed shuffle and each cell's LxR dot block is
+    accumulated dimension-by-dimension (the bit-identical left fold).
+    Rounding and the per-vector rank window stay in the JVM plan.
     """
     from pyspark.sql import Window
+
+    from .vectorized import assign_cells, cell_pair_dots
 
     emb = ensure_parallelism(emb, id_col)
     clusters, k_c = _lloyd_clusters(
         emb, cells, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    spark = emb.sparkSession
-    cents_df = spark.createDataFrame(
-        [([(cid, cent) for cid, cent in clusters],)],
-        schema="_cents array<struct<j:int,cent:array<double>>>",
+    assigned = assign_cells(
+        emb, _cells_for(clusters, k_c), k_c=k_c, id_col=id_col,
+        vec_col=vec_col, probes=probes, with_norm=True,
     )
-    norm = F.sqrt(F.expr(_dot_float(vec_col, vec_col)))
     # right: every vector in its own top-1 cell (two-level above 32 cells,
-    # the kmeans_assign rule)
-    own = _kmeans_assign_once(
-        emb, clusters, id_col=id_col, vec_col=vec_col, k_c=k_c
-    ).select(
-        F.col(id_col).alias("nn"), F.col(vec_col).alias("vb"),
-        F.col("cluster").alias("cell"),
-    ).withColumn("nb", F.sqrt(F.expr(_dot_float("vb", "vb"))))
-    # left: flat rank of ALL cells per vector, keep the top ``probes``
-    # (array_sort on struct(d, j) == ORDER BY d2, cluster)
-    pr = (
-        f"transform(slice(array_sort(transform(_cents, c -> "
-        f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j))), "
-        f"1, {probes}), s -> s.j)"
+    # the kmeans_assign rule); left: the flat top-``probes`` cells
+    # (stable argsort == ORDER BY d2, cluster)
+    right = assigned.select(
+        F.col(id_col).alias("nn"), F.col(vec_col).alias("vec"),
+        F.col("nrm"), F.col("cluster").alias("cell"),
     )
-    left = (
-        emb.crossJoin(F.broadcast(cents_df))
-        .select(
-            F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-            norm.alias("na"), F.explode(F.expr(pr)).alias("pcell"),
-        )
+    left = assigned.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("vec"),
+        F.col("nrm"), F.explode("pcells").alias("cell"),
     )
-    scored = left.join(
-        own, (F.col("pcell") == F.col("cell")) & (F.col("a") != F.col("nn"))
+    scored = cell_pair_dots(
+        left, right, left_id="a", right_id="nn", cell_col="cell",
+        vec_col="vec", norm_col="nrm", exclude_equal=True,
     ).select(
         "a", "nn",
-        F.round(
-            F.expr(_dot_float("va", "vb")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cos"),
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
     )
     w = Window.partitionBy("a").orderBy(F.desc("cos"), "nn")
     return (
@@ -630,39 +628,20 @@ def _kmeans_assign_once(
     With ``k_c > 1`` the search is two-level: route to the nearest of the
     k_c coarse representatives (the k_c lowest-id centroids), then search
     only the fine centroids mapped to that representative — ~k_c + k/k_c
-    folds per row instead of k. ``k_c = 1`` is the exact flat search."""
-    spark = emb.sparkSession
-    cells = _cells_for(clusters, k_c)
-    cents_df = spark.createDataFrame(
-        [(cells,)], schema="_cents array<struct<j:int,cell:int,cent:array<double>>>"
-    )
-    if k_c <= 1:
-        best = (
-            f"array_min(transform(_cents, c -> "
-            f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j)))"
-        )
-    else:
-        rep_max = clusters[k_c - 1][0]  # reps = the k_c lowest cluster ids
-        route = (
-            f"array_min(transform(filter(_cents, r -> r.j <= {rep_max}), r -> "
-            f"named_struct('d', {_l2_float(vec_col, 'r.cent')}, 'j', r.j))).j"
-        )
-        # let-bind the routed cell (element_at/transform/array) so it
-        # evaluates once per row, then exact-search that cell's fine set
-        best = (
-            f"element_at(transform(array({route}), m -> "
-            f"array_min(transform(filter(_cents, c -> c.cell = m), c -> "
-            f"named_struct('d', {_l2_float(vec_col, 'c.cent')}, 'j', c.j)))), 1)"
-        )
-    return (
-        emb.crossJoin(F.broadcast(cents_df))
-        .select(id_col, vec_col, F.expr(best).alias("_m"))
-        .select(
-            id_col,
-            vec_col,
-            F.col("_m.j").alias("cluster"),
-            F.col("_m.d").alias("d2"),
-        )
+    distance evaluations per row instead of k. ``k_c = 1`` is the exact
+    flat search.
+
+    r15: the per-row HOF fold became a vectorized NumPy kernel
+    (``vectorized.assign_cells`` — guide §4.2): same shuffle-free shape
+    (one ``MapInArrow`` over (id, vec), centroids in the task closure
+    instead of a 1-row broadcast frame), bit-identical distances (the
+    kernel accumulates dimension-by-dimension, reproducing the strict
+    left fold) and tie rule (first-minimum over ascending centroid ids ==
+    ``array_min`` over ``struct(d, j)``)."""
+    from .vectorized import assign_cells
+
+    return assign_cells(
+        emb, _cells_for(clusters, k_c), k_c=k_c, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -787,11 +766,15 @@ def pq_encode(
     Codebooks are the subvectors of the ``k`` lowest ids (deterministic,
     engine-reproducible — the same seeding rule as kmeans_assign; a
     production pipeline would Lloyd-refine them per subspace, which
-    changes constants, not the shape). The codebook travels as ONE
-    broadcast row (m*k structs), the encoding is a per-row HOF argmin —
-    no shuffle, the kmeans_assign pattern.
+    changes constants, not the shape). The codebook travels in the task
+    closure; the encoding is a shuffle-free per-batch NumPy argmin
+    (``vectorized.pq_encode_codes`` since r15 — guide §4.2: the per-row
+    HOF argmin evaluated m*k interpreted L2 folds per vector, which
+    measured as the dominant cost of every PQ query; the kernel does the
+    identical arithmetic — strict left-fold subspace L2, first-minimum
+    tie to the lowest codeword id — as NumPy ufunc loops over whole
+    Arrow batches, bit-identically).
     """
-    spark = emb.sparkSession
     if seeds is None:
         seeds = _pq_seeds(emb, k, id_col=id_col, vec_col=vec_col)
     dim = len(seeds[0][1])
@@ -800,37 +783,11 @@ def pq_encode(
             f"pq_encode: dim {dim} not divisible by m={m} — the trailing "
             f"{dim % m} dimensions would silently drop from every code"
         )
-    d = dim // m
-    # codebook indexed BY SUBSPACE (array-of-arrays): element_at, not an
-    # m*k filter scan per subspace per row
-    cb = [
-        [
-            (j, [float(v) for v in vec[s * d : (s + 1) * d]])
-            for j, vec in seeds
-        ]
-        for s in range(m)
-    ]
-    cb_df = spark.createDataFrame(
-        [(cb,)], schema="_cb array<array<struct<j:int,cent:array<double>>>>"
-    )
-    if d <= 2:
-        # degenerate-width subspaces: straight-line arithmetic indexed off
-        # the raw vector. HOFs run interpreted (no codegen/CSE), so the
-        # crossover is low: at d=2 the unroll beats the slice+fold ~5%,
-        # at d=8 the duplicated (t*t) subtrees already lose 50% (A/B
-        # min-of-3 at sf0.1, r14) — hence the conservative threshold
-        dist = _l2_float_unrolled(vec_col, f"(s * {d})", "c.cent", d)
-    else:
-        dist = _l2_float(f"slice({vec_col}, s * {d} + 1, {d})", "c.cent")
-    code = (
-        f"array_min(transform(element_at(_cb, s + 1), c -> "
-        f"named_struct('d', {dist}, 'j', c.j))).j"
-    )
-    codes = f"transform(sequence(0, {m - 1}), s -> {code})"
-    return (
-        ensure_parallelism(emb, id_col)
-        .crossJoin(F.broadcast(cb_df))
-        .select(id_col, F.expr(codes).alias("codes"))
+    from .vectorized import pq_encode_codes
+
+    return pq_encode_codes(
+        ensure_parallelism(emb, id_col), seeds, m=m,
+        id_col=id_col, vec_col=vec_col,
     )
 
 

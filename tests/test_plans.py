@@ -336,13 +336,18 @@ def test_distinct_sketch_two_hash_aggregates_no_expand(spark, queries):
     assert plan.lower().count("partial") >= 1, plan
 
 
-def test_kmeans_assignment_is_expression_only(spark):
-    """One k-means assignment pass must stay shuffle-free: the centroids
-    arrive as ONE broadcast row (array<struct> data — O(1) plan size in k,
-    unlike literals), the search is a per-row HOF fold. The only join
-    allowed is that 1-row broadcast attach; no shuffle Exchange ever."""
+def test_kmeans_assignment_is_shuffle_free_kernel(spark):
+    """One k-means assignment pass must stay shuffle-free. Since r15 the
+    assignment is a vectorized NumPy kernel (vectorized.assign_cells,
+    guide §4.2): the plan is a single MapInArrow over the pre-projected
+    (id, vec) scan — no join, no Exchange, and never a row-at-a-time
+    Python UDF node (BatchEvalPython/ArrowEvalPython)."""
     from aegisthus_spark.operators.similarity import _kmeans_assign_once
-    from aegisthus_spark.plans import count_exchanges, join_strategies
+    from aegisthus_spark.plans import (
+        count_exchanges,
+        join_strategies,
+        physical_plan,
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     seed = [(i, [float(x) for x in r.embedding]) for i, r in enumerate(
@@ -351,7 +356,10 @@ def test_kmeans_assignment_is_expression_only(spark):
         df = _kmeans_assign_once(
             emb, seed, id_col="vec_id", vec_col="embedding", k_c=k_c)
         assert count_exchanges(df) == 0
-        assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+        assert join_strategies(df) == []
+        plan = physical_plan(df, "simple")
+        assert "MapInArrow" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_kmeans_two_level_matches_flat_routing_quality(spark):
