@@ -324,6 +324,13 @@ def _lsh_shingles_and_candidates(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is None and not persist_shingles:
+        # r15 note: a vectorized text->signature kernel (Python md5 per
+        # shingle in mapInArrow) was built and A/B-measured here — wall
+        # time was IDENTICAL at sf0.1 (2.1s vs 2.1s) and sf1 (11.5s vs
+        # 11.1s min-of-3, alternating): the signature branch overlaps the
+        # verify branch's distinct+join critical path, and Python md5 ~=
+        # JVM md5. Reverted per guide §1 (no measured win -> keep the
+        # simpler codegen'd JVM branch, which the oracle CTEs mirror).
         sig_src = word_shingles(docs, n=n, id_col=id_col, distinct=False)
     else:
         # MIN over a set == MIN over its multiset, so the (capped and/or
