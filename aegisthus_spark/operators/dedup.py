@@ -405,13 +405,27 @@ def _scoped_shuffle(spark, n: int):
     sf0.1 the loop is sub-second either way (measured: within noise);
     the rule matters at cluster scale, where thousands of corpus-sized
     partitions would otherwise become thousands of near-empty tasks per
-    propagation round, each paying scheduler latency."""
+    propagation round, each paying scheduler latency.
+
+    When the loop's data fits ONE shuffle partition (``n == 1``) AQE is
+    also scoped off for the block (r15): adaptive re-planning runs per
+    materialized stage per round, and with a single post-shuffle
+    partition there is nothing for it to adapt — no partitions to
+    coalesce, no skew to split — so its driver-side re-optimization is
+    pure per-round latency. The switch is derived from the measured data
+    size (the same rule that sized ``n``), not from the machine, so a
+    corpus whose subgraph needs >1 partition keeps AQE's skew handling.
+    """
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if n == 1:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def connected_components(
@@ -439,10 +453,14 @@ def connected_components(
     # pair set itself is the SMALL end of the funnel (candidates, not the
     # corpus), so this checkpoint is cheap at any scale.
     pairs = pairs.select("a", "b").localCheckpoint()
+    # the edge count rides the materializing action as an observed metric
+    # (r15): one job instead of checkpoint + count
+    _edge_obs = Observation()
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .observe(_edge_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     # Only vertices touched by an edge can ever change label: iterate over
@@ -452,9 +470,9 @@ def connected_components(
     # it. Isolated vertices join back as their own component at the end.
     # Shuffle partitions for the loop are sized to the subgraph (one
     # partition per ~50k edges), not the corpus-sized session default —
-    # edges are already materialized, so the count is a cheap action.
+    # the count came for free on the materializing job above.
     spark = pairs.sparkSession
-    n_edges = edges.count()
+    n_edges = int(_edge_obs.get["n"] or 0)
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))
     labels = (
