@@ -76,12 +76,17 @@ def _resolve_sort_keys(cells: DataFrame, name_sort_key, name_max_sort_key):
         name_max_sort_key = name_sort_key(F.col("cell_name_max"))
         name_sort_key = name_sort_key(F.col("cell_name"))
     if name_sort_key is not None:
-        cells = cells.withColumn("_name_sk", name_sort_key)
         sort_key = F.col("_name_sk")
         if name_max_sort_key is not None:
-            cells = cells.withColumn("_name_max_sk", name_max_sort_key)
+            # ONE withColumns call: each withColumn is a full JVM plan
+            # rebuild, and these sort-key trees are huge (r15 profile:
+            # two sequential rebuilds cost ~0.8 s of driver latency)
+            cells = cells.withColumns(
+                {"_name_sk": name_sort_key, "_name_max_sk": name_max_sort_key}
+            )
             max_sort_key = F.col("_name_max_sk")
         else:
+            cells = cells.withColumn("_name_sk", name_sort_key)
             # raw max bytes don't compare against an encoded min/cell key;
             # only safe when the input carries no range tombstones
             max_sort_key = F.col("cell_name_max")
@@ -367,8 +372,12 @@ def compact(
     )
 
     out = (
-        grouped.withColumn("cells", F.expr("filter(cells, x -> x is not null)"))
-        .withColumn("rts", F.expr("filter(rts, x -> x is not null)"))
+        grouped.withColumns(
+            {
+                "cells": F.expr("filter(cells, x -> x is not null)"),
+                "rts": F.expr("filter(rts, x -> x is not null)"),
+            }
+        )
     )
 
     # P3: truncate the RAW merge-order stream (duplicates and RT-covered
@@ -376,11 +385,13 @@ def compact(
     out = _truncate_by_size(out, name_of, max_row_size)
 
     out = _apply_rts(out, "cells", "rts", "min_sk", "max_sk", "c1")
-    out = (
-        out.withColumn("c2", F.expr(lww))
-        .withColumn("c3", F.expr(shadow))
-        .withColumn("columns", F.expr(strip))
-    )
+    # lww/shadow/strip compose linearly (each stage references its input
+    # exactly once, except lww's leaf references of the c1 COLUMN), so
+    # they inline into ONE withColumn — one JVM plan rebuild instead of
+    # three over a plan already carrying the giant sort-key trees (r15)
+    shadow_inl = shadow.replace("c2", f"({lww})")
+    strip_inl = strip.replace("c3", f"({shadow_inl})")
+    out = out.withColumn("columns", F.expr(strip_inl))
     if keep_range_tombstones:
         # surviving RTs (not shadowed by the row tombstone), deduplicated,
         # appended after the cells as kind='t' entries (min in name, max in

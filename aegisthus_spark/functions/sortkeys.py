@@ -77,6 +77,11 @@ from typing import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: memoized composite sort-key Columns, keyed by (input expression string,
+#: component types, n_extra, collection path map) — see composite_sort_key.
+#: Unresolved expression trees only; never data, never resolved plans.
+_COMPOSITE_SK_CACHE: dict = {}
+
 #: eoc byte -> order char (see module docstring)
 _EOC_MINUS = "!"
 _EOC_ZERO = "+"
@@ -430,6 +435,15 @@ def composite_sort_key(
     The expression is unrolled per component — component counts above ~10
     produce very large Catalyst trees; such schemas should use the Python
     UDF fallback.
+
+    The built Column is MEMOIZED per (input expression, component types,
+    n_extra, path map) — r15: building this tree costs thousands of py4j
+    round-trips (~3 s of pure driver latency per compact() on a 0.4 ms
+    RTT gateway, profiled in OPTIMIZATION_r15.md), and the tree is a
+    deterministic function of the comparator schema alone — no data, no
+    session state (unresolved attribute references resolve per-DataFrame
+    at analysis). The same discipline as memoizing LSH hyperplane
+    literals: compile-time artifacts are built once per driver process.
     """
     types_ = [_strip_pkg(t) for t in component_types] + ["BytesType"] * n_extra
     if len(types_) > 12:
@@ -437,6 +451,17 @@ def composite_sort_key(
             f"composite_sort_key unrolls {len(types_)} components — "
             "expression too large; use the types.sort_key UDF fallback"
         )
+    try:
+        cache_key = (
+            str(name._jc),
+            tuple(types_),
+            n_extra,
+            tuple(sorted((path_types_by_column or {}).items())),
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _COMPOSITE_SK_CACHE:
+        return _COMPOSITE_SK_CACHE[cache_key]
     path_idx = len(types_) - 1 if (path_types_by_column and n_extra >= 2) else None
     name_idx = path_idx - 1 if path_idx is not None else None
     total = F.length(name)
@@ -507,9 +532,12 @@ def composite_sort_key(
     # keys' content without colliding with them. The tree cost is linear
     # in the level count (each `clean` term references the shared pos
     # trees, not a 5-way guarded recurrence).
-    return F.when(clean, F.concat(*segs)).otherwise(
+    out = F.when(clean, F.concat(*segs)).otherwise(
         F.concat(F.lit("."), F.hex(name))
     )
+    if cache_key is not None:
+        _COMPOSITE_SK_CACHE[cache_key] = out
+    return out
 
 
 def comparator_sort_key(name: Column, spec: str, *, n_extra: int = 2) -> Column:
