@@ -257,8 +257,17 @@ def _df_capped(rows: DataFrame, key_col: str, cap: int) -> DataFrame:
 def minhash_lsh_dedup(
     docs: DataFrame, *, threshold: float = 0.1, n: int = 3,
     persist_shingles: bool = False, max_shingle_df: int | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with true Jaccard >= threshold.
+
+    ``sort=False`` skips the final global orderBy for consumers that
+    treat the pairs as an edge SET (connected components, PageRank, LPA,
+    triangles — each localCheckpoints the pairs and re-keys them
+    immediately, so a range-partitioned sort before that barrier is a
+    wasted sampling job + exchange; r15, guide §2.4 "an orderBy used only
+    to make output deterministic"). Registered pair-output queries keep
+    the sort — their declared result IS the ordered pair list.
 
     The distinct-shingle table feeds three consumers (signatures, and both
     sides of the common-shingle join), so Spark re-derives it for each.
@@ -283,7 +292,8 @@ def minhash_lsh_dedup(
         max_shingle_df=max_shingle_df,
     )
     jac = jaccard_of_pairs(sh, cand)
-    return jac.filter(F.col("jaccard") >= threshold).orderBy("a", "b")
+    out = jac.filter(F.col("jaccard") >= threshold)
+    return out.orderBy("a", "b") if sort else out.select("a", "b")
 
 
 def _lsh_shingles_and_candidates(

@@ -191,8 +191,41 @@ _scratch_dir._registered = set()  # type: ignore[attr-defined]
 _scratch_dir._fallback_root = None  # type: ignore[attr-defined]
 
 
+def _stream_parts(
+    spark: SparkSession, input_path: str, *, per_part_bytes: int = 32 << 20,
+    floor: int = 2,
+) -> int:
+    """State-store partition count derived from the INPUT size (r15,
+    guide §2): one shuffle partition per ~32 MB of source bytes, floored
+    at 2 (never a single-store funnel), capped at the session default
+    (which is sized to the machine/cluster). An input whose size cannot
+    be stat'd locally (e.g. object storage) falls back to the session
+    default — at that scale the cluster-sized count is the right one.
+    """
+    import os
+
+    try:
+        if os.path.isdir(input_path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(input_path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(input_path)
+    except OSError:
+        size = None
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if size is None:
+        return session
+    return max(floor, min(session, -(-size // per_part_bytes)))
+
+
 @contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
+def _stream_shuffle(
+    spark: SparkSession, n: int | None = None, *, input_path: str | None = None,
+    floor: int = 2,
+):
     """Scope a stateful-streaming drain to ``n`` shuffle partitions.
 
     Every stateful streaming operator materializes one state store PER
@@ -200,11 +233,17 @@ def _stream_shuffle(spark: SparkSession, n: int = 8):
     partition count must be sized to the state volume: a bounded sf0.1
     drain wants a handful (32 stores of ~3k keys each just pay 32x the
     checkpoint file I/O — measured 4.4s -> 2.0s on ev_stream_dedup at
-    sf0.1), while a continuous 100 TB ingest wants thousands. The session
-    default is restored afterwards so batch queries keep theirs. Note the
-    conf is captured when the streaming query STARTS, so `.start()` and
-    the drain must happen inside this scope.
+    sf0.1), while a continuous 100 TB ingest wants thousands. With
+    ``input_path`` the count is DERIVED from the source size
+    (_stream_parts — scale-adaptive, r15: 8 fixed -> 2 derived at sf0.1
+    measured 2.4s -> 1.8s warm on the stream-stream join; at cluster
+    scale the same rule returns the cluster-sized session default). The
+    session default is restored afterwards so batch queries keep theirs.
+    Note the conf is captured when the streaming query STARTS, so
+    `.start()` and the drain must happen inside this scope.
     """
+    if n is None:
+        n = _stream_parts(spark, input_path, floor=floor) if input_path else 8
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -1748,7 +1787,7 @@ def ev_stream_rollup(spark, sf_dir):
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     qname = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             stream_daily_rollup(ev)
             .writeStream.format("memory")
@@ -1799,7 +1838,7 @@ def ev_stream_sessionize(spark, sf_dir):
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     qname = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             stream_sessionize(ev)
             .writeStream.format("memory")
@@ -2667,7 +2706,7 @@ def dedup_components(spark, sf_dir):
     construction at every scale; LSH-vs-exact recall is checked separately
     (dedup_ngram_jaccard, test_minhash_lsh_is_subset_of_truth)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
     return _dd.connected_components(pairs, docs)
 
 
@@ -3378,7 +3417,12 @@ def ev_stream_latest(spark, sf_dir):
 
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     qname = f"stream_latest_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    # Python-stateful operator (applyInPandasWithState): per-batch work
+    # is per-GROUP pandas processing in Python workers, so the floor is
+    # the Python-parallelism one (8, the pre-r15 fixed count — measured
+    # 5.1-5.8s at 2 parts vs 2.5-3.2s at 8), not the state-I/O floor;
+    # at scale _stream_parts returns the cluster-sized session count.
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet", floor=8):
         q = (
             stream_latest_per_user(ev)
             .writeStream.format("memory")
@@ -3429,7 +3473,7 @@ def ev_stream_dedup(spark, sf_dir):
         "user_id", "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             deduped.writeStream.format("memory")
             .queryName(qname)
@@ -3995,7 +4039,7 @@ def doc_curate_pipeline(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     q = docs.filter(F.size(F.split("text", " ")) >= 30)
-    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(q, threshold=0.1, sort=False)
     comp = _dd.connected_components(pairs, q)
     canon = q.join(
         comp.filter(F.col("doc_id") == F.col("component")).select("doc_id"),
@@ -4050,7 +4094,7 @@ def dedup_canonical_best(spark, sf_dir):
     per-component max_by over the quality score — cluster-cardinality
     groups, never a global funnel."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
     comp = _dd.connected_components(pairs, docs)
     q = _tx.quality_score(docs).select("doc_id", "quality")
     joined = comp.join(q, "doc_id")
@@ -5142,7 +5186,7 @@ def ev_stream_topk_cms(spark, sf_dir):
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     sk = stream_cms_sketch(ev, "user_id")
     qname = f"stream_cms_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             sk.writeStream.format("memory")
             .queryName(qname)
@@ -5182,7 +5226,7 @@ def graph_triangles(spark, sf_dir):
     from .operators.graph import triangle_counts
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
     return triangle_counts(pairs, docs)
 
 
@@ -5250,7 +5294,7 @@ def ev_stream_distinct_sketch(spark, sf_dir):
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet")
     regs = stream_distinct_sketch(ev, ["event_type"], "user_id")
     qname = f"stream_sketch_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             regs.writeStream.format("memory")
             .queryName(qname)
@@ -5456,7 +5500,7 @@ def graph_pagerank(spark, sf_dir):
     from .operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
     pr = pagerank(pairs, docs, iters=2)
     return pr.select("doc_id", F.round("pr", 9).alias("pr")).orderBy("doc_id")
 
@@ -5498,7 +5542,7 @@ def graph_lpa_communities(spark, sf_dir):
     from .operators.graph import lpa_communities
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1)
+    pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
     return lpa_communities(pairs, docs, iters=2).orderBy("doc_id")
 
 
@@ -5772,7 +5816,7 @@ def ev_stream_join(spark, sf_dir):
     nanos = dict(raw.dtypes)["ts"] == "bigint"
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet", nanos_ts=nanos)
     qname = f"stream_join_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
         q = (
             stream_stream_join(ev)
             .writeStream.format("memory")

@@ -2003,3 +2003,17 @@ def test_adaptive_blocking_formulas_match_duckdb():
             f"WHERE {n} * (pp + 1) / POW(2.0, pp) <= {_KNN_CAND_BUDGET}"
         ).fetchone()[0]
         assert sql_p == knn_plane_count(n), n
+
+
+def test_minhash_lsh_sort_false_same_pair_set(docs):
+    """r15: the sort=False edge-set variant must emit EXACTLY the pairs of
+    the sorted registered form (only the final orderBy + jaccard column
+    differ — consumers like connected_components treat it as a set)."""
+    from aegisthus_spark.operators.dedup import minhash_lsh_dedup
+
+    ordered = minhash_lsh_dedup(docs, threshold=0.1)
+    unordered = minhash_lsh_dedup(docs, threshold=0.1, sort=False)
+    assert unordered.columns == ["a", "b"]
+    assert {(r.a, r.b) for r in unordered.collect()} == {
+        (r.a, r.b) for r in ordered.collect()
+    }

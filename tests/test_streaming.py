@@ -326,3 +326,26 @@ def test_incremental_snapshot_typed_sort_key_rt_across_merges(spark, tmp_path):
             if c.kind == "c" and c.value not in (None, b""):
                 vals.add(bytes(c.value))
     assert b"survivor" in vals and b"doomed" not in vals, vals
+
+
+def test_stream_parts_derives_from_input_size(spark, tmp_path):
+    """r15: the streaming shuffle-partition count is DERIVED from the
+    source size (floor 2, capped at the session default, session default
+    when the path cannot be stat'd) instead of a fixed local constant."""
+    from aegisthus_spark.queries import _stream_parts
+
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)  # ~1 KB -> floor
+    assert _stream_parts(spark, str(small)) == 2
+    assert _stream_parts(spark, str(small), floor=8) == 8
+    # a directory sums its files; 3 x 48 MB at 32 MB/part -> 5 parts
+    d = tmp_path / "dir"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"f{i}", "wb") as fh:
+            fh.truncate(48 << 20)
+    expect = min(session, -(-3 * (48 << 20) // (32 << 20)))
+    assert _stream_parts(spark, str(d)) == max(2, expect)
+    # un-stat-able (remote) input falls back to the session default
+    assert _stream_parts(spark, str(tmp_path / "nope")) == session
