@@ -438,6 +438,61 @@ def _scoped_shuffle(spark, n: int):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+#: pair-count bound for the driver union-find path of
+#: connected_components: 500k (a, b) pairs collect to ~8 MB — the same
+#: order as a broadcast dimension table, and far below
+#: spark.driver.maxResultSize. Above it, the distributed min-label loop
+#: runs (the 100 TB shape).
+_CC_DRIVER_MAX_PAIRS = 500_000
+
+
+def _cc_driver_union_find(
+    pairs: DataFrame, vertices: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Driver-side connected components for a SMALL (observed, bounded)
+    pair set: union-find with the MIN id as each component's
+    representative — by construction the same labels the distributed
+    min-label propagation converges to. ``pairs`` must already be
+    materialized (localCheckpoint), so the collect reads checkpoint
+    blocks, not the upstream funnel."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # attach the larger root under the smaller: the root of every
+            # tree stays its component's minimum id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(v, find(v)) for v in list(parent)]
+    spark = pairs.sparkSession
+    id_field = vertices.schema[id_col]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("v", id_field.dataType, False),
+        StructField("label", id_field.dataType, False),
+    ])
+    lab = F.broadcast(spark.createDataFrame(labels, schema))
+    ids = vertices.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(lab, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("label", F.col("v")).alias("component"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -454,6 +509,20 @@ def connected_components(
     clusters; ``localCheckpoint`` cuts lineage so plans don't grow with the
     iteration count — the standard Spark shape for iterative algorithms
     (no GraphX dependency).
+
+    SMALL active subgraphs take a driver union-find instead (r15): the
+    pair count is observed on the materializing checkpoint anyway, and
+    when it is at most ``_CC_DRIVER_MAX_PAIRS`` (500k pairs ~ 8 MB — the
+    same order as a broadcast dimension table) the component labels are
+    computed with a driver-side union-find over the collected pair list
+    and joined back as a broadcast map. Identical result by construction
+    — both forms assign every vertex the MIN id of its connected
+    component — while replacing the per-round join+checkpoint jobs
+    (measured 2.3-4.5 s for a 332-edge graph at sf0.1: pure scheduling
+    latency) with one bounded collect. The gate is derived from the DATA
+    (observed pair count), not the machine; a corpus whose duplicate
+    subgraph outgrows the bound takes the distributed loop, which
+    remains the 100 TB path.
     """
     # Materialize the pair set ONCE before fanning it into the two union
     # branches: the upstream plan is typically the whole LSH pipeline
@@ -462,7 +531,16 @@ def connected_components(
     # wherever Catalyst's exchange reuse doesn't cover the full plan. The
     # pair set itself is the SMALL end of the funnel (candidates, not the
     # corpus), so this checkpoint is cheap at any scale.
-    pairs = pairs.select("a", "b").localCheckpoint()
+    _pair_obs = Observation()
+    pairs = (
+        pairs.select("a", "b")
+        .observe(_pair_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    n_pairs = int(_pair_obs.get["n"] or 0)
+    if n_pairs <= _CC_DRIVER_MAX_PAIRS:
+        return _cc_driver_union_find(pairs, vertices, id_col=id_col)
     # the edge count rides the materializing action as an observed metric
     # (r15): one job instead of checkpoint + count
     _edge_obs = Observation()
@@ -481,7 +559,6 @@ def connected_components(
     # Shuffle partitions for the loop are sized to the subgraph (one
     # partition per ~50k edges), not the corpus-sized session default —
     # the count came for free on the materializing job above.
-    spark = pairs.sparkSession
     n_edges = int(_edge_obs.get["n"] or 0)
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))

@@ -2017,3 +2017,17 @@ def test_minhash_lsh_sort_false_same_pair_set(docs):
     assert {(r.a, r.b) for r in unordered.collect()} == {
         (r.a, r.b) for r in ordered.collect()
     }
+
+
+def test_cc_driver_union_find_matches_distributed_loop(docs, monkeypatch):
+    """r15: the size-gated driver union-find path must produce EXACTLY the
+    labels of the distributed min-label loop (both assign each vertex the
+    min id of its component)."""
+    from aegisthus_spark.operators import dedup as dd
+
+    pairs = dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
+    fast = {(r[0], r[1]) for r in dd.connected_components(pairs, docs).collect()}
+    # force the distributed loop regardless of pair count
+    monkeypatch.setattr(dd, "_CC_DRIVER_MAX_PAIRS", -1)
+    slow = {(r[0], r[1]) for r in dd.connected_components(pairs, docs).collect()}
+    assert fast == slow and fast
