@@ -12,8 +12,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Observation
+
+from .dedup import _CC_DRIVER_MAX_PAIRS
 
 DAMPING = 0.85
+
+
+def _checkpoint_pairs_observed(pairs: DataFrame):
+    """Materialize the (a, b) pair set once (the small end of the funnel)
+    with its row count riding the checkpoint job as an observed metric —
+    the r15 connected-components pattern, shared by every graph operator
+    so the driver-path gate reads the same bound (_CC_DRIVER_MAX_PAIRS)."""
+    obs = Observation()
+    pairs = (
+        pairs.select("a", "b")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    return pairs, int(obs.get["n"] or 0)
+
+
+def _labels_df(spark, template: DataFrame, id_col: str, items, value_col: str,
+               value_type: str):
+    """Broadcast (v, value) map with v typed like ``template[id_col]``."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    schema = StructType([
+        StructField("v", template.schema[id_col].dataType, False),
+        StructField(value_col, _parse_datatype_string(value_type), False),
+    ])
+    return F.broadcast(spark.createDataFrame(list(items), schema))
 
 
 def pagerank(
@@ -46,7 +75,15 @@ def pagerank(
     # One evaluation of the (expensive) upstream pair plan: checkpoint the
     # small candidate-pair set before the 2-branch direction union — same
     # rationale as dedup.connected_components.
-    pairs = pairs.select("a", "b").localCheckpoint()
+    pairs, n_pairs = _checkpoint_pairs_observed(pairs)
+    # gate 10x tighter than CC/LPA: the driver twin pays one Python
+    # Decimal quantize PER directed edge PER iteration, so it should only
+    # take over where that is trivially cheap (~200k quantizes at 50k
+    # pairs x 2 iters, well under a second)
+    if n_pairs <= _CC_DRIVER_MAX_PAIRS // 10 and iters > 0:
+        return _pagerank_driver(
+            pairs, vertices, n=n, id_col=id_col, iters=iters, damping=damping
+        )
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -57,7 +94,7 @@ def pagerank(
     ranks = vertices.select(F.col(id_col).alias("v")).withColumn(
         "pr", F.lit(1.0 / n)
     )
-    for _ in range(iters):
+    for _ in range(iters):  # the distributed loop: the 100 TB path
         contrib = (
             edges.join(deg, "src")
             .join(ranks.select(F.col("v").alias("src"), "pr"), "src")
@@ -82,6 +119,56 @@ def pagerank(
     return ranks.select(F.col("v").alias(id_col), "pr")
 
 
+def _pagerank_driver(
+    pairs: DataFrame, vertices: DataFrame, *, n: int, id_col: str,
+    iters: int, damping: float,
+) -> DataFrame:
+    """Driver-side PageRank for a SMALL (observed, bounded) pair set —
+    the r15 size-gated twin of the distributed loop, reproducing its
+    arithmetic BIT-FOR-BIT: per-edge contributions are pr/deg in IEEE
+    doubles, decimal(27,15)-quantized HALF_UP exactly like Spark's
+    double->decimal cast (both sides take the SHORTEST decimal
+    representation of the double first: java BigDecimal.valueOf ==
+    Python repr), summed exactly, and converted back with one correctly
+    rounded decimal->double step. Vertices outside the edge-touched
+    subgraph hold pr = (1-d)/N after any iteration >= 1, exactly as the
+    distributed left join + coalesce produces (their inflow is always
+    NULL). Equivalence is CI-pinned against the distributed loop."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    base = (1.0 - damping) / n
+    q15 = Decimal(1).scaleb(-15)
+    # sets mirror the distributed union+distinct exactly (a self-pair
+    # would yield one self-loop edge there; same here)
+    adj: dict = defaultdict(set)
+    for row in pairs.collect():
+        a, b = row[0], row[1]
+        adj[a].add(b)
+        adj[b].add(a)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        inflow: dict = defaultdict(lambda: Decimal(0))
+        for src, dsts in adj.items():
+            deg = len(dsts)
+            for dst in dsts:
+                c = Decimal(repr(pr[src] / deg)).quantize(
+                    q15, rounding=ROUND_HALF_UP
+                )
+                inflow[dst] += c
+        pr = {v: base + damping * float(inflow[v]) for v in adj}
+    spark = pairs.sparkSession
+    lab = _labels_df(spark, vertices, id_col, pr.items(), "prv", "double")
+    ids = vertices.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(lab, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("prv", F.lit(base)).alias("pr"),
+        )
+    )
+
+
 def lpa_communities(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -103,7 +190,9 @@ def lpa_communities(
     connected components on dense graphs: a component fragments into
     locally-cohesive label basins (the near-dup CLUSTER structure, not
     mere reachability)."""
-    pairs = pairs.select("a", "b").localCheckpoint()
+    pairs, n_pairs = _checkpoint_pairs_observed(pairs)
+    if n_pairs <= _CC_DRIVER_MAX_PAIRS:
+        return _lpa_driver(pairs, vertices, id_col=id_col, iters=iters)
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -131,6 +220,42 @@ def lpa_communities(
             .localCheckpoint()
         )
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("community"))
+
+
+def _lpa_driver(
+    pairs: DataFrame, vertices: DataFrame, *, id_col: str, iters: int
+) -> DataFrame:
+    """Driver-side synchronous LPA for a SMALL (observed, bounded) pair
+    set — integer arithmetic only, so equivalence with the distributed
+    loop is exact by construction: per round every edge-touched vertex
+    takes min((-count, label)) over its neighbors' labels (most frequent,
+    ties to the smallest), all vertices stepping simultaneously; isolated
+    vertices keep their own id via the final left join."""
+    from collections import Counter, defaultdict
+
+    adj: dict = defaultdict(set)  # sets mirror the union+distinct edges
+    for row in pairs.collect():
+        a, b = row[0], row[1]
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        stepped = {}
+        for dst, srcs in adj.items():
+            cnt = Counter(labels[s] for s in srcs)
+            stepped[dst] = min((-c, lbl) for lbl, c in cnt.items())[1]
+        labels = stepped
+    spark = pairs.sparkSession
+    lab = _labels_df(spark, vertices, id_col, labels.items(), "lbl",
+                     vertices.schema[id_col].dataType.simpleString())
+    ids = vertices.select(F.col(id_col).alias("v"))
+    return (
+        ids.join(lab, "v", "left")
+        .select(
+            F.col("v").alias(id_col),
+            F.coalesce("lbl", F.col("v")).alias("community"),
+        )
+    )
 
 
 def triangle_counts(
@@ -161,6 +286,12 @@ def triangle_counts(
     # normalize defensively: this is a public operator, not just the LSH
     # funnel — reversed or duplicate edges would overcount triangles.
     # least/greatest + distinct is a no-op on already-canonical input.
+    # r15 note: a size-gated driver twin (collect edges, forward-count in
+    # Python — the CC/LPA/pagerank pattern) was built and A/B-measured
+    # here: min-of-5 alternating 3.39 s (driver) vs 3.12 s (distributed)
+    # at sf0.1 — the wedge joins over a checkpointed 255-edge set are
+    # already cheap, and the collect job only adds latency. Reverted per
+    # guide §1 (no measured win); the equi-join form stays.
     e = (
         pairs.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")

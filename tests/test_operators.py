@@ -2031,3 +2031,25 @@ def test_cc_driver_union_find_matches_distributed_loop(docs, monkeypatch):
     monkeypatch.setattr(dd, "_CC_DRIVER_MAX_PAIRS", -1)
     slow = {(r[0], r[1]) for r in dd.connected_components(pairs, docs).collect()}
     assert fast == slow and fast
+
+
+def test_graph_driver_paths_match_distributed(docs, monkeypatch):
+    """r15: the size-gated driver twins of pagerank / LPA must reproduce
+    the distributed loops bit-for-bit (pagerank replicates the
+    decimal(27,15) HALF_UP contribution quantization in Python)."""
+    from aegisthus_spark.operators import dedup as dd
+    from aegisthus_spark.operators import graph as g
+
+    pairs = dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
+    fast = {
+        "pr": {(r[0], r[1]) for r in g.pagerank(pairs, docs, iters=2).collect()},
+        "lpa": {(r[0], r[1]) for r in g.lpa_communities(pairs, docs, iters=2).collect()},
+    }
+    monkeypatch.setattr(g, "_CC_DRIVER_MAX_PAIRS", -1)
+    slow = {
+        "pr": {(r[0], r[1]) for r in g.pagerank(pairs, docs, iters=2).collect()},
+        "lpa": {(r[0], r[1]) for r in g.lpa_communities(pairs, docs, iters=2).collect()},
+    }
+    for k in fast:
+        assert fast[k] == slow[k], k
+    assert all(fast.values())
