@@ -17,6 +17,7 @@ doubles identically in both engines.
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -72,21 +73,46 @@ def register(name: str, sql: str | None, doc: str = ""):
 #: still lists and scans the parquet files themselves.
 _SCHEMA_CACHE: dict = {}
 
+#: (app_id, sf_dir, name, ts confs) -> the constructed reader DataFrame.
+#: A DataFrame is a LAZY plan — reusing the object caches only what a
+#: catalog table entry holds (schema + resolved file index), never rows:
+#: every action over it still scans the parquet files. Keyed on the
+#: session's applicationId so a restarted session (whose JVM objects are
+#: gone) never sees a stale handle.
+_READ_CACHE: dict = {}
+
+#: session object -> (applicationId, nanosAsLong, inferTimestampNTZ): the
+#: three py4j round-trips of the cache key, paid once per SESSION OBJECT.
+#: Safe because the schema-affecting confs are set before the first read
+#: in every session this engine sees (_configure wraps every driver call;
+#: tests set conf right after newSession()) — a conf flipped after a read
+#: on the SAME session object would be missed, which no caller does.
+_SESSION_KEYS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    skey = _SESSION_KEYS.get(spark)
+    if skey is None:
+        skey = (
+            spark.sparkContext.applicationId,
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
+        )
+        _SESSION_KEYS[spark] = skey
+    rkey = (skey, sf_dir, name)
+    cached = _READ_CACHE.get(rkey)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
-    key = (
-        sf_dir,
-        name,
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
-        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
-    )
+    key = (sf_dir, name, skey[1], skey[2])
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    _READ_CACHE[rkey] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -100,6 +100,23 @@ def ntz_spark(spark):
     return s
 
 
+def test_read_cache_isolates_conf_differing_sessions(spark, ntz_spark):
+    """_t memoizes the constructed reader DataFrame per (session key): the
+    same session gets the same lazy plan back (metadata reuse only — every
+    action still scans the files), while a sibling session with different
+    ts-affecting confs must get its OWN reader, not the sibling's."""
+    from aegisthus_spark.queries import _t
+
+    base = _t(spark, SF_DIR, "events")
+    assert _t(spark, SF_DIR, "events") is base  # memoized per session
+    ntz = _t(ntz_spark, SF_DIR, "events")
+    assert ntz is not base  # conf-differing sibling isolated
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(base.dtypes)["ts"] != "timestamp_ntz"
+    # the memoized plan is lazy: repeated actions recompute from files
+    assert base.count() == base.count()
+
+
 def test_events_normalized_under_ntz_inference(ntz_spark):
     from aegisthus_spark.queries import _events
 
