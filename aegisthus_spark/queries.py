@@ -557,12 +557,21 @@ def q18_large_volume_customers(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    # aggregate BEFORE the joins (guide §2.3): the per-order quantity sum
+    # needs only (l_orderkey, l_quantity) — map-side partial aggregation
+    # shuffles two narrow columns and the >150 filter then prunes almost
+    # every order before the customer attach, instead of grouping the
+    # full li⋈orders⋈cust row width. o_orderkey is unique, so grouping by
+    # l_orderkey alone is the same grouping the joined form expressed
+    # (r15 A/B: 1.95→1.22 s at sf0.1, results identical).
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("total_qty_dec"))
         .filter(F.col("total_qty_dec") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -5838,8 +5847,7 @@ def ev_stream_join(spark, sf_dir):
 
     from .streaming.events import read_events_stream, stream_stream_join
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    nanos = dict(raw.dtypes)["ts"] == "bigint"
+    nanos = dict(_t(spark, sf_dir, "events").dtypes)["ts"] == "bigint"
     ev = read_events_stream(spark, f"{sf_dir}/events.parquet", nanos_ts=nanos)
     qname = f"stream_join_{uuid.uuid4().hex[:8]}"
     with _stream_shuffle(spark, input_path=f"{sf_dir}/events.parquet"):
