@@ -362,11 +362,17 @@ def compact(
     # cell_name AND cell_name_max above. Applied via _apply_rts (probe /
     # skyline per-row dispatch) below.
     lww = _LWW_EXPR
+    # P2'/A3 templates take their input via a collision-proof placeholder
+    # token (r16, VERDICT #4: the former bare-name `.replace("c2", ...)`
+    # would silently corrupt the expression if a future edit introduced
+    # any token CONTAINING "c2" — e.g. the `ac2` lambda already used by
+    # _rt_skyline). The placeholder cannot appear in any generated SQL.
+    _IN = "__AEG_STAGE_IN__"
     # P2': drop cells shadowed by the row tombstone (ts <= deleted_at)
-    shadow = "filter(c2, x -> x.ts > deleted_at)"
+    shadow = f"filter({_IN}, x -> x.ts > deleted_at)"
     # A3: strip merge bookkeeping fields
     strip = (
-        f"transform(c3, x -> struct({name_of} as name, x.value as value, x.ts as ts, "
+        f"transform({_IN}, x -> struct({name_of} as name, x.value as value, x.ts as ts, "
         "x.kind as kind, x.ttl as ttl, x.local_deletion_time as local_deletion_time, "
         "x.ts_of_last_delete as ts_of_last_delete))"
     )
@@ -389,8 +395,9 @@ def compact(
     # exactly once, except lww's leaf references of the c1 COLUMN), so
     # they inline into ONE withColumn — one JVM plan rebuild instead of
     # three over a plan already carrying the giant sort-key trees (r15)
-    shadow_inl = shadow.replace("c2", f"({lww})")
-    strip_inl = strip.replace("c3", f"({shadow_inl})")
+    assert shadow.count(_IN) == 1 and strip.count(_IN) == 1
+    shadow_inl = shadow.replace(_IN, f"({lww})")
+    strip_inl = strip.replace(_IN, f"({shadow_inl})")
     out = out.withColumn("columns", F.expr(strip_inl))
     if keep_range_tombstones:
         # surviving RTs (not shadowed by the row tombstone), deduplicated,

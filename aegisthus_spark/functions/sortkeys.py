@@ -80,7 +80,11 @@ from pyspark.sql import functions as F
 #: memoized composite sort-key Columns, keyed by (input expression string,
 #: component types, n_extra, collection path map) — see composite_sort_key.
 #: Unresolved expression trees only; never data, never resolved plans.
+#: Bounded (r16): FIFO-evicted at _COMPOSITE_SK_CACHE_MAX — comparator
+#: schemas per deployment are few, but a long-lived session fed
+#: adversarial many-schema input must not grow driver memory unboundedly.
 _COMPOSITE_SK_CACHE: dict = {}
+_COMPOSITE_SK_CACHE_MAX = 128
 
 #: eoc byte -> order char (see module docstring)
 _EOC_MINUS = "!"
@@ -536,6 +540,8 @@ def composite_sort_key(
         F.concat(F.lit("."), F.hex(name))
     )
     if cache_key is not None:
+        while len(_COMPOSITE_SK_CACHE) >= _COMPOSITE_SK_CACHE_MAX:
+            _COMPOSITE_SK_CACHE.pop(next(iter(_COMPOSITE_SK_CACHE)))
         _COMPOSITE_SK_CACHE[cache_key] = out
     return out
 

@@ -199,10 +199,32 @@ def lsh_candidate_pairs(signatures: DataFrame, *, id_col: str = "doc_id") -> Dat
     )
 
 
-def _pair_overlap(shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def _pair_overlap(
+    shingles: DataFrame, pairs: DataFrame, *, id_col: str = "doc_id",
+    candidate_semi: bool = False,
+) -> DataFrame:
     """(a, b, common, na, nb): shared-shingle count and set sizes for the
     given candidate pairs — the one common-shingle join every pair-scoring
-    measure (Jaccard, containment) is derived from."""
+    measure (Jaccard, containment) is derived from.
+
+    ``candidate_semi`` (guide §3.2, the broadcast-semi-join form of the
+    Bloom pre-filter): materialize the candidate pair set once (the SMALL
+    end of the funnel — same order as the CC driver gate's collect), and
+    keep only CANDIDATE documents' shingle rows ahead of the sa/sb joins
+    and the size aggregate. Result-identical by construction: the verify
+    join keys on pair doc ids, so a non-candidate doc's shingles never
+    reach the output, and a candidate doc keeps ALL its shingle rows, so
+    its sizes are unchanged."""
+    if candidate_semi:
+        # one evaluation of the candidate pipeline; cdocs + the verify
+        # join both read the checkpoint blocks
+        pairs = pairs.localCheckpoint()
+        cdocs = (
+            pairs.select(F.col("a").alias(id_col))
+            .union(pairs.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(F.broadcast(cdocs), id_col, "semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col(id_col).alias("a"), F.col("shingle").alias("s"))
     sb = shingles.select(F.col(id_col).alias("b"), F.col("shingle").alias("s"))
@@ -1085,13 +1107,17 @@ def containment_of_pairs(
 
 
 def _containment_scored(
-    sh: DataFrame, cand: DataFrame, *, id_col: str, threshold: float
+    sh: DataFrame, cand: DataFrame, *, id_col: str, threshold: float,
+    candidate_semi: bool = False,
 ) -> DataFrame:
     """The verify stage shared by every containment screen: one
     common-shingle join over the candidate pairs, both directed
     containments + Jaccard, threshold on the rounded-6 values (the
-    cross-engine determinism contract)."""
-    scored = _pair_overlap(sh, cand, id_col=id_col).select(
+    cross-engine determinism contract). ``candidate_semi``: see
+    _pair_overlap."""
+    scored = _pair_overlap(
+        sh, cand, id_col=id_col, candidate_semi=candidate_semi
+    ).select(
         "a",
         "b",
         F.round((F.col("common").cast("double") / F.col("na")), 6).alias(

@@ -45,6 +45,36 @@ def _labels_df(spark, template: DataFrame, id_col: str, items, value_col: str,
     return F.broadcast(spark.createDataFrame(list(items), schema))
 
 
+def _count_and_members(vertices: DataFrame, id_col: str, endpoints):
+    """(vertex count, which of ``endpoints`` appear in ``vertices``) in ONE
+    job: the tiny endpoint set broadcast-left-joins onto the vertex scan, so
+    the count and the membership set ride the same aggregate.
+
+    Exists for the r16 driver-twin hardening (r15 VERDICT): the distributed
+    PageRank/LPA loops source ranks/labels from ``vertices`` only, so a pair
+    endpoint absent from ``vertices`` contributes NOTHING there — the driver
+    twins must know the membership to reproduce that exactly. Callers that
+    can guarantee endpoints ⊆ vertices (the registered LSH funnel, whose
+    pairs derive from the same docs df) skip this job entirely via
+    ``endpoints_in_vertices=True``."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = vertices.sparkSession
+    schema = StructType(
+        [StructField("e", vertices.schema[id_col].dataType, False)]
+    )
+    epdf = spark.createDataFrame([(e,) for e in sorted(endpoints)], schema)
+    row = (
+        vertices.join(F.broadcast(epdf), vertices[id_col] == epdf["e"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("e").alias("members"),
+        )
+        .head()
+    )
+    return int(row["n"]), set(row["members"])
+
+
 def pagerank(
     pairs: DataFrame,
     vertices: DataFrame,
@@ -52,6 +82,7 @@ def pagerank(
     id_col: str = "doc_id",
     iters: int = 2,
     damping: float = DAMPING,
+    endpoints_in_vertices: bool = False,
 ) -> DataFrame:
     """(id, pr): PageRank after ``iters`` synchronous iterations on the
     UNDIRECTED graph given by (a, b) pairs, uniform start 1/N.
@@ -69,9 +100,15 @@ def pagerank(
 
     N is the vertex count — fetched once as a query parameter (one scalar
     driver aggregate, like an LSH query vector).
+
+    ``endpoints_in_vertices``: promise that every pair endpoint appears in
+    ``vertices``. The driver twin must otherwise spend one extra job
+    learning which endpoints are vertices (the distributed loop sources
+    ranks from ``vertices`` only, so a foreign endpoint contributes
+    nothing — r16 hardening; both paths now agree even then). Callers
+    whose pairs derive from the same table as ``vertices`` (the LSH
+    funnel) set it to skip that job.
     """
-    n = vertices.count()
-    base = (1.0 - damping) / n
     # One evaluation of the (expensive) upstream pair plan: checkpoint the
     # small candidate-pair set before the 2-branch direction union — same
     # rationale as dedup.connected_components.
@@ -81,9 +118,18 @@ def pagerank(
     # take over where that is trivially cheap (~200k quantizes at 50k
     # pairs x 2 iters, well under a second)
     if n_pairs <= _CC_DRIVER_MAX_PAIRS // 10 and iters > 0:
+        rows = pairs.collect()
+        if endpoints_in_vertices:
+            n, members = vertices.count(), None
+        else:
+            eps = {r[0] for r in rows} | {r[1] for r in rows}
+            n, members = _count_and_members(vertices, id_col, eps)
         return _pagerank_driver(
-            pairs, vertices, n=n, id_col=id_col, iters=iters, damping=damping
+            rows, vertices, n=n, id_col=id_col, iters=iters,
+            damping=damping, members=members,
         )
+    n = vertices.count()
+    base = (1.0 - damping) / n
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -120,12 +166,12 @@ def pagerank(
 
 
 def _pagerank_driver(
-    pairs: DataFrame, vertices: DataFrame, *, n: int, id_col: str,
-    iters: int, damping: float,
+    rows, vertices: DataFrame, *, n: int, id_col: str,
+    iters: int, damping: float, members=None,
 ) -> DataFrame:
-    """Driver-side PageRank for a SMALL (observed, bounded) pair set —
-    the r15 size-gated twin of the distributed loop, reproducing its
-    arithmetic BIT-FOR-BIT: per-edge contributions are pr/deg in IEEE
+    """Driver-side PageRank for a SMALL (observed, bounded) collected pair
+    list — the r15 size-gated twin of the distributed loop, reproducing
+    its arithmetic BIT-FOR-BIT: per-edge contributions are pr/deg in IEEE
     doubles, decimal(27,15)-quantized HALF_UP exactly like Spark's
     double->decimal cast (both sides take the SHORTEST decimal
     representation of the double first: java BigDecimal.valueOf ==
@@ -133,7 +179,14 @@ def _pagerank_driver(
     rounded decimal->double step. Vertices outside the edge-touched
     subgraph hold pr = (1-d)/N after any iteration >= 1, exactly as the
     distributed left join + coalesce produces (their inflow is always
-    NULL). Equivalence is CI-pinned against the distributed loop."""
+    NULL). Equivalence is CI-pinned against the distributed loop.
+
+    ``members``: the pair endpoints that appear in ``vertices`` (None =
+    all of them). The distributed loop's contrib join sources pr from the
+    rank table (built from ``vertices``), so a NON-member endpoint counts
+    toward its neighbors' degrees (deg comes from edges alone) but never
+    contributes inflow and never appears in the output — mirrored here
+    exactly (r16 hardening)."""
     from collections import defaultdict
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -142,22 +195,25 @@ def _pagerank_driver(
     # sets mirror the distributed union+distinct exactly (a self-pair
     # would yield one self-loop edge there; same here)
     adj: dict = defaultdict(set)
-    for row in pairs.collect():
+    for row in rows:
         a, b = row[0], row[1]
         adj[a].add(b)
         adj[b].add(a)
-    pr = {v: 1.0 / n for v in adj}
+    mem = set(adj) if members is None else members
+    pr = {v: 1.0 / n for v in adj if v in mem}
     for _ in range(iters):
         inflow: dict = defaultdict(lambda: Decimal(0))
         for src, dsts in adj.items():
+            if src not in mem:
+                continue
             deg = len(dsts)
             for dst in dsts:
                 c = Decimal(repr(pr[src] / deg)).quantize(
                     q15, rounding=ROUND_HALF_UP
                 )
                 inflow[dst] += c
-        pr = {v: base + damping * float(inflow[v]) for v in adj}
-    spark = pairs.sparkSession
+        pr = {v: base + damping * float(inflow[v]) for v in pr}
+    spark = vertices.sparkSession
     lab = _labels_df(spark, vertices, id_col, pr.items(), "prv", "double")
     ids = vertices.select(F.col(id_col).alias("v"))
     return (
@@ -175,6 +231,7 @@ def lpa_communities(
     *,
     id_col: str = "doc_id",
     iters: int = 2,
+    endpoints_in_vertices: bool = False,
 ) -> DataFrame:
     """(id, community): SYNCHRONOUS label propagation (Raghavan et al.
     2007) on the undirected (a, b) pair graph, made fully deterministic:
@@ -192,7 +249,15 @@ def lpa_communities(
     mere reachability)."""
     pairs, n_pairs = _checkpoint_pairs_observed(pairs)
     if n_pairs <= _CC_DRIVER_MAX_PAIRS:
-        return _lpa_driver(pairs, vertices, id_col=id_col, iters=iters)
+        rows = pairs.collect()
+        if endpoints_in_vertices:
+            members = None
+        else:
+            eps = {r[0] for r in rows} | {r[1] for r in rows}
+            _, members = _count_and_members(vertices, id_col, eps)
+        return _lpa_driver(
+            rows, vertices, id_col=id_col, iters=iters, members=members
+        )
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -223,29 +288,41 @@ def lpa_communities(
 
 
 def _lpa_driver(
-    pairs: DataFrame, vertices: DataFrame, *, id_col: str, iters: int
+    rows, vertices: DataFrame, *, id_col: str, iters: int, members=None
 ) -> DataFrame:
-    """Driver-side synchronous LPA for a SMALL (observed, bounded) pair
-    set — integer arithmetic only, so equivalence with the distributed
-    loop is exact by construction: per round every edge-touched vertex
-    takes min((-count, label)) over its neighbors' labels (most frequent,
-    ties to the smallest), all vertices stepping simultaneously; isolated
-    vertices keep their own id via the final left join."""
+    """Driver-side synchronous LPA for a SMALL (observed, bounded)
+    collected pair list — integer arithmetic only, so equivalence with
+    the distributed loop is exact by construction: per round every
+    edge-touched vertex takes min((-count, label)) over its neighbors'
+    labels (most frequent, ties to the smallest), all vertices stepping
+    simultaneously; isolated vertices keep their own id via the final
+    left join.
+
+    ``members``: the pair endpoints present in ``vertices`` (None = all).
+    The distributed loop's labels table is built from ``vertices``, so a
+    NON-member endpoint never holds or votes a label and never appears
+    in the output; a member whose only neighbors are non-members gets no
+    votes and keeps its label (the left-join coalesce) — both mirrored
+    here exactly (r16 hardening)."""
     from collections import Counter, defaultdict
 
     adj: dict = defaultdict(set)  # sets mirror the union+distinct edges
-    for row in pairs.collect():
+    for row in rows:
         a, b = row[0], row[1]
         adj[a].add(b)
         adj[b].add(a)
-    labels = {v: v for v in adj}
+    mem = set(adj) if members is None else members
+    labels = {v: v for v in adj if v in mem}
     for _ in range(iters):
         stepped = {}
-        for dst, srcs in adj.items():
-            cnt = Counter(labels[s] for s in srcs)
-            stepped[dst] = min((-c, lbl) for lbl, c in cnt.items())[1]
+        for dst in labels:
+            cnt = Counter(labels[s] for s in adj[dst] if s in mem)
+            stepped[dst] = (
+                min((-c, lbl) for lbl, c in cnt.items())[1]
+                if cnt else labels[dst]
+            )
         labels = stepped
-    spark = pairs.sparkSession
+    spark = vertices.sparkSession
     lab = _labels_df(spark, vertices, id_col, labels.items(), "lbl",
                      vertices.schema[id_col].dataType.simpleString())
     ids = vertices.select(F.col(id_col).alias("v"))

@@ -17,7 +17,6 @@ doubles identically in both engines.
 
 from __future__ import annotations
 
-import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -70,48 +69,60 @@ def register(name: str, sql: str | None, doc: str = ""):
 #: call (measured 200-600 ms each; ~1.5 calls per query per bench rep).
 #: Production tables resolve schemas from a catalog, not per-query
 #: inference — this memo is that catalog. Metadata only: every read
-#: still lists and scans the parquet files themselves.
+#: still lists and scans the parquet files themselves. Shared across
+#: sessions safely: a schema is a pure function of (files, ts confs).
+#: Bounded (r16): FIFO-evicted at _SCHEMA_CACHE_MAX so a long-lived
+#: session sweeping many sf_dirs can't grow it without bound.
 _SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 256
 
-#: (app_id, sf_dir, name, ts confs) -> the constructed reader DataFrame.
+#: Attribute stashed ON each SparkSession holding that session's reader
+#: memo: {"confs": (nanosAsLong, inferTimestampNTZ),
+#:        "readers": {(sf_dir, name): DataFrame}}.
 #: A DataFrame is a LAZY plan — reusing the object caches only what a
 #: catalog table entry holds (schema + resolved file index), never rows:
-#: every action over it still scans the parquet files. Keyed on the
-#: session's applicationId so a restarted session (whose JVM objects are
-#: gone) never sees a stale handle.
-_READ_CACHE: dict = {}
-
-#: session object -> (applicationId, nanosAsLong, inferTimestampNTZ): the
-#: three py4j round-trips of the cache key, paid once per SESSION OBJECT.
-#: Safe because the schema-affecting confs are set before the first read
-#: in every session this engine sees (_configure wraps every driver call;
-#: tests set conf right after newSession()) — a conf flipped after a read
-#: on the SAME session object would be missed, which no caller does.
-_SESSION_KEYS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+#: every action over it still scans the parquet files. r16 rework of the
+#: r15 global _READ_CACHE (ADVICE): keying per session OBJECT (a) stops
+#: conf-differing sibling sessions that share an applicationId from
+#: receiving a DataFrame bound to the wrong session, (b) ties each memo's
+#: lifetime to its session (a replaced session's readers become
+#: collectable with it — no process-lifetime leak), and (c) the two
+#: ts-affecting confs are re-read per call and compared, so flipping one
+#: mid-session invalidates the memo instead of returning a stale-schema
+#: reader (two local conf reads ~ sub-ms; the cost being saved was the
+#: 200-600 ms inference JOB, which stays saved). Known limit: the file
+#: index inside a memoized reader goes stale if files CHANGE under a
+#: path within one session — snapshot-table posture, same as a catalog.
+_READER_CACHE_ATTR = "_aeg_reader_cache"
+_READER_CACHE_MAX = 64
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    skey = _SESSION_KEYS.get(spark)
-    if skey is None:
-        skey = (
-            spark.sparkContext.applicationId,
-            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
-            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
-        )
-        _SESSION_KEYS[spark] = skey
-    rkey = (skey, sf_dir, name)
-    cached = _READ_CACHE.get(rkey)
-    if cached is not None:
-        return cached
+    confs = (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None),
+    )
+    cache = getattr(spark, _READER_CACHE_ATTR, None)
+    if cache is None or cache["confs"] != confs:
+        cache = {"confs": confs, "readers": {}}
+        setattr(spark, _READER_CACHE_ATTR, cache)
+    readers = cache["readers"]
+    df = readers.get((sf_dir, name))
+    if df is not None:
+        return df
     path = f"{sf_dir}/{name}.parquet"
-    key = (sf_dir, name, skey[1], skey[2])
-    schema = _SCHEMA_CACHE.get(key)
+    skey = (sf_dir, name) + confs
+    schema = _SCHEMA_CACHE.get(skey)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+        _SCHEMA_CACHE[skey] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
-    _READ_CACHE[rkey] = df
+    while len(readers) >= _READER_CACHE_MAX:
+        readers.pop(next(iter(readers)))
+    readers[(sf_dir, name)] = df
     return df
 
 
@@ -5536,7 +5547,10 @@ def graph_pagerank(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
-    pr = pagerank(pairs, docs, iters=2)
+    # endpoints_in_vertices: pairs derive from the same docs df, so every
+    # endpoint is a vertex by construction — the driver twin skips its
+    # membership job (r16)
+    pr = pagerank(pairs, docs, iters=2, endpoints_in_vertices=True)
     return pr.select("doc_id", F.round("pr", 9).alias("pr")).orderBy("doc_id")
 
 
@@ -5578,7 +5592,9 @@ def graph_lpa_communities(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _dd.minhash_lsh_dedup(docs, threshold=0.1, sort=False)
-    return lpa_communities(pairs, docs, iters=2).orderBy("doc_id")
+    return lpa_communities(
+        pairs, docs, iters=2, endpoints_in_vertices=True
+    ).orderBy("doc_id")
 
 
 @register(
@@ -5899,58 +5915,78 @@ GATE_WINDOW = 50
 # RED r3 row (env TIMESTAMP_NTZ error) — staleness rotation puts it back
 # in the window until it re-earns green, which is the intended behavior.
 _LAST_GREEN = {
-    "aeg_cleanse": 13, "aeg_compact": 13, "aeg_compact_salted": 14,
-    "aeg_cql_frozen": 13, "aeg_cql_ma_inferred": 14, "aeg_cql_pivot": 13,
-    "aeg_incremental_snapshot": 13, "aeg_json_roundtrip": 13, "aeg_sstable_roundtrip": 13,
-    "dedup_canonical_best": 14, "dedup_cdc_chunks": 13, "dedup_components": 13,
-    "dedup_containment": 14, "dedup_containment_capped": 13, "dedup_containment_seeded": 13,
+    "aeg_cleanse": 15, "aeg_compact": 15, "aeg_compact_salted": 14,
+    "aeg_cql_frozen": 15, "aeg_cql_ma_inferred": 14, "aeg_cql_pivot": 15,
+    "aeg_incremental_snapshot": 15, "aeg_json_roundtrip": 15, "aeg_sstable_roundtrip": 15,
+    "dedup_canonical_best": 14, "dedup_cdc_chunks": 15, "dedup_components": 15,
+    "dedup_containment": 14, "dedup_containment_capped": 15, "dedup_containment_seeded": 15,
     "dedup_cross_doc_ngram": 13, "dedup_cut_spans": 14, "dedup_dup_spans": 13,
     "dedup_embedding_nn": 14, "dedup_exact": 14, "dedup_minhash_lsh": 13,
     "dedup_minhash_lsh_capped": 14, "dedup_ngram_coverage": 13, "dedup_ngram_coverage_capped": 14,
     "dedup_ngram_jaccard": 14, "dedup_paragraph": 14, "dedup_semantic": 14,
     "dedup_simhash": 14, "dedup_simhash_pairs": 14, "dedup_simhash_pairs64": 13,
-    "dedup_sorted_neighborhood": 14, "dedup_winnow_containment": 14, "doc_bloom_decontaminate": 12,
-    "doc_chunk_windows": 12, "doc_curate_pipeline": 12, "doc_decontaminate": 14,
-    "doc_decontaminate_semantic": 12, "doc_export_shards": 12, "doc_fingerprint": 12,
-    "doc_mix_weights": 12, "doc_pack_sequences": 14, "doc_pii_custom_registry": 14,
+    "dedup_sorted_neighborhood": 14, "dedup_winnow_containment": 14, "doc_bloom_decontaminate": 15,
+    "doc_chunk_windows": 15, "doc_curate_pipeline": 15, "doc_decontaminate": 14,
+    "doc_decontaminate_semantic": 15, "doc_export_shards": 15, "doc_fingerprint": 15,
+    "doc_mix_weights": 15, "doc_pack_sequences": 14, "doc_pii_custom_registry": 14,
     "doc_pii_scan": 13, "doc_sample_balanced": 14, "doc_sample_weighted": 13,
     "doc_split_assign": 14, "ev_asof_forward_tolerance": 13, "ev_asof_join": 14,
-    "ev_daily_anomaly": 13, "ev_daily_rollup": 13, "ev_distinct_sketch": 14,
-    "ev_funnel_signup_purchase": 13, "ev_interval_join": 14, "ev_json_extract": 12,
-    "ev_latest_per_user": 12, "ev_moving_avg": 12, "ev_retention_cohorts": 12,
-    "ev_rollup_dense": 13, "ev_sessionize": 12, "ev_stream_dedup": 12,
-    "ev_stream_distinct_sketch": 13, "ev_stream_join": 13, "ev_stream_latest": 12,
-    "ev_stream_rollup": 12, "ev_stream_sessionize": 12, "ev_stream_topk_cms": 13,
-    "ev_topk_cms": 13, "ev_value_quantile_binned": 13, "ev_value_quantiles": 12,
-    "ev_value_rank": 12, "graph_lpa_communities": 13, "graph_pagerank": 13,
-    "graph_triangles": 14, "mm_features": 12, "mm_features_png": 14,
-    "mm_frame_plan": 14, "mm_media_stats": 14, "mm_phash_dedup": 14,
-    "mm_thumbnail_plan": 12, "q10_returned_items": 14, "q11_important_parts": 13,
-    "q12_latency_priority": 13, "q13_customer_distribution": 12, "q14_promo_revenue": 14,
-    "q15_top_supplier": 14, "q16_supplier_part_count": 14, "q17_small_qty_revenue": 12,
-    "q18_large_volume_customers": 14, "q19_disjunctive_pred": 14, "q1_pricing_summary": 14,
-    "q20_promo_suppliers": 13, "q21_waiting_supplier": 12, "q22_global_sales": 12,
-    "q2_min_cost_supplier": 14, "q3_shipping_priority": 13, "q4_order_priority": 12,
-    "q5_local_supplier_volume": 12, "q6_revenue_forecast": 12, "q7_volume_shipping": 12,
-    "q8_market_share": 12, "q9_nation_profit": 12, "q_cube_orders": 12,
-    "q_rollup_revenue": 13, "q_supplier_revenue_rank": 13, "sim_cosine_ivf": 13,
-    "sim_cosine_lsh": 13, "sim_cosine_topk": 13, "sim_hybrid_rrf": 12,
-    "sim_ivfpq_refine": 14, "sim_ivfpq_topk": 13, "sim_kmeans_assign": 13,
-    "sim_knn_join": 13, "sim_knn_join_ivf": 12, "sim_matryoshka_rerank": 12,
-    "sim_pq_adc_topk": 13, "sim_pq_refine": 13, "sim_quantized_topk": 14,
-    "sst_decode_bti_split": 13, "sst_decode_combined": 14, "sst_decode_compressed": 14,
-    "sst_decode_ma": 12, "sst_decode_ma_external": 13, "sst_decode_oa_external": 14,
-    "sst_decode_randomtable": 14, "sst_decode_rangetombstone": 14, "sst_decode_rt_storm": 12,
-    "sst_decode_staged": 13, "sst_decode_varint": 14, "text_bm25_topk": 14,
-    "text_bpe_pretokenize": 14, "text_fuzzy_join": 12, "text_langid": 13,
-    "text_quality": 14, "text_repetition": 14, "text_tfidf_topk": 13,
-    "text_token_stats": 13, "text_unigram_logppl": 12, "text_winnowing": 14,
+    "ev_daily_anomaly": 13, "ev_daily_rollup": 13, "ev_distinct_hll": 15,
+    "ev_distinct_sketch": 14, "ev_funnel_signup_purchase": 13, "ev_interval_join": 14,
+    "ev_json_extract": 15, "ev_latest_per_user": 15, "ev_moving_avg": 15,
+    "ev_retention_cohorts": 15, "ev_rollup_dense": 13, "ev_sessionize": 15,
+    "ev_stream_dedup": 15, "ev_stream_distinct_sketch": 13, "ev_stream_join": 13,
+    "ev_stream_latest": 15, "ev_stream_rollup": 15, "ev_stream_sessionize": 15,
+    "ev_stream_topk_cms": 13, "ev_topk_cms": 13, "ev_value_quantile_binned": 13,
+    "ev_value_quantiles": 15, "ev_value_rank": 15, "graph_lpa_communities": 13,
+    "graph_pagerank": 13, "graph_triangles": 14, "mm_features": 15,
+    "mm_features_png": 14, "mm_frame_plan": 14, "mm_media_stats": 14,
+    "mm_phash_dedup": 14, "mm_thumbnail_plan": 15, "q10_returned_items": 14,
+    "q11_important_parts": 13, "q12_latency_priority": 13, "q13_customer_distribution": 15,
+    "q14_promo_revenue": 14, "q15_top_supplier": 14, "q16_supplier_part_count": 14,
+    "q17_small_qty_revenue": 15, "q18_large_volume_customers": 14, "q19_disjunctive_pred": 14,
+    "q1_pricing_summary": 14, "q20_promo_suppliers": 13, "q21_waiting_supplier": 15,
+    "q22_global_sales": 15, "q2_min_cost_supplier": 14, "q3_shipping_priority": 13,
+    "q4_order_priority": 15, "q5_local_supplier_volume": 15, "q6_revenue_forecast": 15,
+    "q7_volume_shipping": 15, "q8_market_share": 15, "q9_nation_profit": 15,
+    "q_cube_orders": 15, "q_rollup_revenue": 13, "q_supplier_revenue_rank": 13,
+    "sim_cosine_ivf": 13, "sim_cosine_lsh": 13, "sim_cosine_topk": 13,
+    "sim_hybrid_rrf": 15, "sim_ivfpq_refine": 14, "sim_ivfpq_topk": 13,
+    "sim_kmeans_assign": 13, "sim_knn_join": 13, "sim_knn_join_ivf": 15,
+    "sim_matryoshka_rerank": 15, "sim_pq_adc_topk": 13, "sim_pq_refine": 13,
+    "sim_quantized_topk": 14, "sst_decode_bti_split": 13, "sst_decode_combined": 14,
+    "sst_decode_compressed": 14, "sst_decode_ma": 15, "sst_decode_ma_external": 13,
+    "sst_decode_oa_external": 14, "sst_decode_randomtable": 14, "sst_decode_rangetombstone": 14,
+    "sst_decode_rt_storm": 15, "sst_decode_staged": 13, "sst_decode_varint": 14,
+    "text_bm25_topk": 14, "text_bpe_pretokenize": 14, "text_fuzzy_join": 15,
+    "text_langid": 13, "text_quality": 14, "text_repetition": 14,
+    "text_tfidf_topk": 13, "text_token_stats": 13, "text_unigram_logppl": 15,
+    "text_winnowing": 14,
 }
 
 
+#: Queries whose implementation the r15/r16 OPTIMIZATION rounds touched
+#: and which had not yet earned a post-change driver-oracle row when the
+#: r16 rotation ran. Within an equal-staleness class these sort FIRST, so
+#: the driver's 50-query window verifies changed code before untouched
+#: code (r15 VERDICT #9: q18 + the vectorized sim family were rewritten
+#: in r15 but alphabetical tie-breaking left them outside the r16
+#: window). Purely a priority hint: staleness still dominates, and the
+#: builder's full-registry sweeps cover everything regardless.
+_TOUCHED_PRIORITY = frozenset({
+    "q18_large_volume_customers",   # r15 aggregate-before-join rewrite
+    "sim_ivfpq_refine",             # r15 vectorized kernels
+    "sim_quantized_topk",           # r15 vectorized kernels
+    "dedup_semantic",               # r15 vectorized kernels + CC twin
+    "dedup_winnow_containment",     # r16 verify-stage semi-join
+    "dedup_containment",            # r16 verify-stage semi-join (shared)
+})
+
+
 def _gate_rank(name: str) -> tuple:
-    """Staleness sort key: never-gated first (-1), then oldest green."""
-    return (_LAST_GREEN.get(name, -1), name)
+    """Staleness sort key: never-gated first (-1), then oldest green;
+    within a staleness class, optimization-touched queries first."""
+    return (_LAST_GREEN.get(name, -1), name not in _TOUCHED_PRIORITY, name)
 
 
 def _apply_gate_order() -> None:

@@ -3,13 +3,17 @@
 
 Prints ONE SHORT final JSON line on stdout:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N,
-   "queries": {...top-5 slowest...}}
+   "queries": {...top-N slowest...},
+   "t_sorted": [...all timings, sorted-query-name order...]}
 
 Per-query timings for all registered queries go to stderr (one `# name:
 t` line each) AND to the sidecar file BENCH_DETAIL.json next to this
 script. Rationale: the driver captures only the tail of stdout (~2 KB);
 round 4's 97-query inline JSON (~3.5 KB) overflowed that window and the
-round recorded "parsed": null. The final stdout line must stay small.
+round recorded "parsed": null. The final stdout line is built under an
+explicit byte budget (r16): the "queries" top-N map shrinks (never below
+top-5) before the full-coverage "t_sorted" array is ever dropped, so
+round-over-round comparisons get all queries while the line stays small.
 """
 
 from __future__ import annotations
@@ -242,32 +246,50 @@ def main():
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"# per-query detail written to {detail_path}", file=sys.stderr)
 
-    # Final stdout line: keep it SMALL (driver tail-captures ~2 KB of
-    # stdout). Only the totals plus the 5 slowest queries ride inline.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": slowest,
-                # exclusivity stamp (kept tiny: the driver tail-captures
-                # ~2 KB of stdout; full snapshots live in BENCH_DETAIL)
-                "isolation": {
-                    "contaminated": isolation["contaminated"],
-                    "loadavg_start": iso_start["loadavg"][0],
-                    "foreign_jvms_start": iso_start["foreign_jvms"],
-                    "loadavg_end": iso_end["loadavg"][0],
-                    "foreign_jvms_end": iso_end["foreign_jvms"],
-                },
-            }
+    # Final stdout line: must fit the driver's ~2 KB stdout tail capture
+    # (round 4's 97-entry inline map overflowed it and the round recorded
+    # "parsed": null), but the r15 PERF comparison was nearly blind with
+    # only the top-5 map (n_common=2 of 139). Additions-only fix (r16):
+    # keep the "queries" top-N map (as many slowest as fit) and add
+    # "t_sorted" — ALL per-query timings as a compact JSON array in
+    # sorted-query-name order (names recoverable from sorted(REGISTRY) /
+    # BENCH_DETAIL.json; ~7 bytes/query vs ~28 for a map entry). The
+    # whole line is built under an explicit byte budget, trimming the
+    # map (never below 5) and then array precision before ever dropping
+    # the array, so the line can never overflow the capture window again.
+    _BUDGET = 1800  # bytes; capture window is ~2000
+
+    def _line(top_n: int, nd: int) -> str:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:top_n]
         )
-    )
+        payload = {
+            "metric": "bench_total_query_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "t_sorted": [round(timings[k], nd) for k in sorted(timings)],
+            # exclusivity stamp (full snapshots live in BENCH_DETAIL)
+            "isolation": {
+                "contaminated": isolation["contaminated"],
+                "loadavg_start": iso_start["loadavg"][0],
+                "foreign_jvms_start": iso_start["foreign_jvms"],
+                "loadavg_end": iso_end["loadavg"][0],
+                "foreign_jvms_end": iso_end["foreign_jvms"],
+            },
+        }
+        if nd == 0:  # last resort: drop the array, never the map
+            payload.pop("t_sorted")
+        return json.dumps(payload, separators=(",", ":"))
+
+    out_line = None
+    for top_n, nd in ((30, 3), (20, 3), (10, 3), (5, 3), (5, 2), (5, 0)):
+        out_line = _line(top_n, nd)
+        if len(out_line) <= _BUDGET:
+            break
+    print(out_line)
 
 
 if __name__ == "__main__":

@@ -2053,3 +2053,37 @@ def test_graph_driver_paths_match_distributed(docs, monkeypatch):
     for k in fast:
         assert fast[k] == slow[k], k
     assert all(fast.values())
+
+
+def test_graph_driver_twins_handle_foreign_pair_endpoints(spark, monkeypatch):
+    """r16 hardening (r15 VERDICT #3): a pair endpoint ABSENT from
+    ``vertices`` contributes nothing in the distributed loops (ranks and
+    labels are sourced from the vertex table), while its presence still
+    counts toward neighbors' degrees. The driver twins must reproduce
+    that exactly — including a member whose ONLY neighbor is foreign
+    (keeps its label / gets only the base rank)."""
+    from aegisthus_spark.operators import graph as g
+
+    # vertices 1..5; pairs bring a FOREIGN endpoint 99: 3-99 makes 99 a
+    # degree-counted non-contributor, 5-99 leaves member 5 with no member
+    # neighbors; 1-2, 2-3 are a normal member chain; 4 is isolated.
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 99), (5, 99)], "a long, b long"
+    )
+    fast = {
+        "pr": {(r[0], r[1]) for r in g.pagerank(pairs, verts, iters=2).collect()},
+        "lpa": {(r[0], r[1]) for r in g.lpa_communities(pairs, verts, iters=2).collect()},
+    }
+    monkeypatch.setattr(g, "_CC_DRIVER_MAX_PAIRS", -1)
+    slow = {
+        "pr": {(r[0], r[1]) for r in g.pagerank(pairs, verts, iters=2).collect()},
+        "lpa": {(r[0], r[1]) for r in g.lpa_communities(pairs, verts, iters=2).collect()},
+    }
+    for k in fast:
+        assert fast[k] == slow[k], k
+    # the foreign endpoint never appears; every vertex appears exactly once
+    for k in fast:
+        assert sorted(v for v, _ in fast[k]) == [1, 2, 3, 4, 5], k

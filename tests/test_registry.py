@@ -117,6 +117,58 @@ def test_read_cache_isolates_conf_differing_sessions(spark, ntz_spark):
     assert base.count() == base.count()
 
 
+def test_read_cache_isolates_same_conf_siblings(spark):
+    """r16 (ADVICE): sibling sessions sharing an applicationId AND the two
+    ts confs still get readers bound to their OWN session — the r15 cache
+    keyed on (appId, ts confs) handed the first session's DataFrame to
+    every lookalike sibling, so execution resolved against the wrong
+    session's state (timeZone, ANSI, ...)."""
+    from aegisthus_spark.queries import _t
+
+    base = _t(spark, SF_DIR, "events")
+    sib = spark.newSession()
+    got = _t(sib, SF_DIR, "events")
+    assert got is not base
+    assert got.sparkSession is sib
+
+
+def test_read_cache_conf_flip_invalidates(spark):
+    """r16 (ADVICE): flipping a ts-affecting conf on the SAME session
+    object must invalidate the reader memo, not return the stale-schema
+    reader."""
+    from aegisthus_spark.queries import _t
+
+    s = spark.newSession()
+    plain = _t(s, SF_DIR, "events")
+    assert dict(plain.dtypes)["ts"] != "timestamp_ntz"
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        flipped = _t(s, SF_DIR, "events")
+        assert flipped is not plain
+        assert dict(flipped.dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        s.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
+
+
+def test_reader_and_schema_caches_bounded(spark, monkeypatch):
+    """r16 (VERDICT #7): both memo layers evict FIFO at their caps — a
+    long-lived session sweeping many sf_dirs cannot grow driver memory
+    without bound — and an evicted entry is transparently rebuilt."""
+    import aegisthus_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_READER_CACHE_MAX", 2)
+    monkeypatch.setattr(Q, "_SCHEMA_CACHE_MAX", 2)
+    monkeypatch.setattr(Q, "_SCHEMA_CACHE", {})
+    s = spark.newSession()
+    for name in ("events", "documents", "customer"):
+        Q._t(s, SF_DIR, name)
+    cache = getattr(s, Q._READER_CACHE_ATTR)
+    assert len(cache["readers"]) == 2
+    assert len(Q._SCHEMA_CACHE) == 2
+    # "events" was evicted; a fresh call rebuilds it and works
+    assert Q._t(s, SF_DIR, "events").count() > 0
+
+
 def test_events_normalized_under_ntz_inference(ntz_spark):
     from aegisthus_spark.queries import _events
 
@@ -246,14 +298,21 @@ def test_gate_rotation_converges():
     ceil(n/50) rounds — the schedule property the rotation promises."""
     import math
 
-    from aegisthus_spark.queries import GATE_WINDOW, REGISTRY, _LAST_GREEN
+    from aegisthus_spark.queries import (
+        GATE_WINDOW, REGISTRY, _LAST_GREEN, _TOUCHED_PRIORITY,
+    )
 
     last = dict(_LAST_GREEN)
     names = list(REGISTRY)
     cycle = math.ceil(len(names) / GATE_WINDOW)
     current = max(last.values())
     for rnd in range(current + 1, current + 1 + cycle):
-        order = sorted(names, key=lambda n: (last.get(n, -1), n))
+        # same two-tier key as queries._gate_rank: staleness dominates,
+        # optimization-touched queries first within a staleness class
+        order = sorted(
+            names,
+            key=lambda n: (last.get(n, -1), n not in _TOUCHED_PRIORITY, n),
+        )
         for n in order[:GATE_WINDOW]:
             last[n] = rnd  # driver stamps the window green
     # after one full cycle every query has a row from the simulated rounds
