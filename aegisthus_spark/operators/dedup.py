@@ -824,18 +824,33 @@ def ngram_duplication(
     shingles are boilerplate by definition at a sane cap; excluding them
     from BOTH numerator and denominator restricts the measure to the
     informative vocabulary (the stop-gram truncation the scale note above
-    describes) and keeps the one hot shuffle key out of the join back.
-    Documents whose every shingle is boilerplate drop out entirely —
-    callers wanting them as dup_frac=1.0 rows can left-join the corpus.
-    None (default) keeps exact full-vocabulary semantics.
+    describes). Documents whose every shingle is boilerplate drop out
+    entirely — callers wanting them as dup_frac=1.0 rows can left-join
+    the corpus. None (default) keeps exact full-vocabulary semantics.
+    The df attached to kept shingles is the FULL corpus df (counted
+    before the cap filter), matching the declared oracle.
+
+    df via a PARTITIONED count window, not groupBy+join-back (r16; the
+    cross_doc_ngram_fraction / winnow shared_frac / cdc_chunks call): the
+    join formulation re-derives the tokenize+explode+distinct lineage a
+    SECOND time for the probe side — plan-verified two parquet scans and
+    two Generates — and pays a distinct+aggregate exchange pair before
+    the join. The window shuffles the distinct (doc, shingle) rows by
+    shingle once; shingle partitions are small (docs sharing one n-gram),
+    so the unordered count window is a per-bucket aggregate, not a sort
+    risk. Measured 2.0x at sf0.01 / same-shape wins at sf0.1 with
+    identical results (tools/exp_vocab_window.py).
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    marked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     if max_shingle_df is not None:
-        df_counts = df_counts.filter(F.col("df") <= max_shingle_df)
+        marked = marked.filter(F.col("df") <= max_shingle_df)
     return (
-        sh.join(df_counts, "shingle")
-        .groupBy(id_col)
+        marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).alias("n_dup"),
@@ -846,7 +861,7 @@ def ngram_duplication(
 
 def dup_spans(
     docs: DataFrame, *, n: int = 3, min_len: int = 2,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", sort: bool = True,
 ) -> DataFrame:
     """(doc_id, span_start, span_len): maximal runs of consecutive shingle
     positions whose word n-gram also occurs in ANOTHER document — the
@@ -861,13 +876,31 @@ def dup_spans(
     ``span_len + n - 1`` words). Runs shorter than ``min_len`` shingles
     are dropped (single-shingle hits are mostly stop-phrase noise).
 
-    Scale shape: one positional explode, one distinct+aggregate for the
-    cross-doc vocabulary (map-side combinable), one equi-join on shingle,
-    one per-document window for the gaps-and-islands grouping — never a
-    doc-pair join (this extracts spans, it does not mine pairs). The
-    window partitions by doc_id, so its state is bounded by document
-    length, not corpus size.
+    Scale shape: one positional explode, ONE shingle-keyed shuffle with a
+    partition-wide min/max window deciding the cross-doc vocabulary
+    (>= 2 DISTINCT docs <=> min(doc) != max(doc) — within-doc repeats
+    alone don't make a shingle "duplicated"), one per-document window for
+    the gaps-and-islands grouping — never a doc-pair join (this extracts
+    spans, it does not mine pairs). The doc window's state is bounded by
+    document length, not corpus size.
+
+    The vocabulary decision is a WINDOW, not distinct+aggregate+join-back
+    (r16; the cross_doc_ngram_fraction call): the join form re-derived
+    the tokenize+posexplode lineage a second time for the probe side
+    (plan-verified two parquet scans and two Generates) and paid a
+    distinct exchange + aggregate exchange ahead of the join. Shingle
+    partitions are small (docs sharing one n-gram), so the unordered
+    min/max window is a per-bucket aggregate, not a sort risk. Measured
+    with identical results, tools/exp_vocab_window.py.
+
+    ``sort=False`` skips the final orderBy for consumers that immediately
+    re-aggregate the spans (cut_spans — the r15 LSH sort=False precedent,
+    guide §2.4: the intermediate range sort survived INTO cut_spans'
+    physical plan feeding an explode+groupBy). Registered span-output
+    queries keep the sort — their declared result is the ordered list.
     """
+    from pyspark.sql import Window
+
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     posh = toks.select(
         F.col(id_col),
@@ -879,22 +912,16 @@ def dup_spans(
             )
         ).alias("pos", "shingle"),
     )
-    # cross-doc duplicated vocabulary: shingle present in >= 2 DISTINCT
-    # docs (within-doc repeats alone don't make a shingle "duplicated")
-    dup = (
-        posh.select(id_col, "shingle")
-        .distinct()
-        .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") > 1)
-        .select("shingle")
+    wsh = Window.partitionBy("shingle")
+    marked = (
+        posh.withColumn("_mn", F.min(id_col).over(wsh))
+        .withColumn("_mx", F.max(id_col).over(wsh))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(id_col, "pos")
     )
-    from pyspark.sql import Window
-
-    marked = posh.join(dup, "shingle").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    return (
+    out = (
         isl.groupBy(id_col, "grp")
         .agg(
             F.min("pos").cast("int").alias("span_start"),
@@ -902,8 +929,8 @@ def dup_spans(
         )
         .filter(F.col("span_len") >= min_len)
         .select(id_col, "span_start", "span_len")
-        .orderBy(id_col, "span_start")
     )
+    return out.orderBy(id_col, "span_start") if sort else out
 
 
 def cut_spans(
@@ -929,9 +956,11 @@ def cut_spans(
     aggregate is unique per key, so the left join is eliminated — which
     is great for users and misleading for row-count benchmarks).
 
-    Scale shape: dup_spans' shape (positional explode, cross-doc
-    vocabulary aggregate, one equi-join, per-doc gaps-and-islands
-    window), then the spans explode to removed WORD offsets (bounded by
+    Scale shape: dup_spans' shape (positional explode, one shingle-keyed
+    min/max window for the cross-doc vocabulary, per-doc gaps-and-islands
+    window — unsorted: the spans feed a re-aggregate, so the intermediate
+    orderBy would be a wasted range sort, r16), then the spans explode to
+    removed WORD offsets (bounded by
     total duplicated words, adjacent spans may overlap by up to n-1
     words — hence the per-doc set), one doc_id aggregate, and one
     doc_id equi-join back to the token table. The rewrite itself is a
@@ -939,7 +968,8 @@ def cut_spans(
     bounded by document length, never a doc-pair join, no Python UDF.
     """
     spans = dup_spans(
-        docs, n=n, min_len=min_len, id_col=id_col, text_col=text_col
+        docs, n=n, min_len=min_len, id_col=id_col, text_col=text_col,
+        sort=False,  # spans feed an explode+groupBy: order is destroyed
     )
     removed = (
         spans.select(

@@ -4431,7 +4431,8 @@ def sim_knn_join_ivf(spark, sf_dir):
     """,
     doc="per-doc duplicated-n-gram fraction (Lee et al. 2022 substring-dup "
         "signal at shingle granularity): share of a doc's distinct 3-grams "
-        "occurring in >=2 docs — df aggregate + join back, never a pair join",
+        "occurring in >=2 docs — one shingle-keyed count window (r16; the "
+        "join-back form re-derived the explode lineage), never a pair join",
 )
 def dedup_ngram_coverage(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -4462,9 +4463,10 @@ def dedup_ngram_coverage(spark, sf_dir):
         "2022 ExactSubstr span extraction at shingle granularity): where "
         "dedup_ngram_coverage scores HOW MUCH of a doc is duplicated, this "
         "says WHERE, so a rewrite stage can cut the span instead of "
-        "dropping the document — positional explode, cross-doc vocabulary "
-        "aggregate, one equi-join, per-doc gaps-and-islands window; never "
-        "a pair join",
+        "dropping the document — positional explode, one shingle-keyed "
+        "min/max window for the cross-doc vocabulary (r16; the join-back "
+        "form re-derived the explode), per-doc gaps-and-islands window; "
+        "never a pair join",
 )
 def dedup_dup_spans(spark, sf_dir):
     return _dd.dup_spans(_t(spark, sf_dir, "documents"), n=3, min_len=2)
@@ -4789,9 +4791,9 @@ def dedup_winnow_containment(spark, sf_dir):
     doc="duplicated-n-gram fraction under the stop-gram cap "
         "(max_shingle_df=4): df>4 boilerplate shingles leave both "
         "numerator and denominator, restricting the measure to the "
-        "informative vocabulary and keeping the hot key out of the "
-        "join-back shuffle; df values of kept shingles stay the FULL "
-        "corpus df (computed before the cap filter)",
+        "informative vocabulary; df via the shingle-keyed count window "
+        "(r16), and kept shingles keep the FULL corpus df (counted "
+        "before the cap filter)",
 )
 def dedup_ngram_coverage_capped(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

@@ -424,17 +424,44 @@ def test_json_extract_stays_jvm_side(spark, queries):
 
 
 def test_ngram_coverage_no_pair_join(spark, queries):
-    """The duplication score joins shingles to the df table on the
-    SHINGLE key — a doc-pair join (O(n^2) on hot shingles) must not
-    appear: every join key in the plan is the shingle, never (a, b)."""
+    """The duplication score decides the shingle vocabulary with ONE
+    shingle-partitioned count window (r16) — no doc-pair join (O(n^2) on
+    hot shingles), and no join-back whose probe side re-derives the
+    tokenize+explode lineage: the corpus must be scanned and exploded
+    exactly once."""
     from aegisthus_spark.plans import physical_plan
 
     plan = physical_plan(queries["dedup_ngram_coverage"](spark, SF_DIR), "formatted")
     assert "CartesianProduct" not in plan
-    # the only equi-join keys are on the shingle column
+    assert "Join" not in plan, plan  # window form: no join at all
+    # single evaluation: one scan, one explode (numbered-operator lines)
     import re
-    for cond in re.findall(r"(?:SortMergeJoin|BroadcastHashJoin) \[([^\]]*)\]", plan):
-        assert "shingle" in cond, cond
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Scan") == 1 and ops.count("Generate") == 1, ops
+
+
+def test_span_queries_single_corpus_evaluation(spark, queries):
+    """dup_spans/cut_spans (r16): the cross-doc vocabulary rides a
+    shingle-keyed min/max window, so the positional explode is evaluated
+    ONCE (the join-back form plan-verified two scans + two Generates);
+    and cut_spans' intermediate span orderBy is skipped (sort=False) —
+    exactly one range sort (the final orderBy) remains."""
+    import re
+
+    from aegisthus_spark.plans import physical_plan
+
+    plan = physical_plan(queries["dedup_dup_spans"](spark, SF_DIR), "formatted")
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Scan") == 1 and ops.count("Generate") == 1, ops
+    assert "Join" not in plan, plan
+
+    plan = physical_plan(queries["dedup_cut_spans"](spark, SF_DIR), "formatted")
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    # cut_spans re-reads docs once to attach the removed-word sets: two
+    # scans total (spans funnel + token table), two Generates (shingles +
+    # widx explode), and ONE rangepartitioning (the final orderBy only)
+    assert ops.count("Scan") == 2 and ops.count("Generate") == 2, ops
+    assert plan.count("rangepartitioning") == 1, plan
 
 
 def test_q19_disjunction_pushes_to_both_scans(spark, queries):
