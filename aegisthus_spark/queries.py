@@ -5990,6 +5990,10 @@ _TOUCHED_PRIORITY = frozenset({
     "dedup_semantic",               # r15 vectorized kernels + CC twin
     "dedup_winnow_containment",     # r16 verify-stage semi-join
     "dedup_containment",            # r16 verify-stage semi-join (shared)
+    "dedup_ngram_coverage",         # r16 vocabulary-window rewrite
+    "dedup_ngram_coverage_capped",  # r16 vocabulary-window rewrite
+    "dedup_dup_spans",              # r16 vocabulary-window rewrite
+    "dedup_cut_spans",              # r16 vocabulary-window rewrite
 })
 
 
